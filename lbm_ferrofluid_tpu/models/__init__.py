@@ -1,0 +1,28 @@
+"""Solver families (single-phase, multiphase, ferrofluid) built from ops."""
+
+from . import ferrofluid, multiphase, singlephase
+from .ferrofluid import ferrofluid_step, init_ferrofluid_state, make_H_ext
+from .multiphase import hcz_step, init_hcz_state, init_sc_state, sc_step
+from .params import SimulationParams
+from .singlephase import init_state as init_singlephase_state
+from .singlephase import step as singlephase_step
+from .state import FerrofluidState, HCZState, SinglePhaseState
+
+__all__ = [
+    "SimulationParams",
+    "SinglePhaseState",
+    "HCZState",
+    "FerrofluidState",
+    "singlephase",
+    "multiphase",
+    "ferrofluid",
+    "init_singlephase_state",
+    "singlephase_step",
+    "init_sc_state",
+    "sc_step",
+    "init_hcz_state",
+    "hcz_step",
+    "init_ferrofluid_state",
+    "ferrofluid_step",
+    "make_H_ext",
+]

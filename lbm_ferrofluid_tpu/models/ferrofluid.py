@@ -1,0 +1,182 @@
+"""Ferrofluid solver: HCZ multiphase + magnetic Poisson sub-solve + Kelvin force.
+
+Step order matches the north-star reference driver
+(demo_3d_LBM_Rosensweig_instability.py:151-207):
+
+  stream f,g -> moments -> bounce-back f,g
+  -> phi = -(2 (density - rho_g)/(rho_l - rho_g) - 1)
+  -> 30x [stream h -> bounce-back h (magnetic flags) -> Poisson sweep]
+  -> H2 = |H_ext + H_int|^2
+  -> capillary_process(..., H2, phi) -> HCZ collide
+
+The 30-iteration inner loop is a ``lax.fori_loop`` inside the single jitted
+step, so one step of the flagship model is one XLA computation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import (
+    bounce_back,
+    eos_pressure,
+    feq,
+    geq,
+    hcz_capillary,
+    hcz_collide,
+    macro_moments,
+    rho_to_density,
+    solve_H_int,
+    staggered,
+    stream,
+)
+from .params import SimulationParams
+from .state import FerrofluidState
+
+__all__ = ["init_ferrofluid_state", "ferrofluid_step", "make_H_ext"]
+
+
+def make_H_ext(params: SimulationParams, res, batch=1, dtype=jnp.float32, axis=1):
+    """Constant external field of magnitude mag_strength along ``axis``
+    (y by default, as in the Rosensweig demos) plus its MAC staggering."""
+    H = jnp.zeros((batch, params.dim, *res), dtype=dtype)
+    H = H.at[:, axis].set(params.mag_strength)
+    return H, tuple(staggered(H, mode="replicate"))
+
+
+def init_ferrofluid_state(
+    params: SimulationParams,
+    rho,
+    density,
+    vel,
+    flags,
+    magnetic_flags,
+    H_ext_axis: int = 1,
+) -> FerrofluidState:
+    lat = params.lattice
+    rho = jnp.array(rho)
+    density = jnp.array(density)
+    vel = jnp.array(vel)
+    force = jnp.zeros_like(vel)
+    pressure = eos_pressure(density, dx=params.dx, dt=params.dt)
+    f = feq(lat, density, vel, dx=params.dx, dt=params.dt, tau=params.tau, force=force)
+    g = geq(lat, rho, density, vel, pressure, dx=params.dx, dt=params.dt, feq_val=f)
+    h = jnp.zeros_like(f)
+    phi = jnp.zeros_like(rho)
+    res = rho.shape[2:]
+    H_ext, H_ext_mac = make_H_ext(
+        params, res, batch=rho.shape[0], dtype=rho.dtype, axis=H_ext_axis
+    )
+    return FerrofluidState(
+        f=f,
+        g=g,
+        h=h,
+        rho=rho,
+        vel=vel,
+        density=density,
+        pressure=pressure,
+        force=force,
+        phi=phi,
+        flags=jnp.array(flags),
+        magnetic_flags=jnp.array(magnetic_flags),
+        H_ext=H_ext,
+        H_ext_mac=H_ext_mac,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnums=0, donate_argnums=1)
+def ferrofluid_step(params: SimulationParams, state: FerrofluidState) -> FerrofluidState:
+    lat = params.lattice
+    dx, dt = params.dx, params.dt
+
+    f = stream(lat, state.f)
+    g = stream(lat, state.g)
+    rho, vel = macro_moments(lat, f, state.rho, state.vel, state.flags, dx=dx, dt=dt)
+    density = rho_to_density(
+        rho,
+        rho_gas=params.rho_gas,
+        rho_fluid=params.rho_fluid,
+        density_gas=params.density_gas,
+        density_fluid=params.density_fluid,
+    )
+    f = bounce_back(lat, f, state.flags)
+    g = bounce_back(lat, g, state.flags)
+
+    phi = -(
+        2.0 * (density - params.density_gas)
+        / (params.density_fluid - params.density_gas)
+        - 1.0
+    )
+
+    H_int, h = solve_H_int(
+        lat,
+        state.h,
+        phi,
+        state.magnetic_flags,
+        list(state.H_ext_mac),
+        tau=params.tau,
+        n_iters=params.poisson_iters,
+        dx=dx,
+        dt=dt,
+    )
+    H_tot = state.H_ext + H_int
+    H2 = jnp.sum(H_tot * H_tot, axis=1, keepdims=True)
+
+    rho, vel, density, pressure, force, dfai, dprho = hcz_capillary(
+        lat,
+        rho,
+        vel,
+        state.flags,
+        g,
+        density,
+        state.pressure,
+        kappa=params.kappa,
+        gravity=jnp.asarray(params.gravity_vec(), dtype=vel.dtype),
+        contact_angle=params.contact_angle,
+        rho_gas=params.rho_gas,
+        rho_fluid=params.rho_fluid,
+        density_gas=params.density_gas,
+        density_fluid=params.density_fluid,
+        dx=dx,
+        dt=dt,
+        H2=H2,
+        phi=phi,
+    )
+    f, g = hcz_collide(
+        lat,
+        f,
+        g,
+        rho,
+        vel,
+        density,
+        pressure,
+        state.flags,
+        force,
+        dfai,
+        dprho,
+        tau_f=params.tau_f,
+        tau_g=params.tau_g,
+        kbc_type=params.kbc_type,
+        dx=dx,
+        dt=dt,
+    )
+    return FerrofluidState(
+        f=f,
+        g=g,
+        h=h,
+        rho=rho,
+        vel=vel,
+        density=density,
+        pressure=pressure,
+        force=force,
+        phi=phi,
+        flags=state.flags,
+        magnetic_flags=state.magnetic_flags,
+        H_ext=state.H_ext,
+        H_ext_mac=state.H_ext_mac,
+        step=state.step + 1,
+    )

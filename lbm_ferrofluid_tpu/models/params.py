@@ -1,0 +1,93 @@
+"""Simulation parameters: one frozen, hashable, JSON-serializable dataclass.
+
+Replaces the reference's ``SimulationParameters`` object + per-class
+constructor kwargs (src/LBM/simulation/simulation_parameters.py:6-83).
+Being frozen/hashable it is passed as a *static* argument to jitted step
+functions, so every physics constant folds into the compiled program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+
+import numpy as np
+
+from ..lattice import Lattice, get_lattice
+
+__all__ = ["SimulationParams"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SimulationParams:
+    """Physics + numerics configuration (all static)."""
+
+    dim: int = 2
+    dx: float = 1.0
+    dt: float = 1.0
+
+    # relaxation times
+    tau: float = 1.0  # single-phase BGK/KBC and the magnetic Poisson solve
+    tau_f: float = 0.7  # HCZ order-parameter distribution
+    tau_g: float = 0.7  # HCZ pressure distribution
+
+    # multiphase densities: physical (density_*) and order parameter (rho_*)
+    density_gas: float = 0.038
+    density_fluid: float = 0.265
+    rho_gas: float = 0.038
+    rho_fluid: float = 0.265
+
+    kappa: float = 0.08  # surface tension coefficient
+    contact_angle: float = 0.5 * math.pi
+    gravity: float = 0.0  # magnitude; acts along -y as in the reference
+    k: float = 0.33  # magnetic susceptibility scale
+
+    kbc_type: int | None = None  # None/LBGK or a KBCType value
+    mag_strength: float = 0.0
+    poisson_iters: int = 30
+
+    @property
+    def lattice(self) -> Lattice:
+        return get_lattice(self.dim)
+
+    @property
+    def Q(self) -> int:
+        return self.lattice.q
+
+    @property
+    def c(self) -> float:
+        return self.dx / self.dt
+
+    @property
+    def cs2(self) -> float:
+        return self.c * self.c / 3.0
+
+    def gravity_vec(self, dtype=np.float32) -> np.ndarray:
+        """Gravity vector [1, dim, 1...] acting along -y (reference
+        LBM_collision_2d.py:104-111 / _3d.py:124-131)."""
+        g = np.zeros((1, self.dim, *([1] * self.dim)), dtype=dtype)
+        g[0, 1] = -self.gravity
+        return g
+
+    @staticmethod
+    def tau_from_reynolds(
+        re: float, vmax: float, lmax: float, dx: float = 1.0, dt: float = 1.0
+    ) -> float:
+        """tau = 0.5 + nu/cs2 with nu = Vmax * Lmax / Re (demo_2d_LBM.py:32-36)."""
+        c = dx / dt
+        cs2 = c * c / 3.0
+        return 0.5 + (vmax * lmax / re) / cs2
+
+    # ------------------------------------------------------------------
+    # JSON round trip (the reference has no config files; we add one)
+    # ------------------------------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "SimulationParams":
+        return cls(**json.loads(s))
+
+    def replace(self, **kw) -> "SimulationParams":
+        return dataclasses.replace(self, **kw)

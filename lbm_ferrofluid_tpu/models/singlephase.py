@@ -1,0 +1,80 @@
+"""Single-phase solver (BGK or entropic KBC).
+
+Step order matches the reference driver (demo_2d_LBM.py:101-121):
+stream -> moments -> bounce-back -> collide.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import bgk_collide, bounce_back, feq, kbc_collide, macro_moments, stream
+from ..utils.types import KBCType
+from .params import SimulationParams
+from .state import SinglePhaseState
+
+__all__ = ["init_state", "step"]
+
+
+def init_state(
+    params: SimulationParams,
+    rho,
+    vel,
+    flags,
+    force=None,
+) -> SinglePhaseState:
+    """Seed f = feq(rho, vel, force), as every reference demo does."""
+    lat = params.lattice
+    rho = jnp.array(rho)
+    vel = jnp.array(vel)
+    if force is None:
+        force = jnp.zeros_like(vel)
+    f = feq(
+        lat, rho, vel, dx=params.dx, dt=params.dt, tau=params.tau, force=force
+    )
+    return SinglePhaseState(
+        f=f,
+        rho=rho,
+        vel=vel,
+        force=jnp.asarray(force),
+        flags=jnp.array(flags),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnums=0, donate_argnums=1)
+def step(params: SimulationParams, state: SinglePhaseState) -> SinglePhaseState:
+    lat = params.lattice
+    dx, dt = params.dx, params.dt
+
+    f = stream(lat, state.f)
+    rho, vel = macro_moments(lat, f, state.rho, state.vel, state.flags, dx=dx, dt=dt)
+    f = bounce_back(lat, f, state.flags)
+    if KBCType.is_KBC(params.kbc_type):
+        f = kbc_collide(
+            lat,
+            f,
+            rho,
+            vel,
+            state.flags,
+            state.force,
+            tau=params.tau,
+            kbc_type=params.kbc_type,
+            dx=dx,
+            dt=dt,
+        )
+    else:
+        f = bgk_collide(
+            lat, f, rho, vel, state.flags, state.force, tau=params.tau, dx=dx, dt=dt
+        )
+    return SinglePhaseState(
+        f=f,
+        rho=rho,
+        vel=vel,
+        force=state.force,
+        flags=state.flags,
+        step=state.step + 1,
+    )

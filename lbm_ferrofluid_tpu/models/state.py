@@ -1,0 +1,88 @@
+"""Simulation state pytrees.
+
+The reference keeps all state as loose tensors in each demo driver
+(SURVEY.md §1: "no classes own simulation state").  Here state is an explicit
+pytree dataclass so the whole step is a pure ``state -> state`` function that
+jits, shards, scans, donates and checkpoints as one unit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..lattice import Lattice
+from ..utils.types import CellType
+from .params import SimulationParams
+
+__all__ = ["SinglePhaseState", "HCZState", "FerrofluidState", "field_shapes"]
+
+
+def _pytree_dataclass(cls):
+    return jax.tree_util.register_dataclass(dataclasses.dataclass(cls))
+
+
+@_pytree_dataclass
+class SinglePhaseState:
+    """State of a single-phase BGK/KBC solver."""
+
+    f: jax.Array  # [B, Q, *res]
+    rho: jax.Array  # [B, 1, *res]
+    vel: jax.Array  # [B, dim, *res]
+    force: jax.Array  # [B, dim, *res]
+    flags: jax.Array  # [B, 1, *res] uint8
+    step: jax.Array  # [] int32
+
+
+@_pytree_dataclass
+class HCZState:
+    """State of the HCZ two-distribution multiphase solver (also used for SC,
+    where g/pressure are unused)."""
+
+    f: jax.Array
+    g: jax.Array | None
+    rho: jax.Array
+    vel: jax.Array
+    density: jax.Array
+    pressure: jax.Array | None
+    force: jax.Array
+    flags: jax.Array
+    step: jax.Array
+    # optional velocity pinning (e.g. the wave demo's inflow column,
+    # demo_2d_wave.py:104,125,141): vel <- where(mask, value, vel)
+    vel_pin_mask: jax.Array | None = None
+    vel_pin_value: jax.Array | None = None
+
+
+@_pytree_dataclass
+class FerrofluidState:
+    """HCZ multiphase + magnetic Poisson distribution h."""
+
+    f: jax.Array
+    g: jax.Array
+    h: jax.Array
+    rho: jax.Array
+    vel: jax.Array
+    density: jax.Array
+    pressure: jax.Array
+    force: jax.Array
+    phi: jax.Array
+    flags: jax.Array
+    magnetic_flags: jax.Array
+    H_ext: jax.Array  # [B, dim, *res] constant external field
+    H_ext_mac: tuple  # staggered components (x, y[, z])
+    step: jax.Array
+
+
+def field_shapes(params: SimulationParams, res: tuple[int, ...], batch: int = 1):
+    """Canonical field shapes for a resolution (z, y, x ordering)."""
+    lat: Lattice = params.lattice
+    return {
+        "f": (batch, lat.q, *res),
+        "scalar": (batch, 1, *res),
+        "vector": (batch, lat.dim, *res),
+    }
