@@ -36,7 +36,7 @@ from ..ops import (
 from .params import SimulationParams
 from .state import FerrofluidState
 
-__all__ = ["init_ferrofluid_state", "ferrofluid_step", "make_H_ext"]
+__all__ = ["init_ferrofluid_state", "ferrofluid_step", "ferrofluid_step_impl", "make_H_ext"]
 
 
 def make_H_ext(params: SimulationParams, res, batch=1, dtype=jnp.float32, axis=1):
@@ -88,8 +88,8 @@ def init_ferrofluid_state(
     )
 
 
-@partial(jax.jit, static_argnums=0, donate_argnums=1)
-def ferrofluid_step(params: SimulationParams, state: FerrofluidState) -> FerrofluidState:
+def ferrofluid_step_impl(params: SimulationParams, state: FerrofluidState) -> FerrofluidState:
+    """Un-jitted step body of the flagship ferrofluid model."""
     lat = params.lattice
     dx, dt = params.dx, params.dt
 
@@ -180,3 +180,8 @@ def ferrofluid_step(params: SimulationParams, state: FerrofluidState) -> Ferrofl
         H_ext_mac=state.H_ext_mac,
         step=state.step + 1,
     )
+
+
+ferrofluid_step = partial(jax.jit, static_argnums=0, donate_argnums=1)(
+    ferrofluid_step_impl
+)

@@ -32,7 +32,7 @@ from ..ops import (
 from .params import SimulationParams
 from .state import HCZState
 
-__all__ = ["init_sc_state", "sc_step", "init_hcz_state", "hcz_step"]
+__all__ = ["init_sc_state", "sc_step", "sc_step_impl", "init_hcz_state", "hcz_step", "hcz_step_impl"]
 
 
 # ----------------------------------------------------------------------
@@ -58,8 +58,8 @@ def init_sc_state(params: SimulationParams, rho, density, vel, flags) -> HCZStat
     )
 
 
-@partial(jax.jit, static_argnums=0, donate_argnums=1)
-def sc_step(params: SimulationParams, state: HCZState) -> HCZState:
+def sc_step_impl(params: SimulationParams, state: HCZState) -> HCZState:
+    """Un-jitted SC step body."""
     lat = params.lattice
     dx, dt = params.dx, params.dt
 
@@ -152,12 +152,18 @@ def _maybe_pin(state: HCZState, vel: jnp.ndarray) -> jnp.ndarray:
     return vel
 
 
-@partial(jax.jit, static_argnums=0, donate_argnums=1)
-def hcz_step(params: SimulationParams, state: HCZState) -> HCZState:
-    return _hcz_step_impl(params, state)
+sc_step = partial(jax.jit, static_argnums=0, donate_argnums=1)(sc_step_impl)
 
 
-def _hcz_step_impl(
+def hcz_step_impl(params: SimulationParams, state: HCZState) -> HCZState:
+    """Un-jitted HCZ step body."""
+    return _hcz_step_shared(params, state)
+
+
+hcz_step = partial(jax.jit, static_argnums=0, donate_argnums=1)(hcz_step_impl)
+
+
+def _hcz_step_shared(
     params: SimulationParams,
     state: HCZState,
     H2=None,

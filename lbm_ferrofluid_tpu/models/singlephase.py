@@ -16,7 +16,7 @@ from ..utils.types import KBCType
 from .params import SimulationParams
 from .state import SinglePhaseState
 
-__all__ = ["init_state", "step"]
+__all__ = ["init_state", "step", "step_impl"]
 
 
 def init_state(
@@ -45,8 +45,8 @@ def init_state(
     )
 
 
-@partial(jax.jit, static_argnums=0, donate_argnums=1)
-def step(params: SimulationParams, state: SinglePhaseState) -> SinglePhaseState:
+def step_impl(params: SimulationParams, state: SinglePhaseState) -> SinglePhaseState:
+    """Un-jitted step body (for composition under scan/shard_map/graft)."""
     lat = params.lattice
     dx, dt = params.dx, params.dt
 
@@ -78,3 +78,6 @@ def step(params: SimulationParams, state: SinglePhaseState) -> SinglePhaseState:
         flags=state.flags,
         step=state.step + 1,
     )
+
+
+step = partial(jax.jit, static_argnums=0, donate_argnums=1)(step_impl)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -308,9 +309,16 @@ def contact_angle_boundary(
     faces, then edges, then corners, each step reading the already-updated
     field exactly as the torch code does (HCZ_2d.py:83-121, HCZ_3d.py:84-211,
     including the 2D corner quirk at :121 that averages rho[-2,-2] twice).
+
+    The ``optimization_barrier`` calls between update groups are required for
+    SPMD correctness: XLA's GSPMD partitioner miscompiles two directly-chained
+    scatters whose integer indices land on *different sharded axes* (updates
+    get applied at shard-local instead of global offsets).  The barrier blocks
+    that fusion; it costs nothing on a single device.
     """
     t = math.tan(math.pi / 2.0 - contact_angle)
     OBS = int(CellType.OBSTACLE)
+    barrier = jax.lax.optimization_barrier
 
     if dim == 2:
         # faces
@@ -328,6 +336,7 @@ def contact_angle_boundary(
                 rho[..., 1:-1, -1],
             )
         )
+        rho = barrier(rho)
         hlp = jnp.abs(rho[..., 1, 2:] - rho[..., 1, :-2])
         rho = rho.at[..., 0, 1:-1].set(
             jnp.where(
@@ -344,6 +353,7 @@ def contact_angle_boundary(
         )
         # corners (sequential, reading updated faces; last one reproduces the
         # reference quirk of averaging rho[..., -2, -2] with itself)
+        rho = barrier(rho)
         rho = rho.at[..., 0, 0].set(0.5 * (rho[..., 1, 0] + rho[..., 0, 1]))
         rho = rho.at[..., -1, 0].set(0.5 * (rho[..., -2, 0] + rho[..., -1, 1]))
         rho = rho.at[..., 0, -1].set(0.5 * (rho[..., 0, -2] + rho[..., 1, -1]))
@@ -382,6 +392,7 @@ def contact_angle_boundary(
             rho[..., 1:-1, 1:-1, -1],
         )
     )
+    rho = barrier(rho)
     # 3. neg y
     hlp = _face_hlp(
         rho[..., 2:, 1, 1:-1], rho[..., :-2, 1, 1:-1],
@@ -408,6 +419,7 @@ def contact_angle_boundary(
     )
     # 5./6. z faces: plain interior copies where OBSTACLE (the reference
     # computes hlp but does not apply it, HCZ_3d.py:143-168)
+    rho = barrier(rho)
     rho = rho.at[..., 0, 1:-1, 1:-1].set(
         jnp.where(
             flags[..., 0, 1:-1, 1:-1] == OBS,
@@ -424,22 +436,26 @@ def contact_angle_boundary(
     )
 
     # 7. edge lines (12), order as the reference (HCZ_3d.py:170-184)
+    rho = barrier(rho)
     rho = rho.at[..., 1:-1, 0, 0].set(0.5 * (rho[..., 1:-1, 0, 1] + rho[..., 1:-1, 1, 0]))
     rho = rho.at[..., 1:-1, 0, -1].set(0.5 * (rho[..., 1:-1, 0, -2] + rho[..., 1:-1, 1, -1]))
     rho = rho.at[..., 1:-1, -1, 0].set(0.5 * (rho[..., 1:-1, -1, 1] + rho[..., 1:-1, -2, 0]))
     rho = rho.at[..., 1:-1, -1, -1].set(0.5 * (rho[..., 1:-1, -1, -2] + rho[..., 1:-1, -2, -1]))
 
+    rho = barrier(rho)
     rho = rho.at[..., 0, 1:-1, 0].set(0.5 * (rho[..., 0, 1:-1, 1] + rho[..., 1, 1:-1, 0]))
     rho = rho.at[..., 0, 1:-1, -1].set(0.5 * (rho[..., 0, 1:-1, -2] + rho[..., 1, 1:-1, -1]))
     rho = rho.at[..., -1, 1:-1, 0].set(0.5 * (rho[..., -1, 1:-1, 1] + rho[..., -2, 1:-1, 0]))
     rho = rho.at[..., -1, 1:-1, -1].set(0.5 * (rho[..., -1, 1:-1, -2] + rho[..., -2, 1:-1, -1]))
 
+    rho = barrier(rho)
     rho = rho.at[..., 0, 0, 1:-1].set(0.5 * (rho[..., 0, 1, 1:-1] + rho[..., 1, 0, 1:-1]))
     rho = rho.at[..., 0, -1, 1:-1].set(0.5 * (rho[..., 0, -2, 1:-1] + rho[..., 1, -1, 1:-1]))
     rho = rho.at[..., -1, 0, 1:-1].set(0.5 * (rho[..., -1, 1, 1:-1] + rho[..., -2, 0, 1:-1]))
     rho = rho.at[..., -1, -1, 1:-1].set(0.5 * (rho[..., -1, -2, 1:-1] + rho[..., -2, -1, 1:-1]))
 
     # 8. corners (8) (HCZ_3d.py:186-211)
+    rho = barrier(rho)
     rho = rho.at[..., 0, 0, 0].set(
         (rho[..., 0, 0, 1] + rho[..., 0, 1, 0] + rho[..., 1, 0, 0]) / 3.0
     )

@@ -1,0 +1,80 @@
+"""Runner, diagnostics, and checkpoint/resume tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lbm_ferrofluid_tpu import CellType
+from lbm_ferrofluid_tpu.models import (
+    SimulationParams,
+    SimulationRunner,
+    init_singlephase_state,
+    singlephase_step,
+    singlephase_step_impl,
+)
+from lbm_ferrofluid_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from lbm_ferrofluid_tpu.utils.diagnostics import diagnostics
+
+
+def _make(params, res=(16, 16)):
+    flags = np.full((1, 1, *res), int(CellType.FLUID), np.uint8)
+    rho = np.full((1, 1, *res), 0.265, np.float32)
+    rng = np.random.default_rng(7)
+    vel = rng.uniform(-0.05, 0.05, (1, 2, *res)).astype(np.float32)
+    return init_singlephase_state(params, rho, vel, flags)
+
+
+def test_runner_scan_matches_eager():
+    params = SimulationParams(dim=2, tau=0.8)
+    a = _make(params)
+    for _ in range(7):
+        a = singlephase_step(params, a)
+
+    runner = SimulationRunner(params, singlephase_step_impl)
+    b = runner.run(_make(params), 7)
+    np.testing.assert_allclose(np.asarray(a.f), np.asarray(b.f), rtol=1e-6)
+    assert int(b.step) == 7
+
+
+def test_runner_io_hook():
+    params = SimulationParams(dim=2, tau=0.8)
+    runner = SimulationRunner(params, singlephase_step_impl)
+    seen = []
+    runner.run(_make(params), 10, io_interval=3, io_fn=lambda s: seen.append(int(s.step)))
+    assert seen == [3, 6, 9, 10]
+
+
+def test_benchmark_reports_mlups():
+    params = SimulationParams(dim=2, tau=0.8)
+    runner = SimulationRunner(params, singlephase_step_impl)
+    _, stats = runner.benchmark(_make(params), n_steps=4, warmup=1)
+    assert stats["mlups"] > 0
+    assert stats["sites"] == 16 * 16
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = SimulationParams(dim=2, tau=0.8)
+    state = _make(params)
+    for _ in range(3):
+        state = singlephase_step(params, state)
+
+    path = tmp_path / "ckpt.npz"
+    save_checkpoint(path, state)
+
+    template = _make(params)
+    restored = load_checkpoint(path, template)
+    np.testing.assert_array_equal(np.asarray(state.f), np.asarray(restored.f))
+    assert int(restored.step) == 3
+
+    # deterministic resume: stepping restored == stepping original
+    a = singlephase_step(params, state)
+    b = singlephase_step(params, restored)
+    np.testing.assert_array_equal(np.asarray(a.f), np.asarray(b.f))
+
+
+def test_diagnostics():
+    params = SimulationParams(dim=2, tau=0.8)
+    state = _make(params)
+    d = diagnostics(state.rho, state.vel)
+    assert bool(d["finite"])
+    np.testing.assert_allclose(float(d["mass"]), 0.265 * 256, rtol=1e-5)
+    assert float(d["max_speed"]) <= 0.05 * np.sqrt(2) + 1e-6
