@@ -1,0 +1,21 @@
+"""3D Rosensweig instability — the north-star demo
+(reference: demo_3d_LBM_Rosensweig_instability.py)."""
+from _driver import density_interior_frame, parse_args, run_demo
+from lbm_ferrofluid_tpu.models import ferrofluid_step_impl, scenes
+
+if __name__ == "__main__":
+    opt = parse_args((130, 66, 130), extra=[("mag_strength", 100.0, "Magnetic strength"),
+                                            ("gravity_strength", 1e-4, "Gravity")])
+    opt.total_steps = opt.total_steps if opt.total_steps != 1000 else 8000
+    params, state = scenes.rosensweig_3d(
+        tuple(opt.res), mag_strength=opt.mag_strength, gravity=opt.gravity_strength)
+    frame = density_interior_frame
+    try:  # rendered frames once the soft-rasterizer stack is available
+        from lbm_ferrofluid_tpu.render import render_phi_frame  # noqa: F401
+
+        def frame(state, filename):
+            render_phi_frame(state.phi, filename, state.phi.shape[2:], 1.0)
+    except ImportError:
+        pass
+    run_demo(f"3d_LBM_Rosensweig_mag{int(opt.mag_strength)}", params, state,
+             ferrofluid_step_impl, opt.total_steps, opt.io_interval, frame)

@@ -1,0 +1,9 @@
+"""3D droplet spread (reference: demo_3d_LBM_droplet_spread.py)."""
+from _driver import density_interior_frame, parse_args, run_demo
+from lbm_ferrofluid_tpu.models import hcz_step_impl, scenes
+
+if __name__ == "__main__":
+    opt = parse_args((130, 130, 130), extra=[("gravity_strength", 1e-5, "Gravity")])
+    params, state = scenes.droplet_spread_3d(tuple(opt.res), gravity=opt.gravity_strength)
+    run_demo("3d_LBM_droplet_spread", params, state, hcz_step_impl,
+             opt.total_steps, opt.io_interval, density_interior_frame)

@@ -1,0 +1,108 @@
+"""Differentiable rendering: SoftRas pipeline + isosurface extraction.
+
+TPU-native re-design of the reference render stack (renderutils/): the
+CUDA soft-rasterizer becomes a vectorized-JAX streaming-softmax rasterizer,
+PyMCubes becomes a vectorized marching-tetrahedra extractor.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from .camera import (
+    eye_from_angles,
+    look,
+    look_at,
+    perspective_distortion,
+    vertices_to_faces,
+)
+from .lighting import (
+    apply_ambient_light,
+    apply_directional_light,
+    compute_ambient_light,
+    compute_directional_light,
+)
+from . import dibr
+from .mesh import marching_cubes, marching_tetrahedra
+from .texture import load_textures
+from .voxelize import voxelize
+from .renderer import SoftRenderer
+from .softras import soft_rasterize
+
+__all__ = [
+    "SoftRenderer",
+    "soft_rasterize",
+    "look_at",
+    "look",
+    "perspective_distortion",
+    "vertices_to_faces",
+    "eye_from_angles",
+    "compute_ambient_light",
+    "compute_directional_light",
+    "apply_ambient_light",
+    "apply_directional_light",
+    "marching_cubes",
+    "marching_tetrahedra",
+    "dibr",
+    "load_textures",
+    "voxelize",
+    "phi_to_mesh",
+    "render_phi_frame",
+    "default_renderer",
+]
+
+
+def default_renderer(image_size: int = 256) -> SoftRenderer:
+    """The camera used by the reference 3D demos
+    (demo_3d_LBM_Rosensweig_instability.py:102-113)."""
+    eye = jnp.asarray([1.6, 0.8, 1.6])
+    direction = jnp.asarray([-1.0 / math.sqrt(2.0), 0.0, -1.0 / math.sqrt(2.0)])
+    return SoftRenderer(
+        image_size=image_size,
+        camera_mode="look_at",
+        eye=eye,
+        camera_direction=direction,
+        near=1.0,
+        bg_color=jnp.asarray([1.0, 1.0, 1.0]),
+    )
+
+
+def phi_to_mesh(phi, res, dx: float = 1.0):
+    """Order parameter -> normalized triangle mesh, as the reference's
+    save_rendered_image preamble (utils/io.py:50-64): pad interior with
+    phi.max to close the surface, extract the -phi isosurface at 0, map
+    vertices to [-1, 1]."""
+    phi = np.asarray(phi)
+    interior = phi[..., 1:-1, 1:-1, 1:-1]
+    pad = [(0, 0)] * (phi.ndim - 3) + [(1, 1)] * 3
+    closed = np.pad(interior, pad, constant_values=float(phi.max()))
+    volume = -closed[0, 0] * (2.0 / max(res) / dx)
+    verts, faces = marching_tetrahedra(volume, 0.0)
+    verts = (verts - np.asarray(res, np.float32) / 2.0) * (2.0 / max(res))
+    return verts, faces
+
+
+def render_phi_frame(phi, filename, res, dx: float = 1.0, renderer=None,
+                     gray: float = 0.68):
+    """save_rendered_image equivalent (utils/io.py:50-84): extract the
+    interface mesh from phi, render with constant-gray textures, write PNG.
+    Returns (verts, faces)."""
+    if renderer is None:
+        renderer = default_renderer()
+    verts, faces = phi_to_mesh(phi, res, dx)
+    if len(faces) == 0:
+        img = np.full((renderer.image_size, renderer.image_size, 3), 255, np.uint8)
+    else:
+        textures = jnp.full((1, faces.shape[0], 2, 3), gray, jnp.float32)
+        out = renderer.forward(
+            jnp.asarray(verts)[None], jnp.asarray(faces)[None], textures
+        )
+        img = np.asarray(out[0, :3]).transpose(1, 2, 0)
+        img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    from PIL import Image
+
+    Image.fromarray(img).save(filename)
+    return verts, faces

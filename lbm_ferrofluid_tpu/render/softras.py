@@ -1,0 +1,362 @@
+"""Differentiable soft rasterizer (SoftRas, Liu et al. ICCV'19) in pure JAX.
+
+TPU-native reimplementation of the reference CUDA kernels
+(renderutils/cuda/soft_rasterize_cuda_kernel.cu):
+
+* the per-face precompute (inverse barycentric matrix, F·Fᵀ metric, obtuse
+  flags; :236-295) becomes a vectorized einsum pass,
+* the per-pixel loop over ALL faces with streaming softmax-over-depth
+  (:298-472) becomes a ``lax.scan`` over face chunks carrying the running
+  (max, sum, color) accumulators per pixel — the identical associative
+  update, so results match the CUDA output,
+* gradients come from JAX AD through the whole thing instead of the
+  hand-written atomicAdd backward kernel (:477-651).
+
+Pixel convention matches the CUDA: pixel (row, col) maps to
+x = (2 col + 1 - S)/S, y = (2 (S-1-row) + 1 - S)/S, i.e. row 0 is y≈+1.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["soft_rasterize", "face_info"]
+
+
+def face_info(face_vertices):
+    """Per-face constants: (face_inv [B,F,3,3], face_sym [B,F,3,3],
+    face_obt [B,F,3]) (reference kernel :236-295)."""
+    p = face_vertices[..., :2]  # [B, F, 3, 2]
+    x0, y0 = p[..., 0, 0], p[..., 0, 1]
+    x1, y1 = p[..., 1, 0], p[..., 1, 1]
+    x2, y2 = p[..., 2, 0], p[..., 2, 1]
+
+    inv_star = jnp.stack(
+        [
+            jnp.stack([y1 - y2, x2 - x1, x1 * y2 - x2 * y1], -1),
+            jnp.stack([y2 - y0, x0 - x2, x2 * y0 - x0 * y2], -1),
+            jnp.stack([y0 - y1, x1 - x0, x0 * y1 - x1 * y0], -1),
+        ],
+        axis=-2,
+    )  # [B, F, 3, 3]
+    det = x2 * (y0 - y1) + x0 * (y1 - y2) + x1 * (y2 - y0)
+    det = jnp.where(det > 0, jnp.maximum(det, 1e-10), jnp.minimum(det, -1e-10))
+    face_inv = inv_star / det[..., None, None]
+
+    face_sym = jnp.einsum("bfid,bfjd->bfij", p, p) + 1.0  # [B, F, 3, 3]
+
+    # obtuse-angle flag per vertex; the CUDA breaks at the first obtuse
+    # corner, but a triangle has at most one, so the flags coincide
+    obt = []
+    for k in range(3):
+        k1 = (k + 1) % 3
+        k2 = (k + 2) % 3
+        d = jnp.sum((p[..., k1, :] - p[..., k, :]) * (p[..., k2, :] - p[..., k, :]), -1)
+        obt.append(d < 0)
+    face_obt = jnp.stack(obt, axis=-1)
+    return face_inv, face_sym, face_obt
+
+
+def _euclidean_p2f(w, face_xy, face_sym, face_obt, xp, yp):
+    """Signed squared euclidean point-to-triangle distance in screen space.
+
+    Vectorized translation of euclidean_p2f_distance
+    (soft_rasterize_cuda_kernel.cu:76-165).  Shapes: w [..., 3],
+    face_xy [..., 3, 2], face_sym [..., 3, 3], face_obt [..., 3],
+    xp/yp [...]. Returns (sign, dis) with dis = |closest displacement|^2.
+    """
+    inside = jnp.all((w > 0) & (w < 1), axis=-1)
+
+    fx = face_xy[..., 0]  # [..., 3]
+    fy = face_xy[..., 1]
+
+    def edge_t(v0, clamp):
+        v1 = (v0 + 1) % 3
+        v2 = (v0 + 2) % 3
+        a0 = face_sym[..., v0, :] - face_sym[..., v1, :]  # [..., 3]
+        t_v0 = (jnp.sum(w * a0, -1) - a0[..., v1]) / (a0[..., v0] - a0[..., v1])
+        t = [None, None, None]
+        t[v0] = t_v0
+        t[v1] = 1.0 - t_v0
+        t[v2] = jnp.zeros_like(t_v0)
+        t = jnp.stack([t[0], t[1], t[2]], axis=-1)
+        if clamp:
+            t = jnp.clip(t, 0.0, 1.0)
+        t = t - w
+        dx = jnp.sum(t * fx, -1)
+        dy = jnp.sum(t * fy, -1)
+        return dx * dx + dy * dy
+
+    # inside: min over the three unclamped edge-line distances
+    din = jnp.minimum(jnp.minimum(edge_t(0, False), edge_t(1, False)), edge_t(2, False))
+
+    # outside: select the region vertex v0 (with obtuse correction), clamped
+    w0, w1, w2 = w[..., 0], w[..., 1], w[..., 2]
+
+    def corner_adjust(v0, vn):
+        # if angle at v0 is obtuse and p projects past the v0->vn edge, use vn
+        d = (xp - fx[..., v0]) * (fx[..., vn] - fx[..., v0]) + (
+            yp - fy[..., v0]
+        ) * (fy[..., vn] - fy[..., v0])
+        return face_obt[..., v0] & (d > 0)
+
+    # region decision tree (kernel :127-140)
+    v0 = jnp.full(w0.shape, -1, jnp.int32)
+    c0 = (w1 <= 0) & (w2 <= 0)
+    c1 = (w2 <= 0) & (w0 <= 0)
+    c2 = (w0 <= 0) & (w1 <= 0)
+    v0 = jnp.where(c0, jnp.where(corner_adjust(0, 2), 2, 0), v0)
+    v0 = jnp.where(~c0 & c1, jnp.where(corner_adjust(1, 0), 0, 1), v0)
+    v0 = jnp.where(~c0 & ~c1 & c2, jnp.where(corner_adjust(2, 1), 1, 2), v0)
+    rest = ~c0 & ~c1 & ~c2
+    v0 = jnp.where(rest & (w0 <= 0), 1, v0)
+    v0 = jnp.where(rest & (w0 > 0) & (w1 <= 0), 2, v0)
+    v0 = jnp.where(rest & (w0 > 0) & (w1 > 0) & (w2 <= 0), 0, v0)
+
+    douts = jnp.stack([edge_t(0, True), edge_t(1, True), edge_t(2, True)], axis=-1)
+    dout = jnp.take_along_axis(douts, jnp.maximum(v0, 0)[..., None], axis=-1)[..., 0]
+
+    sign = jnp.where(inside, 1.0, -1.0)
+    dis = jnp.where(inside, din, dout)
+    return sign, dis
+
+
+def _sample_texture(textures, w_clip, texture_res, texture_type):
+    """forward_sample_texture (kernel :195-214): textures [..., T, 3]."""
+    if texture_type == "vertex":
+        return jnp.einsum("...k,...kc->...c", w_clip, textures[..., :3, :])
+    R = texture_res
+    wx = jnp.clip((w_clip[..., 0] * R).astype(jnp.int32), 0, R - 1)
+    wy = jnp.clip((w_clip[..., 1] * R).astype(jnp.int32), 0, R - 1)
+    lower = (w_clip[..., 0] + w_clip[..., 1]) * R - wx - wy <= 1
+    idx = jnp.where(lower, wy * R + wx, (R - 1 - wy) * R + (R - 1 - wx))
+    T = textures.shape[-2]
+    idx = jnp.clip(idx, 0, T - 1)
+    onehot = jax.nn.one_hot(idx, T, dtype=textures.dtype)
+    return jnp.einsum("...t,...tc->...c", onehot, textures)
+
+
+def soft_rasterize(
+    face_vertices,
+    textures,
+    image_size: int = 256,
+    background_color=None,
+    near: float = 1.0,
+    far: float = 100.0,
+    fill_back: bool = True,
+    eps: float = 1e-3,
+    sigma_val: float = 1e-5,
+    dist_func: str = "euclidean",
+    dist_eps: float = 1e-4,
+    gamma_val: float = 1e-4,
+    aggr_func_rgb: str = "softmax",
+    aggr_func_alpha: str = "prod",
+    texture_type: str = "surface",
+    face_chunk: int = 64,
+):
+    """Rasterize triangles to an RGBA image ``[B, 4, S, S]``.
+
+    Same signature and semantics as the reference wrapper
+    (renderutils/soft_rasterize.py:194-233) with ``fill_back`` realized as
+    double-sided shading (the CUDA ``double_side`` flag).
+    """
+    if background_color is None:
+        background_color = [0.0, 0.0, 0.0]
+    dtype = face_vertices.dtype
+    B, F = face_vertices.shape[:2]
+    S = image_size
+    T = textures.shape[-2]
+    texture_res = int(math.sqrt(T))
+
+    # threshold uses the transformed dist_eps (soft_rasterize.py:71)
+    thr = sigma_val * math.log(1.0 / dist_eps - 1.0)
+
+    face_inv, face_sym, face_obt = face_info(face_vertices)
+
+    # pixel grid (kernel :332-336)
+    rows = jnp.arange(S)
+    cols = jnp.arange(S)
+    yi = (S - 1 - rows).astype(dtype)
+    yp = (2.0 * yi + 1.0 - S) / S  # [S]
+    xp = (2.0 * cols.astype(dtype) + 1.0 - S) / S  # [S]
+    XP = jnp.broadcast_to(xp[None, :], (S, S))
+    YP = jnp.broadcast_to(yp[:, None], (S, S))
+
+    # pad faces up to a chunk multiple with degenerate far-away faces
+    n_chunks = -(-F // face_chunk)
+    Fp = n_chunks * face_chunk
+
+    def pad(x, fill=0.0):
+        padw = [(0, 0), (0, Fp - F)] + [(0, 0)] * (x.ndim - 2)
+        return jnp.pad(x, padw, constant_values=fill)
+
+    fv = pad(face_vertices)
+    tex = pad(textures)
+    finv = pad(face_inv)
+    fsym = pad(face_sym)
+    fobt = pad(face_obt, fill=False)
+    valid_face = jnp.pad(
+        jnp.ones((B, F), bool), [(0, 0), (0, Fp - F)], constant_values=False
+    )
+
+    # reshape into chunks: [n_chunks, B, C, ...]
+    def chunked(x):
+        return x.reshape(B, n_chunks, face_chunk, *x.shape[2:]).swapaxes(0, 1)
+
+    fv_c, tex_c, finv_c, fsym_c, fobt_c, vmask_c = map(
+        chunked, (fv, tex, finv, fsym, fobt, valid_face)
+    )
+
+    bg = jnp.asarray(background_color, dtype)
+
+    # carries, per pixel
+    init_max = jnp.full((B, S, S), eps, dtype)
+    init_sum = jnp.full((B, S, S), math.exp(eps / gamma_val), dtype)
+    init_color = jnp.broadcast_to(
+        bg[None, :, None, None] * init_sum[:, None], (B, 3, S, S)
+    )
+    if aggr_func_alpha == "prod":
+        init_alpha = jnp.ones((B, S, S), dtype)
+    else:
+        init_alpha = jnp.zeros((B, S, S), dtype)
+    init_depth = jnp.full((B, S, S), 1e7, dtype)
+    init_hard = jnp.broadcast_to(bg[None, :, None, None], (B, 3, S, S)).astype(dtype)
+
+    def chunk_step(carry, blk):
+        smax, ssum, scolor, alpha, dmin, hard_color = carry
+        fvb, texb, finvb, fsymb, fobtb, vmaskb = blk
+        # fvb [B,C,3,3]; compute per (B, C, S, S)
+        x = XP[None, None]  # [1,1,S,S]
+        y = YP[None, None]
+
+        # barycentrics: w_k = finv[k,0] x + finv[k,1] y + finv[k,2]
+        w = (
+            finvb[..., 0][..., None, None] * x
+            + finvb[..., 1][..., None, None] * y
+            + finvb[..., 2][..., None, None]
+        )  # [B,C,3,S,S]
+        w = jnp.moveaxis(w, 2, -1)  # [B,C,S,S,3]
+
+        fxy = fvb[..., :2]  # [B,C,3,2]
+        # border check (kernel :47-53)
+        margin = math.sqrt(max(thr, 0.0))
+        fx = fxy[..., 0][..., None, None, :]  # [B,C,1,1,3]
+        fy = fxy[..., 1][..., None, None, :]
+        xb = x[..., None]
+        yb = y[..., None]
+        outside_border = (
+            (xb > jnp.max(fx, -1, keepdims=True) + margin)
+            | (xb < jnp.min(fx, -1, keepdims=True) - margin)
+            | (yb > jnp.max(fy, -1, keepdims=True) + margin)
+            | (yb < jnp.min(fy, -1, keepdims=True) - margin)
+        )[..., 0]
+
+        if dist_func == "hard":
+            inside = jnp.all((w >= 0) & (w <= 1), axis=-1)
+            frag = inside.astype(dtype)
+            include = inside
+        elif dist_func == "barycentric":
+            wmin = jnp.min(w, axis=-1)
+            dis = jnp.where(wmin > 0, wmin * wmin, -(wmin * wmin))
+            include = -dis < thr
+            frag = jax.nn.sigmoid(dis / sigma_val)
+        else:  # euclidean
+            sign, dis = _euclidean_p2f(
+                w,
+                fxy[:, :, None, None],
+                fsymb[:, :, None, None],
+                fobtb[:, :, None, None],
+                x,
+                y,
+            )
+            # NaN-rejecting form of ~((sign < 0) & (dis >= thr)): degenerate
+            # (near-zero-area) faces can yield NaN distances, which must be
+            # excluded rather than silently included
+            include = (sign > 0) | (dis < thr)
+            frag = jax.nn.sigmoid(sign * dis / sigma_val)
+            frag = jnp.where(jnp.isfinite(frag), frag, 0.0)
+
+        include = include & ~outside_border & vmaskb[..., None, None]
+        frag = jnp.where(include, frag, 0.0)
+
+        # alpha aggregation (before the z clip, as in the kernel :398-408)
+        if aggr_func_alpha == "prod":
+            alpha = alpha * jnp.prod(
+                jnp.where(include, 1.0 - frag, 1.0), axis=1
+            )
+        elif aggr_func_alpha == "sum":
+            alpha = alpha + jnp.sum(jnp.where(include, frag, 0.0), axis=1)
+        else:  # hard
+            alpha = jnp.maximum(alpha, jnp.max(frag > 0.5, axis=1).astype(dtype))
+
+        # clipped barycentrics and depth (kernel :411-414)
+        w_clip = jnp.clip(w, 0.0, 1.0)
+        w_clip = w_clip / jnp.maximum(jnp.sum(w_clip, -1, keepdims=True), 1e-5)
+        fz = fvb[..., 2][:, :, None, None, :]  # [B,C,1,1,3]
+        zp = 1.0 / jnp.sum(w_clip / fz, axis=-1)
+        z_ok = (zp >= near) & (zp <= far)
+
+        # backface (kernel :57-59): (y2-y0)(x1-x0) < (y1-y0)(x2-x0)
+        front = (fvb[..., 2, 1] - fvb[..., 0, 1]) * (
+            fvb[..., 1, 0] - fvb[..., 0, 0]
+        ) < (fvb[..., 1, 1] - fvb[..., 0, 1]) * (fvb[..., 2, 0] - fvb[..., 0, 0])
+        face_ok = front[..., None, None] | fill_back
+
+        color = _sample_texture(
+            texb[:, :, None, None], w_clip, texture_res, texture_type
+        )  # [B,C,S,S,3]
+
+        if aggr_func_rgb == "softmax":
+            rgb_inc = include & z_ok & face_ok
+            zp_norm = (far - zp) / (far - near)
+            zp_n = jnp.where(rgb_inc, zp_norm, -jnp.inf)
+            blk_max = jnp.max(zp_n, axis=1)  # [B,S,S]
+            new_max = jnp.maximum(smax, blk_max)
+            scale = jnp.exp((smax - new_max) / gamma_val)
+            expz = jnp.where(
+                rgb_inc, jnp.exp((zp_n - new_max[:, None]) / gamma_val) * frag, 0.0
+            )
+            ssum = scale * ssum + jnp.sum(expz, axis=1)
+            scolor = scale[:, None] * scolor + jnp.moveaxis(
+                jnp.sum(expz[..., None] * color, axis=1), -1, 1
+            )
+            smax = new_max
+        else:  # hard rgb: nearest-depth face wins
+            inside = jnp.all((w >= 0) & (w <= 1), axis=-1)
+            rgb_inc = include & z_ok & face_ok & inside
+            zp_masked = jnp.where(rgb_inc, zp, jnp.inf)
+            blk_arg = jnp.argmin(zp_masked, axis=1)  # [B,S,S]
+            blk_min = jnp.min(zp_masked, axis=1)
+            blk_color = jnp.take_along_axis(
+                color, blk_arg[:, None, ..., None], axis=1
+            )[:, 0]  # [B,S,S,3]
+            better = blk_min < dmin
+            dmin = jnp.where(better, blk_min, dmin)
+            hard_color = jnp.where(
+                better[:, None], jnp.moveaxis(blk_color, -1, 1), hard_color
+            )
+
+        return (smax, ssum, scolor, alpha, dmin, hard_color), None
+
+    carry = (init_max, init_sum, init_color, init_alpha, init_depth, init_hard)
+    (smax, ssum, scolor, alpha, dmin, hard_color), _ = jax.lax.scan(
+        chunk_step, carry, (fv_c, tex_c, finv_c, fsym_c, fobt_c, vmask_c)
+    )
+
+    if aggr_func_rgb == "softmax":
+        rgb = scolor / ssum[:, None]
+    else:
+        rgb = hard_color
+
+    if aggr_func_alpha == "prod":
+        alpha_out = 1.0 - alpha
+    elif aggr_func_alpha == "sum":
+        alpha_out = alpha / F
+    else:
+        alpha_out = alpha
+
+    return jnp.concatenate([rgb, alpha_out[:, None]], axis=1)

@@ -1,0 +1,58 @@
+"""Pallas Poisson kernel vs the jnp reference path (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lbm_ferrofluid_tpu import CellType, D3Q19
+from lbm_ferrofluid_tpu.ops import bounce_back, heq, stream
+from lbm_ferrofluid_tpu.ops.pallas.poisson import poisson_supported, poisson_sweeps
+
+
+def _reference_sweeps(h, flags, rhs_scaled, tau, n_iters):
+    lat = D3Q19
+    w = jnp.asarray(lat.w_bcast(np.float64), dtype=h.dtype)
+    w0 = float(lat.weights[0])
+    add_h = w * rhs_scaled
+    is_obs = flags == int(CellType.OBSTACLE)
+    psi = jnp.zeros_like(rhs_scaled)
+    for _ in range(n_iters):
+        h = stream(lat, h)
+        h = bounce_back(lat, h, flags)
+        psi = jnp.sum(h[:, 1:], axis=1, keepdims=True) / (1.0 - w0)
+        heq_val = heq(lat, psi)
+        coll = (1.0 - 1.0 / tau) * h + heq_val / tau + add_h
+        h = jnp.where(is_obs, h, coll)
+    return h, psi
+
+
+def test_poisson_supported():
+    assert poisson_supported(D3Q19, (1, 19, 16, 8, 128))
+    assert not poisson_supported(D3Q19, (2, 19, 16, 8, 128))  # batch
+    assert not poisson_supported(D3Q19, (1, 19, 16, 8, 130))  # lanes
+    assert not poisson_supported(D3Q19, (1, 19, 16, 9, 128))  # sublanes
+
+
+@pytest.mark.parametrize("n_iters", [1, 4])
+def test_poisson_kernel_matches_reference(n_iters):
+    Z, Y, X = 6, 8, 128
+    rng = np.random.default_rng(3)
+    h = jnp.asarray(rng.uniform(0.0, 1.0, (1, 19, Z, Y, X)), jnp.float32)
+    flags = np.full((1, 1, Z, Y, X), int(CellType.OBSTACLE), np.uint8)
+    flags[..., 1:-1, :, 1:-1] = int(CellType.FLUID)
+    flags = jnp.asarray(flags)
+    rhs = jnp.asarray(rng.uniform(-1e-3, 1e-3, (1, 1, Z, Y, X)), jnp.float32)
+    tau = 1.0
+
+    h_ref, psi_ref = _reference_sweeps(h, flags, rhs, tau, n_iters)
+    h_ker, psi_ker = poisson_sweeps(
+        h, flags, rhs, tau=tau, n_iters=n_iters, interpret=True
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(h_ker), np.asarray(h_ref), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(psi_ker), np.asarray(psi_ref), rtol=1e-5, atol=1e-6
+    )

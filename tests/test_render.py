@@ -1,0 +1,180 @@
+"""Render stack tests: camera math, lighting, rasterizer, mesh extraction."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbm_ferrofluid_tpu.render import (
+    compute_ambient_light,
+    compute_directional_light,
+    default_renderer,
+    look_at,
+    marching_tetrahedra,
+    perspective_distortion,
+    phi_to_mesh,
+    soft_rasterize,
+    vertices_to_faces,
+)
+
+TRI = jnp.asarray(
+    [[[[-0.5, -0.5, 2.0], [0.5, -0.5, 2.0], [0.0, 0.5, 2.0]]]], jnp.float32
+)  # one face [1,1,3,3] in screen space, z=2
+TEX = jnp.full((1, 1, 2, 3), 0.7, jnp.float32)
+
+
+class TestCamera:
+    def test_look_at_on_axis(self):
+        # camera at (0,0,-3) looking at origin: point at origin -> (0,0,3)
+        v = jnp.zeros((1, 1, 3))
+        out = look_at(v, jnp.asarray([0.0, 0.0, -3.0]))
+        np.testing.assert_allclose(np.asarray(out)[0, 0], [0, 0, 3], atol=1e-6)
+
+    def test_look_at_preserves_distances(self):
+        rng = np.random.default_rng(0)
+        v = jnp.asarray(rng.normal(size=(1, 10, 3)), jnp.float32)
+        out = look_at(v, jnp.asarray([1.6, 0.8, 1.6]))
+        d_in = np.linalg.norm(np.asarray(v[0, :1] - v[0, 1:]), axis=-1)
+        d_out = np.linalg.norm(np.asarray(out[0, :1] - out[0, 1:]), axis=-1)
+        np.testing.assert_allclose(d_in, d_out, rtol=1e-5)
+
+    def test_perspective_distortion(self):
+        v = jnp.asarray([[[1.0, 2.0, 4.0]]])
+        out = np.asarray(perspective_distortion(v, angle=45.0))
+        np.testing.assert_allclose(out[0, 0], [0.25, 0.5, 4.0], rtol=1e-5)
+
+    def test_vertices_to_faces(self):
+        verts = jnp.arange(12, dtype=jnp.float32).reshape(1, 4, 3)
+        faces = jnp.asarray([[[0, 2, 1], [3, 0, 2]]])
+        fv = np.asarray(vertices_to_faces(verts, faces))
+        np.testing.assert_array_equal(fv[0, 0, 0], [0, 1, 2])
+        np.testing.assert_array_equal(fv[0, 0, 1], [6, 7, 8])
+        np.testing.assert_array_equal(fv[0, 1, 0], [9, 10, 11])
+
+
+class TestLighting:
+    def test_ambient(self):
+        fv = jnp.zeros((1, 5, 3, 3))
+        light = np.asarray(compute_ambient_light(fv, None, 0.5))
+        assert light.shape == (1, 5, 1, 3)
+        np.testing.assert_allclose(light, 0.5)
+
+    def test_directional_face_on(self):
+        # normal = cross(v2-v1, v0-v1) = cross((-1,1,0), (-1,0,0)) = (0,0,1)
+        fv = jnp.asarray([[[[0, 0, 0], [1, 0, 0], [0, 1, 0]]]], jnp.float32)
+        light = np.asarray(
+            compute_directional_light(fv, None, 1.0, direction=jnp.asarray([0.0, 0.0, 1.0]))
+        )
+        np.testing.assert_allclose(light, 1.0, atol=1e-6)
+        light2 = np.asarray(
+            compute_directional_light(fv, None, 1.0, direction=jnp.asarray([0.0, 0.0, -1.0]))
+        )
+        # relu clips the backlit face to zero
+        np.testing.assert_allclose(light2, 0.0, atol=1e-7)
+
+
+class TestRasterizer:
+    def test_hard_coverage(self):
+        img = np.asarray(
+            soft_rasterize(TRI, TEX, image_size=32, dist_func="hard",
+                           aggr_func_rgb="hard", aggr_func_alpha="hard")
+        )
+        assert img.shape == (1, 4, 32, 32)
+        np.testing.assert_allclose(img[0, :3, 16, 16], 0.7, atol=1e-6)  # inside
+        np.testing.assert_allclose(img[0, :3, 0, 0], 0.0, atol=1e-6)  # bg
+        assert img[0, 3, 16, 16] == 1.0 and img[0, 3, 0, 0] == 0.0
+
+    def test_soft_matches_sigmoid_coverage(self):
+        sigma = 1e-4
+        img = np.asarray(
+            soft_rasterize(TRI, TEX, image_size=32, sigma_val=sigma,
+                           background_color=[1.0, 1.0, 1.0])
+        )
+        # deep inside: alpha ~ 1, color ~ texture
+        assert img[0, 3, 16, 16] > 0.99
+        np.testing.assert_allclose(img[0, :3, 16, 16], 0.7, atol=1e-2)
+        # far outside: alpha ~ 0, color ~ bg
+        assert img[0, 3, 0, 0] < 1e-3
+        np.testing.assert_allclose(img[0, :3, 0, 0], 1.0, atol=1e-3)
+
+    def test_alpha_at_edge_is_half(self):
+        # a pixel exactly on an edge has d=0 -> sigmoid(0) = 0.5 coverage.
+        # pixel center at row 31 of S=64 has yp = (2*(S-1-31)+1-S)/S = 1/S;
+        # put the top edge of the triangle exactly there.
+        S = 64
+        y_edge = 1.0 / S
+        # top edge runs from (-0.9, y_edge) to (0.9, y_edge)
+        tri = jnp.asarray(
+            [[[[-0.9, y_edge, 2.0], [0.9, y_edge, 2.0], [0.0, -0.9, 2.0]]]],
+            jnp.float32,
+        )
+        img = np.asarray(
+            soft_rasterize(tri, TEX, image_size=S, sigma_val=1e-5,
+                           aggr_func_alpha="sum")
+        )
+        edge_alpha = float(img[0, 3, 31, 32])  # F=1 so sum == fragment
+        assert 0.45 < edge_alpha < 0.55
+
+    def test_differentiable(self):
+        def loss(fv):
+            img = soft_rasterize(fv, TEX, image_size=16, sigma_val=1e-3)
+            return jnp.sum(img[0, 3])
+
+        g = jax.grad(loss)(TRI)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0  # coverage responds to vertices
+
+
+class TestMesh:
+    def test_sphere_watertight_and_radius(self):
+        n, r = 24, 8.0
+        c = (n - 1) / 2
+        i, j, k = np.mgrid[0:n, 0:n, 0:n]
+        vol = np.sqrt((i - c) ** 2 + (j - c) ** 2 + (k - c) ** 2) - r
+        verts, faces = marching_tetrahedra(vol, 0.0)
+        assert len(faces) > 100
+        d = np.linalg.norm(verts - c, axis=1)
+        assert d.min() > r - 0.8 and d.max() < r + 0.8
+        edges = np.sort(
+            np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]),
+            axis=1,
+        )
+        _, counts = np.unique(edges, axis=0, return_counts=True)
+        assert (counts == 2).all(), "surface not watertight"
+
+    def test_empty_volume(self):
+        verts, faces = marching_tetrahedra(np.ones((8, 8, 8)), 0.0)
+        assert len(verts) == 0 and len(faces) == 0
+
+    def test_phi_to_mesh_normalized(self):
+        n = 16
+        c = n / 2
+        i, j, k = np.mgrid[0:n, 0:n, 0:n]
+        dist = np.sqrt((i - c) ** 2 + (j - c) ** 2 + (k - c) ** 2)
+        phi = np.tanh((dist - 5.0) / 2.0)[None, None].astype(np.float32)
+        verts, faces = phi_to_mesh(phi, (n, n, n), 1.0)
+        assert len(faces) > 0
+        assert np.abs(verts).max() <= 1.0 + 1e-5
+
+
+def test_end_to_end_sphere_render(tmp_path):
+    from lbm_ferrofluid_tpu.render import render_phi_frame
+
+    n = 16
+    c = n / 2
+    i, j, k = np.mgrid[0:n, 0:n, 0:n]
+    dist = np.sqrt((i - c) ** 2 + (j - c) ** 2 + (k - c) ** 2)
+    phi = np.tanh((dist - 5.0) / 2.0)[None, None].astype(np.float32)
+    renderer = default_renderer(image_size=32)
+    out = tmp_path / "sphere.png"
+    verts, faces = render_phi_frame(phi, str(out), (n, n, n), 1.0, renderer=renderer)
+    from PIL import Image
+
+    img = np.asarray(Image.open(out))
+    assert img.shape == (32, 32, 3)
+    assert np.isfinite(img).all()
+    # object darker than the white background somewhere near the center
+    assert img[12:20, 12:20].min() < 200
+    assert img[0, 0].min() >= 250

@@ -1,0 +1,38 @@
+"""Every demo scene builds and steps without NaNs at tiny resolution."""
+
+import jax.numpy as jnp
+import pytest
+
+from lbm_ferrofluid_tpu.models import (
+    ferrofluid_step,
+    hcz_step,
+    sc_step,
+    scenes,
+    singlephase_step,
+)
+
+CASES = [
+    ("shear_layer", lambda: scenes.shear_layer((24, 24)), singlephase_step),
+    ("shear_layer_kbc", lambda: scenes.shear_layer((24, 24), kbc=True), singlephase_step),
+    ("sc", lambda: scenes.multiphase_drop_sc((24, 24)), sc_step),
+    ("hcz", lambda: scenes.multiphase_drop_hcz((24, 24)), hcz_step),
+    ("wave", lambda: scenes.wave((24, 24)), hcz_step),
+    ("droplet_spread_2d", lambda: scenes.droplet_spread_2d((24, 24)), hcz_step),
+    ("two_droplets_2d", lambda: scenes.two_droplets_2d((16, 48)), ferrofluid_step),
+    ("rosensweig_2d", lambda: scenes.rosensweig_2d((24, 24)), ferrofluid_step),
+    ("multiphase_3d", lambda: scenes.multiphase_3d((12, 12, 12)), hcz_step),
+    ("droplet_spread_3d", lambda: scenes.droplet_spread_3d((12, 12, 12)), hcz_step),
+    ("two_droplets_3d", lambda: scenes.two_droplets_3d((10, 10, 24)), ferrofluid_step),
+    ("rosensweig_3d", lambda: scenes.rosensweig_3d((12, 10, 12)), ferrofluid_step),
+]
+
+
+@pytest.mark.parametrize("name,build,step", CASES, ids=[c[0] for c in CASES])
+def test_scene_steps_finite(name, build, step):
+    params, state = build()
+    params = params.replace(poisson_iters=min(params.poisson_iters, 3))
+    for _ in range(2):
+        state = step(params, state)
+    assert bool(jnp.isfinite(state.f).all()), f"{name}: non-finite f"
+    assert bool(jnp.isfinite(state.vel).all()), f"{name}: non-finite vel"
+    assert int(state.step) == 2
