@@ -17,5 +17,12 @@ if __name__ == "__main__":
             render_phi_frame(state.phi, filename, state.phi.shape[2:], 1.0)
     except ImportError:
         pass
-    run_demo(f"3d_LBM_Rosensweig_mag{int(opt.mag_strength)}", params, state,
-             ferrofluid_step_impl, opt.total_steps, opt.io_interval, frame)
+    state = run_demo(f"3d_LBM_Rosensweig_mag{int(opt.mag_strength)}", params, state,
+                     ferrofluid_step_impl, opt.total_steps, opt.io_interval, frame)
+    # final mesh export, as the reference (demo_3d_LBM_Rosensweig_instability.py:221-232)
+    from lbm_ferrofluid_tpu.render import phi_to_mesh
+    from lbm_ferrofluid_tpu.utils.io import export_obj
+
+    verts, faces = phi_to_mesh(state.phi, state.phi.shape[2:], opt.dx)
+    export_obj("Rosensweig_instability.obj", verts, faces)
+    print(f"exported Rosensweig_instability.obj ({len(faces)} faces)")
