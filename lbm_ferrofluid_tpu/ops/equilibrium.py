@@ -108,10 +108,16 @@ def gamma_quadratic(
     cs2 = c * c / 3.0
     dtype = vel.dtype
     w = jnp.asarray(lat.w_bcast(np.float64), dtype=dtype)
-    e = jnp.asarray(lat.e_bcast(np.float64), dtype=dtype)  # [1, Q, dim, 1..]
 
     uv = jnp.sum(vel * vel, axis=1, keepdims=True)  # [B, 1, *res]
-    eu = jnp.sum(vel[:, None] * e * c, axis=2)  # [B, Q, *res]
+    # accumulate e.u per dimension to avoid a [B, Q, dim, *res] intermediate
+    eu = jnp.zeros_like(w * uv)
+    for d in range(lat.dim):
+        ed = jnp.asarray(
+            lat.e[:, d].reshape(1, lat.q, *([1] * lat.dim)).astype(np.float64),
+            dtype=dtype,
+        )
+        eu = eu + vel[:, d : d + 1] * ed * c
     return w * (1.0 + eu / cs2 + 0.5 * eu * eu / (cs2 * cs2) - 0.5 * uv / cs2)
 
 

@@ -39,13 +39,20 @@ def macro_moments(
         (rho_new, vel_new)
     """
     c = dx / dt
-    e = jnp.asarray(lat.e_bcast(np.float64), dtype=f.dtype)  # [1, Q, dim, 1..]
 
     macro_rho = jnp.sum(f, axis=1, keepdims=True)  # [B, 1, *res]
     is_obs = flags == int(CellType.OBSTACLE)
     rho_new = jnp.where(is_obs, rho, macro_rho)
 
-    macro_vel = jnp.sum(f[:, :, None] * e, axis=1) * (c / rho_new)  # [B, dim, *res]
+    # first moment per dimension (no [B, Q, dim, *res] intermediate)
+    moments = []
+    for d in range(lat.dim):
+        ed = jnp.asarray(
+            lat.e[:, d].reshape(1, lat.q, *([1] * lat.dim)).astype(np.float64),
+            dtype=f.dtype,
+        )
+        moments.append(jnp.sum(f * ed, axis=1, keepdims=True))
+    macro_vel = jnp.concatenate(moments, axis=1) * (c / rho_new)  # [B, dim, *res]
     vel_new = jnp.where(is_obs, vel, macro_vel)
     return rho_new, vel_new
 

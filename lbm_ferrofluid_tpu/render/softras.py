@@ -117,8 +117,11 @@ def _euclidean_p2f(w, face_xy, face_sym, face_obt, xp, yp):
     v0 = jnp.where(rest & (w0 > 0) & (w1 <= 0), 2, v0)
     v0 = jnp.where(rest & (w0 > 0) & (w1 > 0) & (w2 <= 0), 0, v0)
 
-    douts = jnp.stack([edge_t(0, True), edge_t(1, True), edge_t(2, True)], axis=-1)
-    dout = jnp.take_along_axis(douts, jnp.maximum(v0, 0)[..., None], axis=-1)[..., 0]
+    # select-chain instead of a gather (TPU-friendlier for huge pixel grids)
+    d0 = edge_t(0, True)
+    d1 = edge_t(1, True)
+    d2 = edge_t(2, True)
+    dout = jnp.where(v0 == 0, d0, jnp.where(v0 == 1, d1, d2))
 
     sign = jnp.where(inside, 1.0, -1.0)
     dis = jnp.where(inside, din, dout)
@@ -136,8 +139,11 @@ def _sample_texture(textures, w_clip, texture_res, texture_type):
     idx = jnp.where(lower, wy * R + wx, (R - 1 - wy) * R + (R - 1 - wx))
     T = textures.shape[-2]
     idx = jnp.clip(idx, 0, T - 1)
-    onehot = jax.nn.one_hot(idx, T, dtype=textures.dtype)
-    return jnp.einsum("...t,...tc->...c", onehot, textures)
+    # select-chain over the (small) texel axis instead of a one-hot gather
+    out = jnp.zeros(idx.shape + (3,), textures.dtype)
+    for t in range(T):
+        out = jnp.where((idx == t)[..., None], textures[..., t, :], out)
+    return out
 
 
 def soft_rasterize(
@@ -174,6 +180,9 @@ def soft_rasterize(
 
     # threshold uses the transformed dist_eps (soft_rasterize.py:71)
     thr = sigma_val * math.log(1.0 / dist_eps - 1.0)
+
+    # cap per-chunk transient size: [B, chunk, S, S] intermediates
+    face_chunk = max(8, min(face_chunk, (1 << 22) // max(S * S, 1)))
 
     face_inv, face_sym, face_obt = face_info(face_vertices)
 
