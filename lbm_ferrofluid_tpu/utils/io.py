@@ -61,9 +61,21 @@ def export_obj(save_path: str, vertices, faces) -> None:
 
 
 def dump_2d_plt(filename: str, density, uv, batch: int = 0) -> None:
-    """Tecplot ASCII dump, matching io.py:107-121 field-for-field."""
+    """Tecplot ASCII dump, matching io.py:107-121 field-for-field.
+
+    Uses the native writer when built (tools/build_native.sh)."""
     density = np.asarray(density)
     uv = np.asarray(uv)
+    try:
+        from ..native import available, dump_2d_plt_native
+
+        if available():
+            dump_2d_plt_native(
+                filename, density[batch, 0], uv[batch, 0], uv[batch, 1]
+            )
+            return
+    except Exception:
+        pass
     H, W = density.shape[-2:]
     with open(filename, "w") as fo:
         fo.write('TITLE ="Magnetic internal force"\n')
@@ -88,6 +100,17 @@ def dump_3d_plt(filename: str, density, u, v, w, batch: int = 0, chan: int = 0) 
     u = 0.5 * (u[..., 1:] + u[..., :-1])
     v = 0.5 * (v[..., 1:, :] + v[..., :-1, :])
     w = 0.5 * (w[..., 1:, :, :] + w[..., :-1, :, :])
+    try:
+        from ..native import available, dump_3d_plt_native
+
+        if available():
+            dump_3d_plt_native(
+                filename, density[batch, chan], u[batch, chan],
+                v[batch, chan], w[batch, chan],
+            )
+            return
+    except Exception:
+        pass
     with open(filename, "w") as fo:
         fo.write('TITLE ="Magnetic internal force"\n')
         fo.write('VARIABLES = "X" "Y" "Z" "RHO" "U" "V" "W" \n')
