@@ -32,7 +32,9 @@ from ..ops import (
     solve_H_int,
     staggered,
     stream,
+    stream_bounce_moments,
 )
+from ..utils.types import CellType
 from .params import SimulationParams
 from .state import FerrofluidState
 
@@ -93,9 +95,12 @@ def ferrofluid_step_impl(params: SimulationParams, state: FerrofluidState) -> Fe
     lat = params.lattice
     dx, dt = params.dx, params.dt
 
-    f = stream(lat, state.f)
-    g = stream(lat, state.g)
-    rho, vel = macro_moments(lat, f, state.rho, state.vel, state.flags, dx=dx, dt=dt)
+    c = dx / dt
+    f, m0f, m1f = stream_bounce_moments(lat, state.f, state.flags, params.use_pallas)
+    g, m0g, m1g = stream_bounce_moments(lat, state.g, state.flags, params.use_pallas)
+    is_obs = state.flags == int(CellType.OBSTACLE)
+    rho = jnp.where(is_obs, state.rho, m0f)
+    vel = jnp.where(is_obs, state.vel, m1f * (c / rho))
     density = rho_to_density(
         rho,
         rho_gas=params.rho_gas,
@@ -103,8 +108,6 @@ def ferrofluid_step_impl(params: SimulationParams, state: FerrofluidState) -> Fe
         density_gas=params.density_gas,
         density_fluid=params.density_fluid,
     )
-    f = bounce_back(lat, f, state.flags)
-    g = bounce_back(lat, g, state.flags)
 
     phi = -(
         2.0 * (density - params.density_gas)
@@ -122,6 +125,7 @@ def ferrofluid_step_impl(params: SimulationParams, state: FerrofluidState) -> Fe
         n_iters=params.poisson_iters,
         dx=dx,
         dt=dt,
+        use_pallas=params.use_pallas,
     )
     H_tot = state.H_ext + H_int
     H2 = jnp.sum(H_tot * H_tot, axis=1, keepdims=True)
@@ -145,6 +149,8 @@ def ferrofluid_step_impl(params: SimulationParams, state: FerrofluidState) -> Fe
         dt=dt,
         H2=H2,
         phi=phi,
+        g_sum=m0g,
+        g_mom=m1g,
     )
     f, g = hcz_collide(
         lat,

@@ -28,7 +28,9 @@ from ..ops import (
     rho_to_density,
     sc_collide,
     stream,
+    stream_bounce_moments,
 )
+from ..utils.types import CellType
 from .params import SimulationParams
 from .state import HCZState
 
@@ -172,10 +174,13 @@ def _hcz_step_shared(
     """Shared HCZ body; the ferrofluid solver passes H2/phi for the Kelvin force."""
     lat = params.lattice
     dx, dt = params.dx, params.dt
+    c = dx / dt
 
-    f = stream(lat, state.f)
-    g = stream(lat, state.g)
-    rho, vel = macro_moments(lat, f, state.rho, state.vel, state.flags, dx=dx, dt=dt)
+    f, m0f, m1f = stream_bounce_moments(lat, state.f, state.flags, params.use_pallas)
+    g, m0g, m1g = stream_bounce_moments(lat, state.g, state.flags, params.use_pallas)
+    is_obs = state.flags == int(CellType.OBSTACLE)
+    rho = jnp.where(is_obs, state.rho, m0f)
+    vel = jnp.where(is_obs, state.vel, m1f * (c / rho))
     density = rho_to_density(
         rho,
         rho_gas=params.rho_gas,
@@ -184,8 +189,6 @@ def _hcz_step_shared(
         density_fluid=params.density_fluid,
     )
     vel = _maybe_pin(state, vel)
-    f = bounce_back(lat, f, state.flags)
-    g = bounce_back(lat, g, state.flags)
 
     rho, vel, density, pressure, force, dfai, dprho = hcz_capillary(
         lat,
@@ -206,6 +209,8 @@ def _hcz_step_shared(
         dt=dt,
         H2=H2,
         phi=phi,
+        g_sum=m0g,
+        g_mom=m1g,
     )
     vel = _maybe_pin(state, vel)
 

@@ -47,6 +47,12 @@ class SimulationParams:
     mag_strength: float = 0.0
     poisson_iters: int = 30
 
+    # Fused Pallas TPU kernels (single-device only: XLA's SPMD partitioner
+    # cannot split a custom call, so sharded multi-chip runs must disable
+    # this and take the jnp path, whose rolls/stencils lower to ICI
+    # collective-permutes automatically).
+    use_pallas: bool = True
+
     @property
     def lattice(self) -> Lattice:
         return get_lattice(self.dim)

@@ -11,7 +11,16 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops import bgk_collide, bounce_back, feq, kbc_collide, macro_moments, stream
+from ..ops import (
+    bgk_collide,
+    bounce_back,
+    feq,
+    kbc_collide,
+    macro_moments,
+    stream,
+    stream_bounce_moments,
+)
+from ..utils.types import CellType
 from ..utils.types import KBCType
 from .params import SimulationParams
 from .state import SinglePhaseState
@@ -50,9 +59,10 @@ def step_impl(params: SimulationParams, state: SinglePhaseState) -> SinglePhaseS
     lat = params.lattice
     dx, dt = params.dx, params.dt
 
-    f = stream(lat, state.f)
-    rho, vel = macro_moments(lat, f, state.rho, state.vel, state.flags, dx=dx, dt=dt)
-    f = bounce_back(lat, f, state.flags)
+    f, m0, m1 = stream_bounce_moments(lat, state.f, state.flags, params.use_pallas)
+    is_obs = state.flags == int(CellType.OBSTACLE)
+    rho = jnp.where(is_obs, state.rho, m0)
+    vel = jnp.where(is_obs, state.vel, m1 * ((dx / dt) / rho))
     if KBCType.is_KBC(params.kbc_type):
         f = kbc_collide(
             lat,

@@ -22,11 +22,12 @@ from .stencils import (
     staggered_y,
     staggered_z,
 )
-from .stream import bounce_back, stream
+from .stream import bounce_back, stream, stream_bounce_moments
 
 __all__ = [
     "stream",
     "bounce_back",
+    "stream_bounce_moments",
     "feq",
     "geq",
     "gamma_quadratic",

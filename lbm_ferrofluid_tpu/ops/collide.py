@@ -503,9 +503,14 @@ def hcz_capillary(
     dt: float = 1.0,
     H2: jnp.ndarray | None = None,
     phi: jnp.ndarray | None = None,
+    g_sum: jnp.ndarray | None = None,
+    g_mom: jnp.ndarray | None = None,
 ):
     """HCZ capillary step: wetting BC, surface-tension/gravity/Kelvin forces,
     EOS potentials and macro recovery from g.
+
+    ``g_sum``/``g_mom`` optionally supply precomputed Σ_q g_q and Σ_q g_q e_q
+    (the fused streaming kernel emits them), avoiding a re-reduction over g.
 
     Returns (rho, vel, density, pressure, force, dfai, dprho), matching the
     reference's capillary_process (HCZ_2d.py:21-173, HCZ_3d.py:21-263).
@@ -542,20 +547,23 @@ def hcz_capillary(
     dfai = isotropic_grad(fai, dx, flags, dim)
     dprho = isotropic_grad(prho, dx, flags, dim)
 
-    # first moment of g per dimension (no [B, Q, dim, *res] intermediate)
-    moments = []
-    for d in range(dim):
-        ed = jnp.asarray(
-            lat.e[:, d].reshape(1, lat.q, *([1] * dim)).astype(np.float64),
-            dtype=rho.dtype,
-        )
-        moments.append(jnp.sum(g * ed, axis=1, keepdims=True))
-    g_mom = jnp.concatenate(moments, axis=1)
+    if g_mom is None:
+        # first moment of g per dimension (no [B, Q, dim, *res] intermediate)
+        moments = []
+        for d in range(dim):
+            ed = jnp.asarray(
+                lat.e[:, d].reshape(1, lat.q, *([1] * dim)).astype(np.float64),
+                dtype=rho.dtype,
+            )
+            moments.append(jnp.sum(g * ed, axis=1, keepdims=True))
+        g_mom = jnp.concatenate(moments, axis=1)
     macro_vel = (g_mom * c + 0.5 * dt * RT * force) / RT / density
     is_fluid = flags == int(CellType.FLUID)
     vel = jnp.where(is_fluid, macro_vel, vel)
 
-    macro_pressure = jnp.sum(g, axis=1, keepdims=True) - 0.5 * dt * jnp.sum(
+    if g_sum is None:
+        g_sum = jnp.sum(g, axis=1, keepdims=True)
+    macro_pressure = g_sum - 0.5 * dt * jnp.sum(
         vel * dprho, axis=1, keepdims=True
     )
     pressure = jnp.where(is_fluid, macro_pressure, pressure)

@@ -86,6 +86,7 @@ def solve_H_int(
     n_iters: int = 30,
     dx: float = 1.0,
     dt: float = 1.0,
+    use_pallas: bool = True,
 ):
     """Run ``n_iters`` sweeps of [stream -> bounce-back -> magnetic_sweep].
 
@@ -125,7 +126,8 @@ def solve_H_int(
     from .pallas.poisson import poisson_sweeps, poisson_supported
 
     use_pallas = (
-        dim == 3
+        use_pallas
+        and dim == 3
         and poisson_supported(lat, h.shape)
         and jax.default_backend() == "tpu"
         and not os.environ.get("LBM_DISABLE_PALLAS")

@@ -39,12 +39,15 @@ __all__ = ["poisson_sweeps", "poisson_supported"]
 
 _OBS = int(CellType.OBSTACLE)
 
-# channel groups by e_z (storage order: MID + UP + DN)
+# channel groups by e_z.  The D3Q19 lattice ordering is ALREADY grouped
+# (reference ordering: q0-8 have e_z=0, q9-13 e_z=+1, q14-18 e_z=-1), so the
+# groups are contiguous slices and no permutation is needed.
 _MID = [q for q in range(19) if D3Q19.e[q][2] == 0]
 _UP = [q for q in range(19) if D3Q19.e[q][2] == 1]
 _DN = [q for q in range(19) if D3Q19.e[q][2] == -1]
 _ORDER = _MID + _UP + _DN
-_INV = np.argsort(_ORDER)  # lattice q -> storage row
+assert _ORDER == list(range(19)), "D3Q19 ordering must be e_z-grouped"
+_INV = np.argsort(_ORDER)  # identity; kept for clarity
 
 
 def poisson_supported(lat: Lattice, h_shape: tuple[int, ...]) -> bool:
@@ -162,9 +165,10 @@ def poisson_sweeps(
         interpret=interpret,
     )
 
-    mid = h[0, _MID]
-    up = h[0, _UP]
-    dn = h[0, _DN]
+    # contiguous slices (no gather: the lattice order is e_z-grouped)
+    mid = h[0, :9]
+    up = h[0, 9:14]
+    dn = h[0, 14:19]
 
     def body(_, carry):
         mid, up, dn, _psi = carry
@@ -174,5 +178,5 @@ def poisson_sweeps(
     psi0 = jnp.zeros((1, Z, Y, X), h.dtype)
     mid, up, dn, psi = jax.lax.fori_loop(0, n_iters, body, (mid, up, dn, psi0))
 
-    h_new = jnp.concatenate([mid, up, dn], axis=0)[np.asarray(_INV)][None]
+    h_new = jnp.concatenate([mid, up, dn], axis=0)[None]
     return h_new, psi[None]

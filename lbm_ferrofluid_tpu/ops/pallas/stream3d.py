@@ -1,0 +1,131 @@
+"""Fused Pallas kernel: D3Q19 streaming + bounce-back + raw moments.
+
+Replaces the jnp composition stream -> bounce_back -> (Σf, Σf·e) for 3D
+models.  The jnp path moves each of the 19 populations with up-to-3
+sequential ``jnp.roll`` copies (~115 GB/s effective); this kernel performs
+the whole pull in one pass using the same channel-group trick as the
+Poisson kernel (ops/pallas/poisson.py): D3Q19's lattice ordering is already
+e_z-grouped, so the z-halos are exactly the neighbor planes of the
+contiguous up/down channel slices, with periodic wrap via the BlockSpec
+index map.  In-plane (y, x) shifts are ``pltpu.roll`` on full-plane tiles.
+
+Outputs the post-bounce-back distributions plus the raw zeroth/first
+moments (freezing on OBSTACLE cells and the division by rho happen outside;
+they are cheap 4-channel elementwise ops).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...lattice import D3Q19, Lattice
+from ...utils.types import CellType
+
+__all__ = ["stream_bounce_moments", "stream3d_supported"]
+
+_OBS = int(CellType.OBSTACLE)
+
+_ORDER_OK = all(
+    int(D3Q19.e[q][2]) == (0 if q < 9 else (1 if q < 14 else -1)) for q in range(19)
+)
+assert _ORDER_OK, "D3Q19 ordering must be e_z-grouped"
+
+
+def stream3d_supported(lat: Lattice, f_shape: tuple[int, ...]) -> bool:
+    if lat.q != 19:
+        return False
+    B, Q, Z, Y, X = f_shape
+    return B == 1 and X % 128 == 0 and Y % 8 == 0 and Z >= 2
+
+
+def _kernel(mid_ref, up_ref, dn_ref, flags_ref, out_ref, m0_ref, m1_ref):
+    lat = D3Q19
+    Y = mid_ref.shape[2]
+    X = mid_ref.shape[3]
+    is_obs = flags_ref[0, 0] == _OBS
+
+    streamed = [None] * 19
+    for q in range(19):
+        if q < 9:
+            v = mid_ref[q, 0]
+        elif q < 14:
+            v = up_ref[q - 9, 0]
+        else:
+            v = dn_ref[q - 14, 0]
+        ex, ey = int(lat.e[q][0]), int(lat.e[q][1])
+        if ey:
+            v = pltpu.roll(v, ey % Y, 0)
+        if ex:
+            v = pltpu.roll(v, ex % X, 1)
+        streamed[q] = v
+
+    post = [
+        jnp.where(is_obs, streamed[int(lat.opposite[q])], streamed[q])
+        for q in range(19)
+    ]
+
+    m0 = post[0]
+    for q in range(1, 19):
+        m0 = m0 + post[q]
+    m0_ref[0, 0] = m0
+    for d in range(3):
+        md = None
+        for q in range(19):
+            ev = int(lat.e[q][d])
+            if ev == 0:
+                continue
+            term = post[q] if ev == 1 else -post[q]
+            md = term if md is None else md + term
+        m1_ref[d, 0] = md
+
+    for q in range(19):
+        out_ref[q, 0] = post[q]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def stream_bounce_moments(f: jnp.ndarray, flags: jnp.ndarray, *, interpret=False):
+    """One fused pass: periodic pull streaming, full-way bounce back, and
+    raw moments.
+
+    Args:
+        f: ``[1, 19, Z, Y, X]`` distributions (lattice order).
+        flags: ``[1, 1, Z, Y, X]`` uint8.
+
+    Returns:
+        (f_post ``[1,19,Z,Y,X]``, m0 ``[1,1,Z,Y,X]`` = Σ_q f_q,
+        m1 ``[1,3,Z,Y,X]`` = Σ_q f_q e_q).
+    """
+    _, _, Z, Y, X = f.shape
+    flags_i32 = flags[0].astype(jnp.int32)
+
+    bs = lambda c: pl.BlockSpec(  # noqa: E731
+        (c, 1, Y, X), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    bs_up = pl.BlockSpec(
+        (5, 1, Y, X), lambda i: (0, (i - 1) % Z, 0, 0), memory_space=pltpu.VMEM
+    )
+    bs_dn = pl.BlockSpec(
+        (5, 1, Y, X), lambda i: (0, (i + 1) % Z, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    out, m0, m1 = pl.pallas_call(
+        _kernel,
+        grid=(Z,),
+        in_specs=[bs(9), bs_up, bs_dn, bs(1)],
+        out_specs=[bs(19), bs(1), bs(3)],
+        out_shape=[
+            jax.ShapeDtypeStruct((19, Z, Y, X), f.dtype),
+            jax.ShapeDtypeStruct((1, Z, Y, X), f.dtype),
+            jax.ShapeDtypeStruct((3, Z, Y, X), f.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(f[0, :9], f[0, 9:14], f[0, 14:19], flags_i32)
+    return out[None], m0[None], m1[None]

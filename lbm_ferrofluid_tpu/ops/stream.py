@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..lattice import Lattice
 from ..utils.types import CellType
 
-__all__ = ["stream", "bounce_back"]
+__all__ = ["stream", "bounce_back", "stream_bounce_moments"]
 
 
 def stream(lat: Lattice, f: jnp.ndarray) -> jnp.ndarray:
@@ -50,3 +50,41 @@ def bounce_back(lat: Lattice, f: jnp.ndarray, flags: jnp.ndarray) -> jnp.ndarray
     """
     f_inv = f[:, lat.opposite]
     return jnp.where(flags == int(CellType.OBSTACLE), f_inv, f)
+
+
+def stream_bounce_moments(lat: Lattice, f: jnp.ndarray, flags: jnp.ndarray, use_pallas: bool = True):
+    """stream -> bounce-back -> raw moments, fused on TPU when possible.
+
+    Returns (f_post, m0 = Σ_q f_q, m1 = Σ_q f_q e_q), with moments taken from
+    the post-bounce-back field.  On FLUID cells this equals the reference's
+    pre-bounce moments (bounce back only rewrites OBSTACLE cells), and
+    OBSTACLE-cell moments are discarded by the frozen-moment update anyway.
+    """
+    import os
+
+    import jax
+
+    from .pallas.stream3d import stream3d_supported, stream_bounce_moments as _pk
+
+    if (
+        use_pallas
+        and lat.dim == 3
+        and stream3d_supported(lat, f.shape)
+        and jax.default_backend() == "tpu"
+        and not os.environ.get("LBM_DISABLE_PALLAS")
+    ):
+        return _pk(f, flags)
+
+    f = stream(lat, f)
+    f = bounce_back(lat, f, flags)
+    m0 = jnp.sum(f, axis=1, keepdims=True)
+    moments = []
+    import numpy as np
+
+    for d in range(lat.dim):
+        ed = jnp.asarray(
+            lat.e[:, d].reshape(1, lat.q, *([1] * lat.dim)).astype(np.float64),
+            dtype=f.dtype,
+        )
+        moments.append(jnp.sum(f * ed, axis=1, keepdims=True))
+    return f, m0, jnp.concatenate(moments, axis=1)

@@ -20,6 +20,9 @@ __all__ = [
     "save_mesh_color",
     "save_mesh_tex",
     "face2edge",
+    "face2edge2",
+    "edge2face",
+    "face2pfmtx",
     "face2pneimtx",
     "mesh_resample",
     "rotx",
@@ -139,6 +142,45 @@ def face2edge(faces):
     e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
     e = np.sort(e, axis=1)
     return np.unique(e, axis=0)
+
+
+def face2edge2(faces, edges):
+    """Per-face edge indices [F, 3] given the unique edge list
+    (mesh.py:46-67)."""
+    faces = np.asarray(faces)
+    edge_id = {tuple(e): i for i, e in enumerate(np.asarray(edges))}
+    out = np.empty((len(faces), 3), np.int64)
+    for fi, (a, b, c) in enumerate(faces):
+        out[fi, 0] = edge_id[tuple(sorted((a, b)))]
+        out[fi, 1] = edge_id[tuple(sorted((b, c)))]
+        out[fi, 2] = edge_id[tuple(sorted((c, a)))]
+    return out
+
+
+def edge2face(faces, edges):
+    """The (up to 2) faces adjacent to each edge [E, 2] (mesh.py:69-95)."""
+    faces = np.asarray(faces)
+    edges = np.asarray(edges)
+    edge_id = {tuple(e): i for i, e in enumerate(edges)}
+    out = np.full((len(edges), 2), -1, np.int64)
+    for fi, (a, b, c) in enumerate(faces):
+        for pair in ((a, b), (b, c), (c, a)):
+            ei = edge_id[tuple(sorted(pair))]
+            out[ei, 1 if out[ei, 0] >= 0 else 0] = fi
+    return out
+
+
+def face2pfmtx(faces):
+    """Point-to-face averaging matrix [P, F] (mesh.py:120-134)."""
+    faces = np.asarray(faces)
+    P = faces.max() + 1
+    A = np.zeros((P, len(faces)), np.float32)
+    for fi, tri in enumerate(faces):
+        for v in tri:
+            A[v, fi] = 1.0
+    deg = A.sum(axis=1, keepdims=True)
+    deg[deg == 0] = 1
+    return A / deg
 
 
 def face2pneimtx(faces):
