@@ -169,6 +169,7 @@ def ferrofluid_step_impl(params: SimulationParams, state: FerrofluidState) -> Fe
         kbc_type=params.kbc_type,
         dx=dx,
         dt=dt,
+        use_pallas=params.use_pallas,
     )
     return FerrofluidState(
         f=f,

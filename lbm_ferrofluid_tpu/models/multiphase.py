@@ -231,6 +231,7 @@ def _hcz_step_shared(
         kbc_type=params.kbc_type,
         dx=dx,
         dt=dt,
+        use_pallas=params.use_pallas,
     )
     return HCZState(
         f=f,

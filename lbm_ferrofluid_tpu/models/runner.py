@@ -70,16 +70,24 @@ class SimulationRunner:
         return self._chunks[n]
 
     # ------------------------------------------------------------------
-    def run(self, state, n_steps: int, *, io_interval: int = 0, io_fn=None):
+    def run(self, state, n_steps: int, *, io_interval: int = 0, io_fn=None,
+            nan_guard: bool = False):
         """Advance ``n_steps``; call ``io_fn(state)`` every ``io_interval``
-        steps (host transfer happens only then)."""
-        if io_interval and io_fn:
+        steps (host transfer happens only then).  With ``nan_guard`` the
+        fields are finite-checked at every IO point (the exponential feq can
+        pole at |u| -> c; reference LBM_collision_2d.py:127-145)."""
+        if io_interval and (io_fn or nan_guard):
+            from ..utils.diagnostics import assert_finite
+
             done = 0
             while done < n_steps:
                 k = min(io_interval, n_steps - done)
                 state = self._chunk(k)(state)
                 done += k
-                io_fn(state)
+                if nan_guard:
+                    assert_finite(state)
+                if io_fn:
+                    io_fn(state)
             return state
         return self._chunk(n_steps)(state)
 

@@ -589,6 +589,7 @@ def hcz_collide(
     kbc_type: int | None = None,
     dx: float = 1.0,
     dt: float = 1.0,
+    use_pallas: bool = True,
 ):
     """HCZ two-distribution collision with Guo-style forcing on f and g.
 
@@ -596,6 +597,22 @@ def hcz_collide(
     entropic stabilizer instead of plain BGK (HCZ_2d.py:244-256).
     Updates apply on FLUID cells only (HCZ_2d.py:282-284).
     """
+    import os
+
+    from .pallas.hcz3d import hcz3d_supported, hcz_collide_fused
+
+    if (
+        use_pallas
+        and lat.dim == 3
+        and hcz3d_supported(lat, f.shape, kbc_type)
+        and jax.default_backend() == "tpu"
+        and not os.environ.get("LBM_DISABLE_PALLAS")
+    ):
+        return hcz_collide_fused(
+            f, g, rho, vel, density, pressure, flags, force, dfai, dprho,
+            tau_f=tau_f, tau_g=tau_g, dx=dx, dt=dt,
+        )
+
     c = dx / dt
     cs2 = c * c / 3.0
     RT = cs2
