@@ -66,7 +66,7 @@ def init_ferrofluid_state(
     pressure = eos_pressure(density, dx=params.dx, dt=params.dt)
     f = feq(lat, density, vel, dx=params.dx, dt=params.dt, tau=params.tau, force=force)
     g = geq(lat, rho, density, vel, pressure, dx=params.dx, dt=params.dt, feq_val=f)
-    h = jnp.zeros_like(f)
+    h = jnp.zeros(f.shape, dtype=jnp.dtype(params.h_dtype))
     phi = jnp.zeros_like(rho)
     res = rho.shape[2:]
     H_ext, H_ext_mac = make_H_ext(

@@ -53,6 +53,12 @@ class SimulationParams:
     # collective-permutes automatically).
     use_pallas: bool = True
 
+    # Storage dtype for the magnetic Poisson distribution h.  "bfloat16"
+    # halves the dominant HBM traffic of the 30-sweep inner loop (compute
+    # stays f32 in-register); NOT bit-parity with the reference — opt-in for
+    # production runs that tolerate ~1e-3 relative H_int noise.
+    h_dtype: str = "float32"
+
     @property
     def lattice(self) -> Lattice:
         return get_lattice(self.dim)

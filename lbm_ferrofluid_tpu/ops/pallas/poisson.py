@@ -77,6 +77,8 @@ def _sweep_kernel(tau, mid_ref, up_ref, dn_ref, flags_ref, rhs_ref,
             v = up_ref[row - 9, 0]  # block @ z-1
         else:
             v = dn_ref[row - 14, 0]  # block @ z+1
+        # cast before the shifts: mosaic's dynamic_rotate rejects bf16 vectors
+        v = v.astype(jnp.float32)
         ex, ey = int(lat.e[q][0]), int(lat.e[q][1])
         if ey:
             v = pltpu.roll(v, ey % Y, 0)
@@ -97,7 +99,7 @@ def _sweep_kernel(tau, mid_ref, up_ref, dn_ref, flags_ref, rhs_ref,
     for q in range(2, 19):
         psi = psi + post[q]
     psi = psi / (1.0 - float(lat.weights[0]))
-    psi_ref[0, 0] = psi
+    psi_ref[0, 0] = psi.astype(psi_ref.dtype)
 
     inv_tau = 1.0 / tau
     outs = (omid_ref, oup_ref, odn_ref)
@@ -109,7 +111,7 @@ def _sweep_kernel(tau, mid_ref, up_ref, dn_ref, flags_ref, rhs_ref,
         ref = outs[0] if row < 9 else (outs[1] if row < 14 else outs[2])
         ref[row if row < 9 else (row - 9 if row < 14 else row - 14), 0] = jnp.where(
             is_obs, post[q], coll
-        )
+        ).astype(ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tau", "n_iters", "interpret"))
@@ -127,8 +129,10 @@ def poisson_sweeps(
     Args:
         h: ``[1, 19, Z, Y, X]`` distribution (lattice channel order).
         magnetic_flags: ``[1, 1, Z, Y, X]`` uint8.
-        rhs_scaled: ``[1, 1, Z, Y, X]`` — dt * rhs * cs2 (0.5 - tau) dt, i.e.
-            add_h without the per-channel weight (applied in-kernel).
+        rhs_scaled: ``[1, 1, Z, Y, X]`` f32 — dt * rhs * cs2 (0.5 - tau) dt,
+            i.e. add_h without the per-channel weight (applied in-kernel).
+            h may be bfloat16 (storage); compute runs in f32 in-register and
+            psi is emitted in f32.
 
     Returns:
         (h_new ``[1,19,Z,Y,X]``, psi ``[1,1,Z,Y,X]`` of the last
@@ -157,7 +161,7 @@ def poisson_sweeps(
             jax.ShapeDtypeStruct((9, Z, Y, X), h.dtype),
             jax.ShapeDtypeStruct((5, Z, Y, X), h.dtype),
             jax.ShapeDtypeStruct((5, Z, Y, X), h.dtype),
-            jax.ShapeDtypeStruct((1, Z, Y, X), h.dtype),
+            jax.ShapeDtypeStruct((1, Z, Y, X), jnp.float32),  # psi stays f32
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
@@ -175,7 +179,7 @@ def poisson_sweeps(
         mid, up, dn, psi = call(mid, up, dn, flags_i32, rhs_k)
         return mid, up, dn, psi
 
-    psi0 = jnp.zeros((1, Z, Y, X), h.dtype)
+    psi0 = jnp.zeros((1, Z, Y, X), jnp.float32)
     mid, up, dn, psi = jax.lax.fori_loop(0, n_iters, body, (mid, up, dn, psi0))
 
     h_new = jnp.concatenate([mid, up, dn], axis=0)[None]
