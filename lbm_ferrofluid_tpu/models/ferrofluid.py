@@ -21,13 +21,11 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import (
-    bounce_back,
     eos_pressure,
     feq,
     geq,
     hcz_capillary,
     hcz_collide,
-    macro_moments,
     rho_to_density,
     solve_H_int,
     staggered,

@@ -13,10 +13,8 @@ import jax.numpy as jnp
 
 from ..ops import (
     bgk_collide,
-    bounce_back,
     feq,
     kbc_collide,
-    macro_moments,
     stream,
     stream_bounce_moments,
 )

@@ -9,14 +9,10 @@ jits, shards, scans, donates and checkpoints as one unit.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 from ..lattice import Lattice
-from ..utils.types import CellType
 from .params import SimulationParams
 
 __all__ = ["SinglePhaseState", "HCZState", "FerrofluidState", "field_shapes"]

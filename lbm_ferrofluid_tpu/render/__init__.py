@@ -85,6 +85,24 @@ def phi_to_mesh(phi, res, dx: float = 1.0):
     return verts, faces
 
 
+def _bucket_mesh(verts, faces, far_z: float = 1e6):
+    """Pad the mesh so the face count falls on a power-of-2 bucket.
+
+    Marching the evolving interface gives a different face count every
+    frame, which would recompile the jitted rasterizer each time; padding
+    with degenerate far-away faces (all three corners on one distant point,
+    rejected by the z clip) keeps the compiled shape stable across frames.
+    """
+    n = len(faces)
+    bucket = 1 << max(10, (n - 1).bit_length())
+    if n == bucket:
+        return verts, faces
+    pad_v = np.asarray([[0.0, 0.0, far_z]], np.float32)
+    verts_p = np.concatenate([verts, pad_v])
+    pad_f = np.full((bucket - n, 3), len(verts_p) - 1, np.int64)
+    return verts_p, np.concatenate([faces, pad_f])
+
+
 def render_phi_frame(phi, filename, res, dx: float = 1.0, renderer=None,
                      gray: float = 0.68):
     """save_rendered_image equivalent (utils/io.py:50-84): extract the
@@ -96,9 +114,10 @@ def render_phi_frame(phi, filename, res, dx: float = 1.0, renderer=None,
     if len(faces) == 0:
         img = np.full((renderer.image_size, renderer.image_size, 3), 255, np.uint8)
     else:
-        textures = jnp.full((1, faces.shape[0], 2, 3), gray, jnp.float32)
+        verts_b, faces_b = _bucket_mesh(verts, faces)
+        textures = jnp.full((1, faces_b.shape[0], 2, 3), gray, jnp.float32)
         out = renderer.forward(
-            jnp.asarray(verts)[None], jnp.asarray(faces)[None], textures
+            jnp.asarray(verts_b)[None], jnp.asarray(faces_b)[None], textures
         )
         img = np.asarray(out[0, :3]).transpose(1, 2, 0)
         img = (np.clip(img, 0, 1) * 255).astype(np.uint8)

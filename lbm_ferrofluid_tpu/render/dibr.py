@@ -16,7 +16,6 @@ candidate faces per pixel (:224-322); the dense version uses all faces
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ x = (2 col + 1 - S)/S, y = (2 (S-1-row) + 1 - S)/S, i.e. row 0 is y≈+1.
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

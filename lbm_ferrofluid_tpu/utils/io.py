@@ -7,7 +7,6 @@ projection for 3D, OBJ meshes, Tecplot POINT-format .plt files.
 
 from __future__ import annotations
 
-import os
 import pathlib
 
 import numpy as np
