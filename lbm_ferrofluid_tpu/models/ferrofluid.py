@@ -149,6 +149,7 @@ def ferrofluid_step_impl(params: SimulationParams, state: FerrofluidState) -> Fe
         phi=phi,
         g_sum=m0g,
         g_mom=m1g,
+        use_pallas=params.use_pallas,
     )
     f, g = hcz_collide(
         lat,

@@ -211,6 +211,7 @@ def _hcz_step_shared(
         phi=phi,
         g_sum=m0g,
         g_mom=m1g,
+        use_pallas=params.use_pallas,
     )
     vel = _maybe_pin(state, vel)
 

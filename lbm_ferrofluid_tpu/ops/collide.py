@@ -505,6 +505,7 @@ def hcz_capillary(
     phi: jnp.ndarray | None = None,
     g_sum: jnp.ndarray | None = None,
     g_mom: jnp.ndarray | None = None,
+    use_pallas: bool = True,
 ):
     """HCZ capillary step: wetting BC, surface-tension/gravity/Kelvin forces,
     EOS potentials and macro recovery from g.
@@ -537,15 +538,44 @@ def hcz_capillary(
         density_fluid=density_fluid,
     )
 
-    lap_density = isotropic_laplacian(density, dx, dim)
-    force = kappa * density * isotropic_grad(lap_density, dx, flags, dim)
-    force = force + gravity * density
-    if H2 is not None:
-        chi = CHI_K * (1.0 - smooth_phi(phi, 0.1 * dx))
-        force = force - 0.5 * MU0 * H2 * isotropic_grad(chi, dx, flags, dim)
+    import os
 
-    dfai = isotropic_grad(fai, dx, flags, dim)
-    dprho = isotropic_grad(prho, dx, flags, dim)
+    from .pallas.stencil3d import grad_fields, laplacian_field, stencil3d_supported
+
+    fuse_stencils = (
+        use_pallas
+        and dim == 3
+        and stencil3d_supported(density.shape)
+        and jax.default_backend() == "tpu"
+        and not os.environ.get("LBM_DISABLE_PALLAS")
+    )
+    if fuse_stencils:
+        # one Pallas pass for the Laplacian, one for all gradients
+        lap_density = laplacian_field(density, dx=dx)
+
+        def _sub(x):  # OBSTACLE-cell substitution, as isotropic_grad does
+            return jnp.where(flags == int(CellType.OBSTACLE), _rep_pad_interior(x), x)
+
+        stack = [_sub(lap_density), _sub(fai), _sub(prho)]
+        if H2 is not None:
+            chi = CHI_K * (1.0 - smooth_phi(phi, 0.1 * dx))
+            stack.append(_sub(chi))
+        grads = grad_fields(jnp.concatenate(stack, axis=1), dx=dx)
+        force = kappa * density * grads[:, 0:3] + gravity * density
+        if H2 is not None:
+            force = force - 0.5 * MU0 * H2 * grads[:, 9:12]
+        dfai = grads[:, 3:6]
+        dprho = grads[:, 6:9]
+    else:
+        lap_density = isotropic_laplacian(density, dx, dim)
+        force = kappa * density * isotropic_grad(lap_density, dx, flags, dim)
+        force = force + gravity * density
+        if H2 is not None:
+            chi = CHI_K * (1.0 - smooth_phi(phi, 0.1 * dx))
+            force = force - 0.5 * MU0 * H2 * isotropic_grad(chi, dx, flags, dim)
+
+        dfai = isotropic_grad(fai, dx, flags, dim)
+        dprho = isotropic_grad(prho, dx, flags, dim)
 
     if g_mom is None:
         # first moment of g per dimension (no [B, Q, dim, *res] intermediate)

@@ -1,0 +1,180 @@
+"""Fused Pallas kernels for the capillary stencils (D3Q19 HCZ, 3D).
+
+``grad_fields``: 19-point isotropic gradients of N scalar fields in one pass
+(ops/stencils.py:isotropic_grad inner stencil); ``laplacian_field``: the
+19-point Laplacian.  Domain-boundary semantics (replicate for grad inputs /
+interior-replicate for grad outputs, zero ring for the Laplacian) are
+handled by in-kernel edge selects along y/x, program-id selects along z,
+and a cheap ring fix-up outside; the OBSTACLE input substitution stays in
+jnp (elementwise).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["grad_fields", "laplacian_field", "stencil3d_supported", "fix_ring_replicate"]
+
+
+def stencil3d_supported(shape) -> bool:
+    B, C, Z, Y, X = shape
+    return B == 1 and X % 128 == 0 and Y % 8 == 0 and Z >= 2
+
+
+def _shift_replicate(v, sy, sx, Y, X):
+    """out[j, i] = v[clamp(j - sy), clamp(i - sx)] via rolls + edge selects."""
+    out = v
+    if sy:
+        rolled = pltpu.roll(out, sy % Y, 0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0)
+        edge = 0 if sy > 0 else Y - 1
+        out = jnp.where(row == edge, out, rolled)
+    if sx:
+        rolled = pltpu.roll(out, sx % X, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1)
+        edge = 0 if sx > 0 else X - 1
+        out = jnp.where(col == edge, out, rolled)
+    return out
+
+
+# 19-point isotropic gradient taps (ops/stencils.py:isotropic_grad, 3D),
+# offsets in (z, y, x) array order, divided by 12 dx
+_GRAD_TAPS = {
+    0: [((0, 0, 1), 2.0), ((0, 0, -1), -2.0),
+        ((1, 0, 1), 1.0), ((-1, 0, -1), -1.0), ((-1, 0, 1), 1.0), ((1, 0, -1), -1.0),
+        ((0, 1, 1), 1.0), ((0, -1, -1), -1.0), ((0, -1, 1), 1.0), ((0, 1, -1), -1.0)],
+    1: [((0, 1, 0), 2.0), ((0, -1, 0), -2.0),
+        ((1, 1, 0), 1.0), ((-1, -1, 0), -1.0), ((-1, 1, 0), 1.0), ((1, -1, 0), -1.0),
+        ((0, 1, 1), 1.0), ((0, -1, -1), -1.0), ((0, 1, -1), 1.0), ((0, -1, 1), -1.0)],
+    2: [((1, 0, 0), 2.0), ((-1, 0, 0), -2.0),
+        ((1, 1, 0), 1.0), ((-1, -1, 0), -1.0), ((1, -1, 0), 1.0), ((-1, 1, 0), -1.0),
+        ((1, 0, 1), 1.0), ((-1, 0, -1), -1.0), ((1, 0, -1), 1.0), ((-1, 0, 1), -1.0)],
+}
+
+# 19-point Laplacian taps: 2*(6 faces) + 12 edges - 24 center, / 6 dx^2
+_LAP_TAPS = (
+    [((0, 0, 1), 2.0), ((0, 0, -1), 2.0), ((0, 1, 0), 2.0), ((0, -1, 0), 2.0),
+     ((1, 0, 0), 2.0), ((-1, 0, 0), 2.0)]
+    + [((0, 1, 1), 1.0), ((0, 1, -1), 1.0), ((0, -1, 1), 1.0), ((0, -1, -1), 1.0),
+       ((1, 0, 1), 1.0), ((1, 0, -1), 1.0), ((-1, 0, 1), 1.0), ((-1, 0, -1), 1.0),
+       ((1, 1, 0), 1.0), ((1, -1, 0), 1.0), ((-1, 1, 0), 1.0), ((-1, -1, 0), 1.0)]
+    + [((0, 0, 0), -24.0)]
+)
+
+
+def _grad_kernel(n_fields, inv12dx, mid_ref, prev_ref, next_ref, out_ref):
+    Z = pl.num_programs(0)
+    i = pl.program_id(0)
+    Y, X = mid_ref.shape[2], mid_ref.shape[3]
+    first = i == 0
+    last = i == Z - 1
+    for f in range(n_fields):
+        v0 = mid_ref[f, 0]
+        # replicate along z at the domain boundary
+        vm = jnp.where(first, v0, prev_ref[f, 0])
+        vp = jnp.where(last, v0, next_ref[f, 0])
+        planes = {-1: vm, 0: v0, 1: vp}
+        for d in range(3):
+            acc = None
+            for (oz, oy, ox), wgt in _GRAD_TAPS[d]:
+                # reading neighbor at offset o means shifting the plane by +o
+                t = _shift_replicate(planes[oz], -oy, -ox, Y, X) * wgt
+                acc = t if acc is None else acc + t
+            out_ref[f * 3 + d, 0] = acc * inv12dx
+
+
+def _lap_kernel(inv6dx2, mid_ref, prev_ref, next_ref, out_ref):
+    Z = pl.num_programs(0)
+    i = pl.program_id(0)
+    Y, X = mid_ref.shape[2], mid_ref.shape[3]
+    v0 = mid_ref[0, 0]
+    vm = jnp.where(i == 0, v0, prev_ref[0, 0])
+    vp = jnp.where(i == Z - 1, v0, next_ref[0, 0])
+    planes = {-1: vm, 0: v0, 1: vp}
+    acc = None
+    for (oz, oy, ox), wgt in _LAP_TAPS:
+        t = _shift_replicate(planes[oz], -oy, -ox, Y, X) * wgt
+        acc = t if acc is None else acc + t
+    out_ref[0, 0] = acc * inv6dx2
+
+
+def fix_ring_replicate(out):
+    """Overwrite the boundary ring with nearest-interior values, matching the
+    reference's F.pad(output_inner, mode='replicate') (stencils.py)."""
+    out = out.at[..., :, :, 0].set(out[..., :, :, 1])
+    out = out.at[..., :, :, -1].set(out[..., :, :, -2])
+    out = out.at[..., :, 0, :].set(out[..., :, 1, :])
+    out = out.at[..., :, -1, :].set(out[..., :, -2, :])
+    out = out.at[..., 0, :, :].set(out[..., 1, :, :])
+    out = out.at[..., -1, :, :].set(out[..., -2, :, :])
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("dx", "interpret"))
+def grad_fields(fields, *, dx: float = 1.0, interpret: bool = False):
+    """Isotropic gradients of N stacked scalar fields.
+
+    Args:
+        fields: ``[1, N, Z, Y, X]`` — already OBSTACLE-substituted
+            (the caller applies the where(flags==OBSTACLE, ...) step).
+
+    Returns:
+        ``[1, 3N, Z, Y, X]`` with (gx, gy, gz) per field, boundary ring
+        replicated from the interior.
+    """
+    _, N, Z, Y, X = fields.shape
+    bs = lambda c, fn: pl.BlockSpec(  # noqa: E731
+        (c, 1, Y, X), fn, memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_grad_kernel, N, 1.0 / (12.0 * dx)),
+        grid=(Z,),
+        in_specs=[
+            bs(N, lambda i: (0, i, 0, 0)),
+            bs(N, lambda i: (0, (i - 1) % Z, 0, 0)),
+            bs(N, lambda i: (0, (i + 1) % Z, 0, 0)),
+        ],
+        out_specs=bs(3 * N, lambda i: (0, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((3 * N, Z, Y, X), fields.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(fields[0], fields[0], fields[0])
+    # the kernel computes the stencil at every plane with replicate-clamped
+    # reads; the reference instead replicates the *interior result* outward
+    return fix_ring_replicate(out[None])
+
+
+@functools.partial(jax.jit, static_argnames=("dx", "interpret"))
+def laplacian_field(field, *, dx: float = 1.0, interpret: bool = False):
+    """19-point Laplacian of ``[1, 1, Z, Y, X]``, zero boundary ring."""
+    _, _, Z, Y, X = field.shape
+    bs = lambda fn: pl.BlockSpec(  # noqa: E731
+        (1, 1, Y, X), fn, memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_lap_kernel, 1.0 / (6.0 * dx * dx)),
+        grid=(Z,),
+        in_specs=[
+            bs(lambda i: (0, i, 0, 0)),
+            bs(lambda i: (0, (i - 1) % Z, 0, 0)),
+            bs(lambda i: (0, (i + 1) % Z, 0, 0)),
+        ],
+        out_specs=bs(lambda i: (0, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, Z, Y, X), field.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(field[0], field[0], field[0])
+    out = out[None]
+    zero = jnp.zeros((), out.dtype)
+    out = out.at[..., :, :, 0].set(zero)
+    out = out.at[..., :, :, -1].set(zero)
+    out = out.at[..., :, 0, :].set(zero)
+    out = out.at[..., :, -1, :].set(zero)
+    out = out.at[..., 0, :, :].set(zero)
+    out = out.at[..., -1, :, :].set(zero)
+    return out
