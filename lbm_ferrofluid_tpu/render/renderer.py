@@ -10,7 +10,13 @@ import math
 
 import jax.numpy as jnp
 
-from .camera import look, look_at, perspective_distortion, vertices_to_faces
+from .camera import (
+    eye_from_angles,
+    look,
+    look_at,
+    perspective_distortion,
+    vertices_to_faces,
+)
 from .lighting import compute_ambient_light, compute_directional_light
 from .softras import soft_rasterize
 
@@ -25,6 +31,9 @@ class SoftRenderer:
         bg_color=None,
         fill_back: bool = True,
         camera_mode: str = "look_at",
+        K=None,
+        rmat=None,
+        tvec=None,
         perspective_distort: bool = True,
         sigma_val: float = 1e-5,
         dist_func: str = "euclidean",
@@ -52,6 +61,15 @@ class SoftRenderer:
         )
         self.fill_back = fill_back
         self.camera_mode = camera_mode
+        # 'projection' mode: intrinsics K (4x4, last row/col from identity),
+        # rotation rmat (4x4 convention like the reference) and translation
+        # tvec.  The reference's projection branch references undefined
+        # variables (softrenderer.py:383-389, a dead branch); here it works.
+        self.K = None if K is None else jnp.asarray(K)
+        self.rmat = None if rmat is None else jnp.asarray(rmat)
+        if tvec is None and camera_mode == "projection":
+            tvec = jnp.zeros(3).at[2].set(-5.0)
+        self.tvec = None if tvec is None else jnp.asarray(tvec)
         self.perspective_distort = perspective_distort
         self.viewing_angle = viewing_angle
         if eye is None:
@@ -121,10 +139,26 @@ class SoftRenderer:
             return look_at(vertices, self.eye)
         if self.camera_mode == "look":
             return look(vertices, self.eye, self.camera_direction)
+        if self.camera_mode == "projection":
+            # X_cam = R^T (X - t), the projective-geometry convention the
+            # reference documents (softrenderer.py:108-115)
+            R = self.rmat[..., :3, :3]
+            v = vertices - self.tvec.reshape(1, 1, 3)
+            return jnp.einsum("bvj,ji->bvi", v, R)
         raise NotImplementedError(f"camera_mode {self.camera_mode}")
 
     def project_to_image(self, vertices):
+        if self.camera_mode == "projection":
+            Kh = self.K[..., :3, :3]
+            proj = jnp.einsum("bvj,ij->bvi", vertices, Kh)
+            z = proj[..., 2:3]
+            xy = proj[..., :2] / jnp.where(z == 0, 1.0, z)
+            return jnp.concatenate([xy, vertices[..., 2:3]], axis=-1)
         return perspective_distortion(vertices, angle=self.viewing_angle)
+
+    def set_eye_from_angles(self, distance, elevation, azimuth, degrees=True):
+        """Spherical camera placement (reference softrenderer.py:665-700)."""
+        self.eye = eye_from_angles(distance, elevation, azimuth, degrees)
 
     def rasterize(self, vertices, faces, textures):
         face_vertices = vertices_to_faces(vertices, faces)

@@ -178,3 +178,29 @@ def test_end_to_end_sphere_render(tmp_path):
     # object darker than the white background somewhere near the center
     assert img[12:20, 12:20].min() < 200
     assert img[0, 0].min() >= 250
+
+
+class TestCameraModes:
+    def test_set_eye_from_angles(self):
+        from lbm_ferrofluid_tpu.render import SoftRenderer
+
+        r = SoftRenderer(image_size=16)
+        r.set_eye_from_angles(2.5, 20.0, 30.0)
+        assert abs(float(jnp.linalg.norm(r.eye)) - 2.5) < 1e-5
+
+    def test_projection_mode_runs(self):
+        from lbm_ferrofluid_tpu.render import SoftRenderer
+
+        K = np.eye(4, dtype=np.float32)
+        K[0, 0] = K[1, 1] = 2.0
+        r = SoftRenderer(
+            image_size=16, camera_mode="projection",
+            K=K, rmat=np.eye(4, dtype=np.float32),
+            tvec=np.asarray([0.0, 0.0, -3.0], np.float32),
+        )
+        verts = jnp.asarray([[[-0.5, -0.5, 0.0], [0.5, -0.5, 0.0], [0.0, 0.5, 0.0]]])
+        faces = jnp.asarray([[[0, 1, 2]]])
+        tex = jnp.full((1, 1, 2, 3), 0.7, jnp.float32)
+        out = r.forward(verts, faces, tex)
+        assert np.isfinite(np.asarray(out)).all()
+        assert float(out[0, 3].max()) > 0.5  # triangle visible
