@@ -133,10 +133,19 @@ def solve_H_int(
         and not os.environ.get("LBM_DISABLE_PALLAS")
     )
     if use_pallas:
+        from .pallas.stencil3d import grad_fields
+
         h, psi = poisson_sweeps(
             h, magnetic_flags, rhs_scaled, tau=tau, n_iters=n_iters
         )
-        H_int = -isotropic_grad(psi, dx, magnetic_flags, dim)
+        # grad with the OBSTACLE substitution applied outside the kernel
+        idx = (Ellipsis,) + (slice(1, -1),) * dim
+        pad = [(0, 0)] * 2 + [(1, 1)] * dim
+        psi_obs = jnp.pad(psi[idx], pad, mode="edge")
+        psi_sub = jnp.where(
+            magnetic_flags == int(CellType.OBSTACLE), psi_obs, psi
+        )
+        H_int = -grad_fields(psi_sub, dx=dx)
         return H_int, h
 
     add_h = w * rhs_scaled
