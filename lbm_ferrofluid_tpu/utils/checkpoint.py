@@ -20,11 +20,18 @@ def _keystr(path) -> str:
 
 
 def save_checkpoint(path, state) -> None:
-    """Write all array leaves of ``state`` to ``path`` (.npz)."""
+    """Write all array leaves of ``state`` to ``path`` (.npz).
+
+    bfloat16 leaves are stored widened to float32 (exact) since numpy's npz
+    cannot serialize bf16; load_checkpoint casts back via the template dtype.
+    """
     leaves = jax.tree_util.tree_flatten_with_path(state)[0]
     arrays = {}
     for kp, leaf in leaves:
-        arrays[_keystr(kp)] = np.asarray(leaf)
+        arr = leaf
+        if hasattr(arr, "dtype") and arr.dtype == jax.numpy.bfloat16:
+            arr = arr.astype(jax.numpy.float32)
+        arrays[_keystr(kp)] = np.asarray(arr)
     pathlib.Path(path).parent.mkdir(parents=True, exist_ok=True)
     np.savez(path, **arrays)
 

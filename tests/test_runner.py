@@ -78,3 +78,47 @@ def test_diagnostics():
     assert bool(d["finite"])
     np.testing.assert_allclose(float(d["mass"]), 0.265 * 256, rtol=1e-5)
     assert float(d["max_speed"]) <= 0.05 * np.sqrt(2) + 1e-6
+
+
+def test_checkpoint_ferrofluid_bf16(tmp_path):
+    """Checkpoint/resume works for the ferrofluid state including tuple
+    fields and bfloat16 h-storage (saved widened to f32, restored exactly)."""
+    from lbm_ferrofluid_tpu.models import (
+        ferrofluid_step,
+        init_ferrofluid_state,
+    )
+
+    res = (8, 8, 8)
+    params = SimulationParams(
+        dim=3, density_gas=0.02381, density_fluid=0.2508,
+        rho_gas=0.02381, rho_fluid=0.2508,
+        mag_strength=85.0, poisson_iters=3, h_dtype="bfloat16",
+    )
+    flags = np.full((1, 1, *res), int(CellType.OBSTACLE), np.uint8)
+    flags[..., 1:-1, 1:-1, 1:-1] = int(CellType.FLUID)
+    mflags = np.full((1, 1, *res), int(CellType.OBSTACLE), np.uint8)
+    mflags[..., 1:-1, :, 1:-1] = int(CellType.FLUID)
+    rho = np.full((1, 1, *res), params.rho_gas, np.float32)
+    den = np.full((1, 1, *res), params.density_gas, np.float32)
+    rho[..., :4, :] = params.rho_fluid
+    den[..., :4, :] = params.density_fluid
+
+    def fresh():
+        return init_ferrofluid_state(
+            params, rho, den, np.zeros((1, 3, *res), np.float32), flags, mflags
+        )
+
+    state = fresh()
+    state = ferrofluid_step(params, state)
+    path = tmp_path / "ferro.npz"
+    save_checkpoint(path, state)
+    restored = load_checkpoint(path, fresh())
+    assert restored.h.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(state.h, np.float32), np.asarray(restored.h, np.float32)
+    )
+    np.testing.assert_array_equal(np.asarray(state.f), np.asarray(restored.f))
+    # deterministic resume
+    a = ferrofluid_step(params, state)
+    b = ferrofluid_step(params, restored)
+    np.testing.assert_array_equal(np.asarray(a.f), np.asarray(b.f))
