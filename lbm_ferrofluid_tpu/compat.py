@@ -36,7 +36,6 @@ from .ops import (
     stream,
     vorticity_2d,
 )
-from .utils.types import KBCType
 
 __all__ = ["SimulationParameters", "SimulationRunner"]
 
