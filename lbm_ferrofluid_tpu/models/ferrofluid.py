@@ -30,6 +30,7 @@ from ..ops import (
     solve_H_int,
     staggered,
     stream,
+    stream_bounce_macro,
     stream_bounce_moments,
 )
 from ..utils.types import CellType
@@ -94,18 +95,13 @@ def ferrofluid_step_impl(params: SimulationParams, state: FerrofluidState) -> Fe
     dx, dt = params.dx, params.dt
 
     c = dx / dt
-    f, m0f, m1f = stream_bounce_moments(lat, state.f, state.flags, params.use_pallas)
-    g, m0g, m1g = stream_bounce_moments(lat, state.g, state.flags, params.use_pallas)
-    is_obs = state.flags == int(CellType.OBSTACLE)
-    rho = jnp.where(is_obs, state.rho, m0f)
-    vel = jnp.where(is_obs, state.vel, m1f * (c / rho))
-    density = rho_to_density(
-        rho,
-        rho_gas=params.rho_gas,
-        rho_fluid=params.rho_fluid,
-        density_gas=params.density_gas,
-        density_fluid=params.density_fluid,
+    f, rho, vel, density = stream_bounce_macro(
+        lat, state.f, state.flags, state.rho, state.vel,
+        c=c, rho_gas=params.rho_gas, rho_fluid=params.rho_fluid,
+        density_gas=params.density_gas, density_fluid=params.density_fluid,
+        use_pallas=params.use_pallas,
     )
+    g, m0g, m1g = stream_bounce_moments(lat, state.g, state.flags, params.use_pallas)
 
     phi = -(
         2.0 * (density - params.density_gas)

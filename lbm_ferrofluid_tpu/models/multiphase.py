@@ -28,6 +28,7 @@ from ..ops import (
     rho_to_density,
     sc_collide,
     stream,
+    stream_bounce_macro,
     stream_bounce_moments,
 )
 from ..utils.types import CellType
@@ -176,18 +177,13 @@ def _hcz_step_shared(
     dx, dt = params.dx, params.dt
     c = dx / dt
 
-    f, m0f, m1f = stream_bounce_moments(lat, state.f, state.flags, params.use_pallas)
-    g, m0g, m1g = stream_bounce_moments(lat, state.g, state.flags, params.use_pallas)
-    is_obs = state.flags == int(CellType.OBSTACLE)
-    rho = jnp.where(is_obs, state.rho, m0f)
-    vel = jnp.where(is_obs, state.vel, m1f * (c / rho))
-    density = rho_to_density(
-        rho,
-        rho_gas=params.rho_gas,
-        rho_fluid=params.rho_fluid,
-        density_gas=params.density_gas,
-        density_fluid=params.density_fluid,
+    f, rho, vel, density = stream_bounce_macro(
+        lat, state.f, state.flags, state.rho, state.vel,
+        c=c, rho_gas=params.rho_gas, rho_fluid=params.rho_fluid,
+        density_gas=params.density_gas, density_fluid=params.density_fluid,
+        use_pallas=params.use_pallas,
     )
+    g, m0g, m1g = stream_bounce_moments(lat, state.g, state.flags, params.use_pallas)
     vel = _maybe_pin(state, vel)
 
     rho, vel, density, pressure, force, dfai, dprho = hcz_capillary(

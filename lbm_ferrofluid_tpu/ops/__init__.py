@@ -22,12 +22,13 @@ from .stencils import (
     staggered_y,
     staggered_z,
 )
-from .stream import bounce_back, stream, stream_bounce_moments
+from .stream import bounce_back, stream, stream_bounce_macro, stream_bounce_moments
 
 __all__ = [
     "stream",
     "bounce_back",
     "stream_bounce_moments",
+    "stream_bounce_macro",
     "feq",
     "geq",
     "gamma_quadratic",

@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...lattice import D3Q19, Lattice
 from ...utils.types import CellType
 
-__all__ = ["stream_bounce_moments", "stream3d_supported"]
+__all__ = ["stream_bounce_moments", "stream_bounce_macro", "stream3d_supported"]
 
 _OBS = int(CellType.OBSTACLE)
 
@@ -43,12 +43,8 @@ def stream3d_supported(lat: Lattice, f_shape: tuple[int, ...]) -> bool:
     return B == 1 and X % 128 == 0 and Y % 8 == 0 and Z >= 2
 
 
-def _kernel(mid_ref, up_ref, dn_ref, flags_ref, out_ref, m0_ref, m1_ref):
+def _load_streamed(mid_ref, up_ref, dn_ref, Y, X):
     lat = D3Q19
-    Y = mid_ref.shape[2]
-    X = mid_ref.shape[3]
-    is_obs = flags_ref[0, 0] == _OBS
-
     streamed = [None] * 19
     for q in range(19):
         if q < 9:
@@ -63,6 +59,52 @@ def _kernel(mid_ref, up_ref, dn_ref, flags_ref, out_ref, m0_ref, m1_ref):
         if ex:
             v = pltpu.roll(v, ex % X, 1)
         streamed[q] = v
+    return streamed
+
+
+def _macro_kernel(c, rho_gas, rho_fluid, density_gas, density_fluid,
+                  mid_ref, up_ref, dn_ref, flags_ref, rho_old_ref, vel_old_ref,
+                  out_ref, rho_ref, vel_ref, density_ref):
+    """stream + bounce + frozen macro fields + linear density map."""
+    lat = D3Q19
+    Y, X = mid_ref.shape[2], mid_ref.shape[3]
+    is_obs = flags_ref[0, 0] == _OBS
+
+    streamed = _load_streamed(mid_ref, up_ref, dn_ref, Y, X)
+    post = [
+        jnp.where(is_obs, streamed[int(lat.opposite[q])], streamed[q])
+        for q in range(19)
+    ]
+    for q in range(19):
+        out_ref[q, 0] = post[q]
+
+    m0 = post[0]
+    for q in range(1, 19):
+        m0 = m0 + post[q]
+    rho = jnp.where(is_obs, rho_old_ref[0, 0], m0)
+    rho_ref[0, 0] = rho
+    density_ref[0, 0] = density_gas + (density_fluid - density_gas) * (
+        (rho - rho_gas) / (rho_fluid - rho_gas)
+    )
+    inv_rho = c / rho
+    for d in range(3):
+        md = None
+        for q in range(19):
+            ev = int(lat.e[q][d])
+            if ev == 0:
+                continue
+            term = post[q] if ev == 1 else -post[q]
+            md = term if md is None else md + term
+        vel_ref[d, 0] = jnp.where(is_obs, vel_old_ref[d, 0], md * inv_rho)
+
+
+def _kernel(mid_ref, up_ref, dn_ref, flags_ref, out_ref, m0_ref, m1_ref):
+    lat = D3Q19
+    Y = mid_ref.shape[2]
+    X = mid_ref.shape[3]
+    is_obs = flags_ref[0, 0] == _OBS
+
+    streamed = _load_streamed(mid_ref, up_ref, dn_ref, Y, X)
 
     post = [
         jnp.where(is_obs, streamed[int(lat.opposite[q])], streamed[q])
@@ -129,3 +171,52 @@ def stream_bounce_moments(f: jnp.ndarray, flags: jnp.ndarray, *, interpret=False
         interpret=interpret,
     )(f[0, :9], f[0, 9:14], f[0, 14:19], flags_i32)
     return out[None], m0[None], m1[None]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "c", "rho_gas", "rho_fluid", "density_gas", "density_fluid", "interpret"
+    ),
+)
+def stream_bounce_macro(
+    f, flags, rho_old, vel_old, *, c, rho_gas, rho_fluid,
+    density_gas, density_fluid, interpret=False,
+):
+    """Fused stream + bounce-back + frozen macro recovery + density map.
+
+    Returns (f_post, rho, vel, density) — the full hydrodynamic prologue of
+    the HCZ/ferrofluid step in one HBM pass over f.
+    """
+    _, _, Z, Y, X = f.shape
+    flags_i32 = flags[0].astype(jnp.int32)
+
+    bs = lambda ch: pl.BlockSpec(  # noqa: E731
+        (ch, 1, Y, X), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    bs_up = pl.BlockSpec(
+        (5, 1, Y, X), lambda i: (0, (i - 1) % Z, 0, 0), memory_space=pltpu.VMEM
+    )
+    bs_dn = pl.BlockSpec(
+        (5, 1, Y, X), lambda i: (0, (i + 1) % Z, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    out, rho, vel, density = pl.pallas_call(
+        functools.partial(
+            _macro_kernel, c, rho_gas, rho_fluid, density_gas, density_fluid
+        ),
+        grid=(Z,),
+        in_specs=[bs(9), bs_up, bs_dn, bs(1), bs(1), bs(3)],
+        out_specs=[bs(19), bs(1), bs(3), bs(1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((19, Z, Y, X), f.dtype),
+            jax.ShapeDtypeStruct((1, Z, Y, X), f.dtype),
+            jax.ShapeDtypeStruct((3, Z, Y, X), f.dtype),
+            jax.ShapeDtypeStruct((1, Z, Y, X), f.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(f[0, :9], f[0, 9:14], f[0, 14:19], flags_i32, rho_old[0], vel_old[0])
+    return out[None], rho[None], vel[None], density[None]

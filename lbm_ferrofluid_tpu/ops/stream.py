@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..lattice import Lattice
 from ..utils.types import CellType
 
-__all__ = ["stream", "bounce_back", "stream_bounce_moments"]
+__all__ = ["stream", "bounce_back", "stream_bounce_moments", "stream_bounce_macro"]
 
 
 def stream(lat: Lattice, f: jnp.ndarray) -> jnp.ndarray:
@@ -88,3 +88,52 @@ def stream_bounce_moments(lat: Lattice, f: jnp.ndarray, flags: jnp.ndarray, use_
         )
         moments.append(jnp.sum(f * ed, axis=1, keepdims=True))
     return f, m0, jnp.concatenate(moments, axis=1)
+
+
+def stream_bounce_macro(
+    lat: Lattice,
+    f: jnp.ndarray,
+    flags: jnp.ndarray,
+    rho_old: jnp.ndarray,
+    vel_old: jnp.ndarray,
+    *,
+    c: float,
+    rho_gas: float,
+    rho_fluid: float,
+    density_gas: float,
+    density_fluid: float,
+    use_pallas: bool = True,
+):
+    """Full hydrodynamic prologue in one pass: stream -> bounce-back ->
+    frozen macro moments -> linear density map.
+
+    Returns (f_post, rho, vel, density).
+    """
+    import os
+
+    import jax
+
+    from .pallas.stream3d import stream3d_supported
+    from .pallas.stream3d import stream_bounce_macro as _pk
+
+    if (
+        use_pallas
+        and lat.dim == 3
+        and stream3d_supported(lat, f.shape)
+        and jax.default_backend() == "tpu"
+        and not os.environ.get("LBM_DISABLE_PALLAS")
+    ):
+        return _pk(
+            f, flags, rho_old, vel_old, c=c, rho_gas=rho_gas,
+            rho_fluid=rho_fluid, density_gas=density_gas,
+            density_fluid=density_fluid,
+        )
+
+    f2, m0, m1 = stream_bounce_moments(lat, f, flags, use_pallas=False)
+    is_obs = flags == int(CellType.OBSTACLE)
+    rho = jnp.where(is_obs, rho_old, m0)
+    vel = jnp.where(is_obs, vel_old, m1 * (c / rho))
+    density = density_gas + (density_fluid - density_gas) * (
+        (rho - rho_gas) / (rho_fluid - rho_gas)
+    )
+    return f2, rho, vel, density
