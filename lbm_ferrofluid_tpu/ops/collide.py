@@ -176,7 +176,19 @@ def _entropic_relax(
     dx: float,
     dt: float,
 ) -> jnp.ndarray:
-    """Shared entropic-stabilizer update: f + beta(-2 ds - gamma dh)."""
+    """Shared entropic-stabilizer update: f + beta(-2 ds - gamma dh).
+
+    Conscious fix over the reference (LBM_collision_MRT_2d.py:219-222 /
+    LBM_collision_HCZ_2d.py:253-255): the gamma estimator is a ratio of two
+    tiny contractions and is ill-conditioned near equilibrium — where
+    f == feq exactly it divides 0/0 (the reference demo_2d_wave.py produces
+    NaN in g at step 0 from this), and where dh is float-noise-dominated
+    the ratio is garbage that destabilizes quiescent regions (SURVEY.md §7
+    flagged this fp32 sensitivity).  gamma = 2 makes the KBC update
+    algebraically identical to LBGK (beta(-2ds - 2dh) = -(f - feq)/tau), so
+    ill-conditioned cells fall back to plain relaxation; well-resolved
+    cells are bit-identical to the reference formula.
+    """
     ds = kbc_moment_split(lat, f, rho, vel, kbc_type, dx=dx, dt=dt) - kbc_moment_split(
         lat, feq_val, rho, vel, kbc_type, dx=dx, dt=dt
     )
@@ -184,7 +196,15 @@ def _entropic_relax(
     beta = 0.5 / tau
     num = jnp.sum(ds * dh / feq_val, axis=1, keepdims=True)
     den = jnp.sum(dh * dh / feq_val, axis=1, keepdims=True)
-    gamma = 1.0 / beta - (2.0 - 1.0 / beta) * num / den
+    # den ~ (relative deviation)^2 * sum(feq): below ~1e-5 relative the
+    # f32 estimator is noise; use the LBGK-equivalent gamma there
+    scale = jnp.sum(feq_val, axis=1, keepdims=True)
+    ill = den <= 1e-10 * jnp.abs(scale)
+    gamma = jnp.where(
+        ill,
+        2.0,
+        1.0 / beta - (2.0 - 1.0 / beta) * num / jnp.where(ill, 1.0, den),
+    )
     return f + beta * (-2.0 * ds - gamma * dh)
 
 

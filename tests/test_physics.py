@@ -131,3 +131,19 @@ def test_momentum_conserved_without_forces():
     drift = np.abs(mom1 - mom0).max()
     scale = np.abs(mom0).max()
     assert drift < 2e-3 * max(scale, 1.0), f"momentum drift {drift} too large"
+
+
+def test_wave_kbc_on_g_stays_finite():
+    """The reference's wave config (KBC_A on g, velocity-pinned inflow) NaNs
+    at step 0 in the reference because the entropic gamma divides 0/0 where
+    g == geq exactly; our guarded stabilizer keeps the whole state finite."""
+    from lbm_ferrofluid_tpu.models import hcz_step, scenes
+
+    params, state = scenes.wave((32, 32))
+    for _ in range(50):
+        state = hcz_step(params, state)
+    assert bool(jnp.isfinite(state.g).all()), "g went non-finite"
+    assert bool(jnp.isfinite(state.f).all())
+    assert bool(jnp.isfinite(state.vel).all())
+    # the pinned inflow column is held at vel_max
+    np.testing.assert_allclose(np.asarray(state.vel)[0, 0, :, 0], 0.2, atol=1e-6)

@@ -338,6 +338,73 @@ def _run_hcz_3d(name, gravity, steps=10, mag=None, res=(10, 12, 14)):
     print(f"{name}: |vel|max={vel.abs().max():.6f}")
 
 
+def gen_wave(steps=10, res=(24, 20), vel_max=0.05):
+    """Velocity-forced wave pool (demo_2d_wave.py): KBC_A on g + inflow pin.
+
+    NOTE: no golden data is produced — the REFERENCE itself emits NaN in g
+    at step 0 (verified at the demo's own 130x130 defaults too): the KBC
+    entropic gamma divides 0/0 wherever g == geq exactly (uniform bulk at
+    rest).  Our implementation guards that limit (ops/collide.py:
+    _entropic_relax), so the wave demo runs; field parity vs the reference
+    is impossible for this configuration.  Kept as executable documentation
+    of the reference bug."""
+    sp = _params(
+        2, res, density_gas=0.02381, density_fluid=0.2508,
+        rho_gas=0.02381, rho_fluid=0.2508, Q=9,
+        contact_angle=torch.tensor([0.55 * math.pi]),
+        kappa=0.01, tau_f=0.7, tau_g=0.7, k=0.33,
+    )
+    runner = SimulationRunner(parameters=sp)
+    prop = runner.create_propagation()
+    macro = runner.create_macro_compute()
+    coll = runner.create_collision_HCZ()
+    coll.preset_KBC(dx=1.0, dt=1.0)
+    coll.set_gravity(gravity=0)
+
+    H, W = res
+    flags = torch.full((1, 1, *res), int(CellType.FLUID), dtype=torch.uint8)
+    flags[..., 0, :] = int(CellType.OBSTACLE)
+    flags[..., -1, :] = int(CellType.OBSTACLE)
+    flags[..., :, 0] = int(CellType.OBSTACLE)
+    flags[..., :, -1] = int(CellType.OBSTACLE)
+    rho = torch.full((1, 1, *res), 0.02381, dtype=DTYPE)
+    den = torch.full((1, 1, *res), 0.02381, dtype=DTYPE)
+    rho[..., : H // 2, :] = 0.2508
+    den[..., : H // 2, :] = 0.2508
+    vel = torch.zeros((1, 2, *res), dtype=DTYPE)
+    vel[..., 0, :, 0] = vel_max
+    force = torch.zeros((1, 2, *res), dtype=DTYPE)
+    pressure = macro.get_pressure(dx=1.0, dt=1.0, density=den)
+    f = coll.get_feq_(dx=1.0, dt=1.0, rho=den, vel=vel, force=force)
+    g = coll.get_geq_(dx=1.0, dt=1.0, rho=rho, vel=vel, density=den,
+                      pressure=pressure, force=force, feq=f)
+    f0, g0, rho0, den0 = (x.clone() for x in (f, g, rho, den))
+
+    for _ in range(steps):
+        f = prop.propagation(f=f)
+        g = prop.propagation(f=g)
+        rho, vel, den = macro.macro_compute(
+            dx=1.0, dt=1.0, f=f, rho=rho, vel=vel, flags=flags, density=den
+        )
+        vel[..., 0, :, 0] = vel_max
+        f = prop.rebounce_obstacle(f=f, flags=flags)
+        g = prop.rebounce_obstacle(f=g, flags=flags)
+        rho, vel, den, pressure, force, dfai, dprho = coll.capillary_process(
+            rho=rho, vel=vel, flags=flags, force=force, dt=1.0, dx=1.0,
+            g=g, density=den, pressure=pressure,
+        )
+        vel[..., 0, :, 0] = vel_max
+        f, g = coll.collision(
+            dx=1.0, dt=1.0, f=f, rho=rho, vel=vel, density=den, flags=flags,
+            force=force, g=g, pressure=pressure, dfai=dfai, dprho=dprho,
+            KBC_type=int(KBCType.KBC_A),
+        )
+
+    nan_count = int(torch.isnan(g).sum())
+    print(f"wave: reference NaN count in g after {steps} steps: {nan_count}"
+          " (reference bug; no golden saved)")
+
+
 if __name__ == "__main__":
     torch.manual_seed(0)
     gen_singlephase(kbc=False)
@@ -353,4 +420,7 @@ if __name__ == "__main__":
     _run_hcz_2d("ferro2d", kbc_type=None, gravity=0.0, contact_angle=0.5 * math.pi, mag=100.0, steps=10)
     _run_hcz_3d("hcz3d", gravity=1e-4, steps=10)
     _run_hcz_3d("ferro3d", gravity=1e-4, mag=85.0, steps=8)
+    gen_wave()  # documents the reference NaN; writes nothing
     print("golden data written to", OUT)
+
+
