@@ -65,6 +65,8 @@ def init_ferrofluid_state(
     pressure = eos_pressure(density, dx=params.dx, dt=params.dt)
     f = feq(lat, density, vel, dx=params.dx, dt=params.dt, tau=params.tau, force=force)
     g = geq(lat, rho, density, vel, pressure, dx=params.dx, dt=params.dt, feq_val=f)
+    fg_dt = jnp.dtype(params.fg_dtype)
+    f, g = f.astype(fg_dt), g.astype(fg_dt)
     h = jnp.zeros(f.shape, dtype=jnp.dtype(params.h_dtype))
     phi = jnp.zeros_like(rho)
     res = rho.shape[2:]
@@ -89,8 +91,15 @@ def init_ferrofluid_state(
     )
 
 
-def ferrofluid_step_impl(params: SimulationParams, state: FerrofluidState) -> FerrofluidState:
-    """Un-jitted step body of the flagship ferrofluid model."""
+def ferrofluid_step_impl(
+    params: SimulationParams, state: FerrofluidState, mesh=None
+) -> FerrofluidState:
+    """Un-jitted step body of the flagship ferrofluid model.
+
+    With ``mesh`` (a jax.sharding.Mesh with 'batch'/'z' axes) the fused
+    Pallas kernels run multi-chip under shard_map slab decomposition
+    (parallel/step3d.py); the cheap glue stays on GSPMD.
+    """
     lat = params.lattice
     dx, dt = params.dx, params.dt
 
@@ -99,9 +108,11 @@ def ferrofluid_step_impl(params: SimulationParams, state: FerrofluidState) -> Fe
         lat, state.f, state.flags, state.rho, state.vel,
         c=c, rho_gas=params.rho_gas, rho_fluid=params.rho_fluid,
         density_gas=params.density_gas, density_fluid=params.density_fluid,
-        use_pallas=params.use_pallas,
+        use_pallas=params.use_pallas, mesh=mesh,
     )
-    g, m0g, m1g = stream_bounce_moments(lat, state.g, state.flags, params.use_pallas)
+    g, m0g, m1g = stream_bounce_moments(
+        lat, state.g, state.flags, params.use_pallas, mesh=mesh
+    )
 
     phi = -(
         2.0 * (density - params.density_gas)
@@ -120,6 +131,8 @@ def ferrofluid_step_impl(params: SimulationParams, state: FerrofluidState) -> Fe
         dx=dx,
         dt=dt,
         use_pallas=params.use_pallas,
+        mesh=mesh,
+        halo_depth=params.poisson_halo_depth,
     )
     H_tot = state.H_ext + H_int
     H2 = jnp.sum(H_tot * H_tot, axis=1, keepdims=True)
@@ -146,6 +159,7 @@ def ferrofluid_step_impl(params: SimulationParams, state: FerrofluidState) -> Fe
         g_sum=m0g,
         g_mom=m1g,
         use_pallas=params.use_pallas,
+        mesh=mesh,
     )
     f, g = hcz_collide(
         lat,
@@ -165,6 +179,7 @@ def ferrofluid_step_impl(params: SimulationParams, state: FerrofluidState) -> Fe
         dx=dx,
         dt=dt,
         use_pallas=params.use_pallas,
+        mesh=mesh,
     )
     return FerrofluidState(
         f=f,
@@ -184,6 +199,6 @@ def ferrofluid_step_impl(params: SimulationParams, state: FerrofluidState) -> Fe
     )
 
 
-ferrofluid_step = partial(jax.jit, static_argnums=0, donate_argnums=1)(
-    ferrofluid_step_impl
-)
+ferrofluid_step = partial(
+    jax.jit, static_argnums=0, donate_argnums=1, static_argnames="mesh"
+)(ferrofluid_step_impl)

@@ -134,6 +134,8 @@ def init_hcz_state(
         dt=params.dt,
         feq_val=f,
     )
+    fg_dt = jnp.dtype(params.fg_dtype)
+    f, g = f.astype(fg_dt), g.astype(fg_dt)
     return HCZState(
         f=f,
         g=g,
@@ -158,12 +160,16 @@ def _maybe_pin(state: HCZState, vel: jnp.ndarray) -> jnp.ndarray:
 sc_step = partial(jax.jit, static_argnums=0, donate_argnums=1)(sc_step_impl)
 
 
-def hcz_step_impl(params: SimulationParams, state: HCZState) -> HCZState:
+def hcz_step_impl(
+    params: SimulationParams, state: HCZState, mesh=None
+) -> HCZState:
     """Un-jitted HCZ step body."""
-    return _hcz_step_shared(params, state)
+    return _hcz_step_shared(params, state, mesh=mesh)
 
 
-hcz_step = partial(jax.jit, static_argnums=0, donate_argnums=1)(hcz_step_impl)
+hcz_step = partial(
+    jax.jit, static_argnums=0, donate_argnums=1, static_argnames="mesh"
+)(hcz_step_impl)
 
 
 def _hcz_step_shared(
@@ -171,6 +177,7 @@ def _hcz_step_shared(
     state: HCZState,
     H2=None,
     phi=None,
+    mesh=None,
 ) -> HCZState:
     """Shared HCZ body; the ferrofluid solver passes H2/phi for the Kelvin force."""
     lat = params.lattice
@@ -181,9 +188,11 @@ def _hcz_step_shared(
         lat, state.f, state.flags, state.rho, state.vel,
         c=c, rho_gas=params.rho_gas, rho_fluid=params.rho_fluid,
         density_gas=params.density_gas, density_fluid=params.density_fluid,
-        use_pallas=params.use_pallas,
+        use_pallas=params.use_pallas, mesh=mesh,
     )
-    g, m0g, m1g = stream_bounce_moments(lat, state.g, state.flags, params.use_pallas)
+    g, m0g, m1g = stream_bounce_moments(
+        lat, state.g, state.flags, params.use_pallas, mesh=mesh
+    )
     vel = _maybe_pin(state, vel)
 
     rho, vel, density, pressure, force, dfai, dprho = hcz_capillary(
@@ -208,6 +217,7 @@ def _hcz_step_shared(
         g_sum=m0g,
         g_mom=m1g,
         use_pallas=params.use_pallas,
+        mesh=mesh,
     )
     vel = _maybe_pin(state, vel)
 
@@ -229,6 +239,7 @@ def _hcz_step_shared(
         dx=dx,
         dt=dt,
         use_pallas=params.use_pallas,
+        mesh=mesh,
     )
     return HCZState(
         f=f,

@@ -46,11 +46,17 @@ class SimulationParams:
     kbc_type: int | None = None  # None/LBGK or a KBCType value
     mag_strength: float = 0.0
     poisson_iters: int = 30
+    # Ghost-zone depth for the multi-chip Poisson loop: exchange k planes
+    # every k sweeps instead of 1 plane per sweep (30 ring rounds/step ->
+    # 30/k), trading ICI bandwidth for latency.  Bit-identical results for
+    # any k (parallel/step3d.py:poisson_sweeps_sharded).
+    poisson_halo_depth: int = 5
 
-    # Fused Pallas TPU kernels (single-device only: XLA's SPMD partitioner
-    # cannot split a custom call, so sharded multi-chip runs must disable
-    # this and take the jnp path, whose rolls/stencils lower to ICI
-    # collective-permutes automatically).
+    # Fused Pallas TPU kernels.  XLA's SPMD partitioner cannot split a
+    # custom call, so multi-chip runs either pass a ('batch','z') Mesh to the
+    # step (explicit shard_map slab decomposition with ring halo exchange,
+    # parallel/step3d.py) or disable this and take the jnp path, whose
+    # rolls/stencils GSPMD lowers to ICI collective-permutes automatically.
     use_pallas: bool = True
 
     # Storage dtype for the magnetic Poisson distribution h.  "bfloat16"
@@ -58,6 +64,14 @@ class SimulationParams:
     # stays f32 in-register); NOT bit-parity with the reference — opt-in for
     # production runs that tolerate ~1e-3 relative H_int noise.
     h_dtype: str = "float32"
+
+    # Storage dtype for the hydrodynamic distributions f and g ("bfloat16"
+    # = turbo mode).  The 2x19 channels of f+g dominate the remaining HBM
+    # traffic of a step; all collision/streaming arithmetic stays f32
+    # in-register and macro fields (rho/vel/density/pressure/force) stay
+    # f32.  NOT bit-parity with the reference; long-horizon interface
+    # dynamics tracking vs f32 is asserted in tests/test_bf16_physics.py.
+    fg_dtype: str = "float32"
 
     @property
     def lattice(self) -> Lattice:

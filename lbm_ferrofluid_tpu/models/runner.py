@@ -92,12 +92,15 @@ class SimulationRunner:
         return self._chunk(n_steps)(state)
 
     # ------------------------------------------------------------------
-    def benchmark(self, state, *, n_steps: int = 50, warmup: int = 5):
+    def benchmark(self, state, *, n_steps: int = 50, warmup: int = 5,
+                  repeats: int = 1):
         """Wall-clock MLUPS (million lattice-site updates per second).
 
         Counts *outer* steps: one step of the ferrofluid model (which
         internally runs poisson_iters extra sweeps) is one lattice update,
-        matching how the reference workloads are specified.
+        matching how the reference workloads are specified.  With
+        ``repeats`` > 1 the timed chunk runs that many times; ``mlups`` is
+        the median and per-repeat seconds are reported for variance.
         """
         res = state.rho.shape[2:]
         sites = state.rho.shape[0] * int(np.prod(res))
@@ -109,15 +112,20 @@ class SimulationRunner:
             state = chunk(state)
         sync(state)
 
-        t0 = time.perf_counter()
-        state = chunk(state)
-        sync(state)
-        dt = time.perf_counter() - t0
+        times = []
+        for _ in range(max(1, repeats)):
+            t0 = time.perf_counter()
+            state = chunk(state)
+            sync(state)
+            times.append(time.perf_counter() - t0)
 
+        dt = float(np.median(times))
         mlups = sites * n_steps / dt / 1e6
         return state, {
             "mlups": mlups,
+            "mlups_best": sites * n_steps / min(times) / 1e6,
             "seconds": dt,
+            "seconds_all": [round(t, 4) for t in times],
             "steps": n_steps,
             "sites": sites,
             "res": tuple(res),

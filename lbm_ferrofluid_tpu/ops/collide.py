@@ -16,6 +16,7 @@ stateful reference classes (src/LBM/LBM_collision/*) map onto them 1:1:
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -61,8 +62,8 @@ def bgk_collide(
 ) -> jnp.ndarray:
     """LBGK relaxation f' = (1 - 1/tau) f + feq/tau, frozen on OBSTACLE cells."""
     feq_val = feq(lat, rho, vel, dx=dx, dt=dt, tau=tau, force=force)
-    out = (1.0 - 1.0 / tau) * f + feq_val / tau
-    return jnp.where(flags == int(CellType.OBSTACLE), f, out)
+    out = (1.0 - 1.0 / tau) * f.astype(feq_val.dtype) + feq_val / tau
+    return jnp.where(flags == int(CellType.OBSTACLE), f, out).astype(f.dtype)
 
 
 # ----------------------------------------------------------------------
@@ -224,7 +225,7 @@ def kbc_collide(
     """Entropic KBC collision (reference: LBM_collision_MRT_2d.py:184-226)."""
     feq_val = feq(lat, rho, vel, dx=dx, dt=dt, tau=tau, force=force)
     out = _entropic_relax(lat, f, feq_val, rho, vel, kbc_type, tau, dx=dx, dt=dt)
-    return jnp.where(flags == int(CellType.OBSTACLE), f, out)
+    return jnp.where(flags == int(CellType.OBSTACLE), f, out).astype(f.dtype)
 
 
 # ----------------------------------------------------------------------
@@ -526,6 +527,7 @@ def hcz_capillary(
     g_sum: jnp.ndarray | None = None,
     g_mom: jnp.ndarray | None = None,
     use_pallas: bool = True,
+    mesh=None,
 ):
     """HCZ capillary step: wetting BC, surface-tension/gravity/Kelvin forces,
     EOS potentials and macro recovery from g.
@@ -562,12 +564,32 @@ def hcz_capillary(
 
     from .pallas.stencil3d import grad_fields, laplacian_field, stencil3d_supported
 
-    fuse_stencils = (
-        use_pallas
-        and dim == 3
+    pallas_on = (
+        use_pallas and dim == 3 and not os.environ.get("LBM_DISABLE_PALLAS")
+    )
+    sharded = False
+    if pallas_on and mesh is not None:
+        from ..parallel.step3d import (
+            default_interpret,
+            grad_fields_sharded,
+            laplacian_field_sharded,
+            sharded3d_ok,
+        )
+
+        interp = default_interpret()
+        sharded = sharded3d_ok(mesh, density.shape, interp)
+        if sharded:
+            laplacian_field = functools.partial(
+                laplacian_field_sharded, mesh=mesh, interpret=interp
+            )
+            grad_fields = functools.partial(
+                grad_fields_sharded, mesh=mesh, interpret=interp
+            )
+    fuse_stencils = sharded or (
+        pallas_on
+        and mesh is None
         and stencil3d_supported(density.shape)
         and jax.default_backend() == "tpu"
-        and not os.environ.get("LBM_DISABLE_PALLAS")
     )
     if fuse_stencils:
         # one Pallas pass for the Laplacian, one for all gradients
@@ -599,20 +621,24 @@ def hcz_capillary(
 
     if g_mom is None:
         # first moment of g per dimension (no [B, Q, dim, *res] intermediate)
+        gf = g.astype(jnp.promote_types(g.dtype, jnp.float32))
         moments = []
         for d in range(dim):
             ed = jnp.asarray(
                 lat.e[:, d].reshape(1, lat.q, *([1] * dim)).astype(np.float64),
-                dtype=rho.dtype,
+                dtype=gf.dtype,
             )
-            moments.append(jnp.sum(g * ed, axis=1, keepdims=True))
+            moments.append(jnp.sum(gf * ed, axis=1, keepdims=True))
         g_mom = jnp.concatenate(moments, axis=1)
     macro_vel = (g_mom * c + 0.5 * dt * RT * force) / RT / density
     is_fluid = flags == int(CellType.FLUID)
     vel = jnp.where(is_fluid, macro_vel, vel)
 
     if g_sum is None:
-        g_sum = jnp.sum(g, axis=1, keepdims=True)
+        g_sum = jnp.sum(
+            g.astype(jnp.promote_types(g.dtype, jnp.float32)), axis=1,
+            keepdims=True,
+        )
     macro_pressure = g_sum - 0.5 * dt * jnp.sum(
         vel * dprho, axis=1, keepdims=True
     )
@@ -640,6 +666,7 @@ def hcz_collide(
     dx: float = 1.0,
     dt: float = 1.0,
     use_pallas: bool = True,
+    mesh=None,
 ):
     """HCZ two-distribution collision with Guo-style forcing on f and g.
 
@@ -651,12 +678,25 @@ def hcz_collide(
 
     from .pallas.hcz3d import hcz3d_supported, hcz_collide_fused
 
-    if (
-        use_pallas
-        and lat.dim == 3
+    pallas_on = (
+        use_pallas and lat.dim == 3 and lat.q == 19 and kbc_type is None
+        and not os.environ.get("LBM_DISABLE_PALLAS")
+    )
+    if pallas_on and mesh is not None:
+        from ..parallel.step3d import (
+            default_interpret, hcz_collide_sharded, sharded3d_ok,
+        )
+
+        interp = default_interpret()
+        if sharded3d_ok(mesh, f.shape, interp):
+            return hcz_collide_sharded(
+                f, g, rho, vel, density, pressure, flags, force, dfai, dprho,
+                mesh, tau_f=tau_f, tau_g=tau_g, dx=dx, dt=dt, interpret=interp,
+            )
+    elif (
+        pallas_on
         and hcz3d_supported(lat, f.shape, kbc_type)
         and jax.default_backend() == "tpu"
-        and not os.environ.get("LBM_DISABLE_PALLAS")
     ):
         return hcz_collide_fused(
             f, g, rho, vel, density, pressure, flags, force, dfai, dprho,
@@ -671,7 +711,9 @@ def hcz_collide(
     geq_val = geq(lat, rho, density, vel, pressure, dx=dx, dt=dt, feq_val=feq_val)
     Gamma = gamma_quadratic(lat, vel, dx=dx, dt=dt)
 
-    w = jnp.asarray(lat.w_bcast(np.float64), dtype=f.dtype)
+    w = jnp.asarray(
+        lat.w_bcast(np.float64), dtype=jnp.promote_types(f.dtype, jnp.float32)
+    )
 
     # forcing inner products Σ_d (e_qd c - u_d) v_d, accumulated per dimension
     # to avoid materializing [B, Q, dim, *res] intermediates (3x the traffic
@@ -681,7 +723,7 @@ def hcz_collide(
         for d in range(lat.dim):
             ed = jnp.asarray(
                 lat.e[:, d].reshape(1, lat.q, *([1] * lat.dim)).astype(np.float64),
-                dtype=f.dtype,
+                dtype=jnp.promote_types(f.dtype, jnp.float32),
             )
             term = (ed * c - vel[:, d : d + 1]) * vec[:, d : d + 1]
             acc = term if acc is None else acc + term
@@ -707,6 +749,7 @@ def hcz_collide(
     )
 
     is_fluid = flags == int(CellType.FLUID)
-    f_new = jnp.where(is_fluid, collision_f, f)
-    g_new = jnp.where(is_fluid, collision_g, g)
+    # storage dtype preserved (bf16 turbo mode computes in f32 via promotion)
+    f_new = jnp.where(is_fluid, collision_f, f).astype(f.dtype)
+    g_new = jnp.where(is_fluid, collision_g, g).astype(g.dtype)
     return f_new, g_new

@@ -87,11 +87,17 @@ def solve_H_int(
     dx: float = 1.0,
     dt: float = 1.0,
     use_pallas: bool = True,
+    mesh=None,
+    halo_depth: int = 5,
 ):
     """Run ``n_iters`` sweeps of [stream -> bounce-back -> magnetic_sweep].
 
     Mirrors the demos' inner loop (demo_2d_LBM_two_droplets.py:167-177);
     returns (H_int from the last sweep, final h).
+
+    With ``mesh`` the fused sweep kernel runs multi-chip under shard_map slab
+    decomposition with depth-``halo_depth`` ghost zones: one ring exchange of
+    k planes per k sweeps instead of one per sweep (parallel/step3d.py).
 
     Optimized relative to a literal transcription, with identical results:
     * the source term rhs = div(chi H_ext) dx/(1+chi) depends only on phi and
@@ -125,19 +131,37 @@ def solve_H_int(
 
     from .pallas.poisson import poisson_sweeps, poisson_supported
 
-    use_pallas = (
-        use_pallas
-        and dim == 3
-        and poisson_supported(lat, h.shape)
-        and jax.default_backend() == "tpu"
+    pallas_on = (
+        use_pallas and dim == 3 and lat.q == 19
         and not os.environ.get("LBM_DISABLE_PALLAS")
     )
-    if use_pallas:
-        from .pallas.stencil3d import grad_fields
+    sharded = False
+    if pallas_on and mesh is not None:
+        from ..parallel.step3d import default_interpret, sharded3d_ok
 
-        h, psi = poisson_sweeps(
-            h, magnetic_flags, rhs_scaled, tau=tau, n_iters=n_iters
-        )
+        interp = default_interpret()
+        sharded = sharded3d_ok(mesh, h.shape, interp)
+    if sharded or (
+        pallas_on
+        and mesh is None
+        and poisson_supported(lat, h.shape)
+        and jax.default_backend() == "tpu"
+    ):
+        if sharded:
+            from ..parallel.step3d import (
+                grad_fields_sharded, poisson_sweeps_sharded,
+            )
+
+            h, psi = poisson_sweeps_sharded(
+                h, magnetic_flags, rhs_scaled, mesh, tau=tau,
+                n_iters=n_iters, halo_depth=halo_depth, interpret=interp,
+            )
+        else:
+            from .pallas.stencil3d import grad_fields
+
+            h, psi = poisson_sweeps(
+                h, magnetic_flags, rhs_scaled, tau=tau, n_iters=n_iters
+            )
         # grad with the OBSTACLE substitution applied outside the kernel
         idx = (Ellipsis,) + (slice(1, -1),) * dim
         pad = [(0, 0)] * 2 + [(1, 1)] * dim
@@ -145,7 +169,10 @@ def solve_H_int(
         psi_sub = jnp.where(
             magnetic_flags == int(CellType.OBSTACLE), psi_obs, psi
         )
-        H_int = -grad_fields(psi_sub, dx=dx)
+        if sharded:
+            H_int = -grad_fields_sharded(psi_sub, mesh, dx=dx, interpret=interp)
+        else:
+            H_int = -grad_fields(psi_sub, dx=dx)
         return H_int, h
 
     add_h = w * rhs_scaled

@@ -92,9 +92,9 @@ def _f_kernel(tau_f, dx, dt, f_ref, rho_ref, vel_ref, dfai_ref, flags_ref, out_r
         e_dot_g = (
             float(lat.e[q][0]) * gx + float(lat.e[q][1]) * gy + float(lat.e[q][2]) * gz
         ) * c
-        fq = f_ref[q, 0]
+        fq = f_ref[q, 0].astype(jnp.float32)
         coll = fq + (feq[q] - fq) / tau_f + pref * gamma[q] * (e_dot_g - u_dot_g)
-        out_ref[q, 0] = jnp.where(is_fluid, coll, fq)
+        out_ref[q, 0] = jnp.where(is_fluid, coll, fq).astype(out_ref.dtype)
 
 
 def _g_kernel(tau_g, dx, dt, g_ref, rho_ref, vel_ref, density_ref, pressure_ref,
@@ -123,7 +123,7 @@ def _g_kernel(tau_g, dx, dt, g_ref, rho_ref, vel_ref, density_ref, pressure_ref,
         geq = wq * p_term + dens_term * feq[q]
         e_dot_f = (ex * fx + ey * fy + ez * fz) * c
         e_dot_p = (ex * px + ey * py + ez * pz) * c
-        gq = g_ref[q, 0]
+        gq = g_ref[q, 0].astype(jnp.float32)
         coll = (
             gq
             + (geq - gq) / tau_g
@@ -133,7 +133,7 @@ def _g_kernel(tau_g, dx, dt, g_ref, rho_ref, vel_ref, density_ref, pressure_ref,
                 + (gamma[q] - wq) * (e_dot_p - u_dot_p)
             )
         )
-        out_ref[q, 0] = jnp.where(is_fluid, coll, gq)
+        out_ref[q, 0] = jnp.where(is_fluid, coll, gq).astype(out_ref.dtype)
 
 
 @functools.partial(

@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...lattice import D3Q19, Lattice
 from ...utils.types import CellType
 
-__all__ = ["poisson_sweeps", "poisson_supported"]
+__all__ = ["poisson_sweeps", "poisson_supported", "make_sweep_call"]
 
 _OBS = int(CellType.OBSTACLE)
 
@@ -114,6 +114,42 @@ def _sweep_kernel(tau, mid_ref, up_ref, dn_ref, flags_ref, rhs_ref,
         ).astype(ref.dtype)
 
 
+def make_sweep_call(Z, Y, X, h_dtype, tau, interpret=False):
+    """Build the one-sweep pallas_call over ``Z`` planes.
+
+    Callable as ``mid, up, dn, psi = call(mid, up, dn, flags_i32, rhs)`` with
+    the channel groups ``[9|5|5, Z, Y, X]``.  Exposed so the shard_map slab
+    decomposition (parallel/step3d.py) can run sweeps over ghost-extended
+    local arrays: the kernel's periodic z-wrap then only pollutes ghost
+    planes, which are refreshed from ring neighbors every halo-depth sweeps.
+    """
+    bs = lambda c: pl.BlockSpec(  # noqa: E731
+        (c, 1, Y, X), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    bs_up = pl.BlockSpec(
+        (5, 1, Y, X), lambda i: (0, (i - 1) % Z, 0, 0), memory_space=pltpu.VMEM
+    )
+    bs_dn = pl.BlockSpec(
+        (5, 1, Y, X), lambda i: (0, (i + 1) % Z, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_sweep_kernel, tau),
+        grid=(Z,),
+        in_specs=[bs(9), bs_up, bs_dn, bs(1), bs(1)],
+        out_specs=[bs(9), bs(5), bs(5), bs(1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, Z, Y, X), h_dtype),
+            jax.ShapeDtypeStruct((5, Z, Y, X), h_dtype),
+            jax.ShapeDtypeStruct((5, Z, Y, X), h_dtype),
+            jax.ShapeDtypeStruct((1, Z, Y, X), jnp.float32),  # psi stays f32
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("tau", "n_iters", "interpret"))
 def poisson_sweeps(
     h: jnp.ndarray,
@@ -142,32 +178,7 @@ def poisson_sweeps(
     flags_i32 = magnetic_flags[0].astype(jnp.int32)  # mosaic can't compare i8
     rhs_k = rhs_scaled[0]
 
-    bs = lambda c: pl.BlockSpec(  # noqa: E731
-        (c, 1, Y, X), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
-    )
-    bs_up = pl.BlockSpec(
-        (5, 1, Y, X), lambda i: (0, (i - 1) % Z, 0, 0), memory_space=pltpu.VMEM
-    )
-    bs_dn = pl.BlockSpec(
-        (5, 1, Y, X), lambda i: (0, (i + 1) % Z, 0, 0), memory_space=pltpu.VMEM
-    )
-
-    call = pl.pallas_call(
-        functools.partial(_sweep_kernel, tau),
-        grid=(Z,),
-        in_specs=[bs(9), bs_up, bs_dn, bs(1), bs(1)],
-        out_specs=[bs(9), bs(5), bs(5), bs(1)],
-        out_shape=[
-            jax.ShapeDtypeStruct((9, Z, Y, X), h.dtype),
-            jax.ShapeDtypeStruct((5, Z, Y, X), h.dtype),
-            jax.ShapeDtypeStruct((5, Z, Y, X), h.dtype),
-            jax.ShapeDtypeStruct((1, Z, Y, X), jnp.float32),  # psi stays f32
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )
+    call = make_sweep_call(Z, Y, X, h.dtype, tau, interpret)
 
     # contiguous slices (no gather: the lattice order is e_z-grouped)
     mid = h[0, :9]

@@ -67,17 +67,28 @@ _LAP_TAPS = (
 )
 
 
-def _grad_kernel(n_fields, inv12dx, mid_ref, prev_ref, next_ref, out_ref):
+def _grad_kernel(n_fields, inv12dx, halo, mid_ref, prev_ref, next_ref, *rest):
     Z = pl.num_programs(0)
     i = pl.program_id(0)
     Y, X = mid_ref.shape[2], mid_ref.shape[3]
     first = i == 0
     last = i == Z - 1
+    if halo:
+        glo_ref, ghi_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     for f in range(n_fields):
         v0 = mid_ref[f, 0]
-        # replicate along z at the domain boundary
-        vm = jnp.where(first, v0, prev_ref[f, 0])
-        vp = jnp.where(last, v0, next_ref[f, 0])
+        if halo:
+            # slab decomposition: the z-neighbors at the slab boundary come
+            # from ring-exchanged ghost planes (parallel/step3d.py); global
+            # domain-boundary replicate is a masked output fix by the caller
+            vm = jnp.where(first, glo_ref[f, 0], prev_ref[f, 0])
+            vp = jnp.where(last, ghi_ref[f, 0], next_ref[f, 0])
+        else:
+            # replicate along z at the domain boundary
+            vm = jnp.where(first, v0, prev_ref[f, 0])
+            vp = jnp.where(last, v0, next_ref[f, 0])
         planes = {-1: vm, 0: v0, 1: vp}
         for d in range(3):
             acc = None
@@ -88,13 +99,21 @@ def _grad_kernel(n_fields, inv12dx, mid_ref, prev_ref, next_ref, out_ref):
             out_ref[f * 3 + d, 0] = acc * inv12dx
 
 
-def _lap_kernel(inv6dx2, mid_ref, prev_ref, next_ref, out_ref):
+def _lap_kernel(inv6dx2, halo, mid_ref, prev_ref, next_ref, *rest):
     Z = pl.num_programs(0)
     i = pl.program_id(0)
     Y, X = mid_ref.shape[2], mid_ref.shape[3]
+    if halo:
+        glo_ref, ghi_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     v0 = mid_ref[0, 0]
-    vm = jnp.where(i == 0, v0, prev_ref[0, 0])
-    vp = jnp.where(i == Z - 1, v0, next_ref[0, 0])
+    if halo:
+        vm = jnp.where(i == 0, glo_ref[0, 0], prev_ref[0, 0])
+        vp = jnp.where(i == Z - 1, ghi_ref[0, 0], next_ref[0, 0])
+    else:
+        vm = jnp.where(i == 0, v0, prev_ref[0, 0])
+        vp = jnp.where(i == Z - 1, v0, next_ref[0, 0])
     planes = {-1: vm, 0: v0, 1: vp}
     acc = None
     for (oz, oy, ox), wgt in _LAP_TAPS:
@@ -116,65 +135,96 @@ def fix_ring_replicate(out):
 
 
 @functools.partial(jax.jit, static_argnames=("dx", "interpret"))
-def grad_fields(fields, *, dx: float = 1.0, interpret: bool = False):
+def grad_fields(
+    fields, ghost_lo=None, ghost_hi=None, *, dx: float = 1.0,
+    interpret: bool = False,
+):
     """Isotropic gradients of N stacked scalar fields.
 
     Args:
         fields: ``[1, N, Z, Y, X]`` — already OBSTACLE-substituted
             (the caller applies the where(flags==OBSTACLE, ...) step).
+        ghost_lo/ghost_hi: optional ``[1, N, 1, Y, X]`` z-neighbor planes for
+            slab decomposition (parallel/step3d.py).  When given, the z
+            boundary reads come from the ghosts and NO boundary-ring fix is
+            applied here — the sharded caller applies the local y/x fixes and
+            the axis_index-masked global-z fix itself.
 
     Returns:
-        ``[1, 3N, Z, Y, X]`` with (gx, gy, gz) per field, boundary ring
-        replicated from the interior.
+        ``[1, 3N, Z, Y, X]`` with (gx, gy, gz) per field; single-device mode
+        additionally has the boundary ring replicated from the interior.
     """
     _, N, Z, Y, X = fields.shape
+    halo = ghost_lo is not None
     bs = lambda c, fn: pl.BlockSpec(  # noqa: E731
         (c, 1, Y, X), fn, memory_space=pltpu.VMEM
     )
+    in_specs = [
+        bs(N, lambda i: (0, i, 0, 0)),
+        bs(N, lambda i: (0, (i - 1) % Z, 0, 0)),
+        bs(N, lambda i: (0, (i + 1) % Z, 0, 0)),
+    ]
+    args = [fields[0], fields[0], fields[0]]
+    if halo:
+        in_specs += [bs(N, lambda i: (0, 0, 0, 0))] * 2
+        args += [ghost_lo[0], ghost_hi[0]]
     out = pl.pallas_call(
-        functools.partial(_grad_kernel, N, 1.0 / (12.0 * dx)),
+        functools.partial(_grad_kernel, N, 1.0 / (12.0 * dx), halo),
         grid=(Z,),
-        in_specs=[
-            bs(N, lambda i: (0, i, 0, 0)),
-            bs(N, lambda i: (0, (i - 1) % Z, 0, 0)),
-            bs(N, lambda i: (0, (i + 1) % Z, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=bs(3 * N, lambda i: (0, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((3 * N, Z, Y, X), fields.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(fields[0], fields[0], fields[0])
+    )(*args)
+    if halo:
+        return out[None]
     # the kernel computes the stencil at every plane with replicate-clamped
     # reads; the reference instead replicates the *interior result* outward
     return fix_ring_replicate(out[None])
 
 
 @functools.partial(jax.jit, static_argnames=("dx", "interpret"))
-def laplacian_field(field, *, dx: float = 1.0, interpret: bool = False):
-    """19-point Laplacian of ``[1, 1, Z, Y, X]``, zero boundary ring."""
+def laplacian_field(
+    field, ghost_lo=None, ghost_hi=None, *, dx: float = 1.0,
+    interpret: bool = False,
+):
+    """19-point Laplacian of ``[1, 1, Z, Y, X]``, zero boundary ring.
+
+    ``ghost_lo``/``ghost_hi`` as in :func:`grad_fields`; with ghosts only the
+    local y/x rings are zeroed here, the global-z ring zeroing is the sharded
+    caller's masked fix.
+    """
     _, _, Z, Y, X = field.shape
+    halo = ghost_lo is not None
     bs = lambda fn: pl.BlockSpec(  # noqa: E731
         (1, 1, Y, X), fn, memory_space=pltpu.VMEM
     )
+    in_specs = [
+        bs(lambda i: (0, i, 0, 0)),
+        bs(lambda i: (0, (i - 1) % Z, 0, 0)),
+        bs(lambda i: (0, (i + 1) % Z, 0, 0)),
+    ]
+    args = [field[0], field[0], field[0]]
+    if halo:
+        in_specs += [bs(lambda i: (0, 0, 0, 0))] * 2
+        args += [ghost_lo[0], ghost_hi[0]]
     out = pl.pallas_call(
-        functools.partial(_lap_kernel, 1.0 / (6.0 * dx * dx)),
+        functools.partial(_lap_kernel, 1.0 / (6.0 * dx * dx), halo),
         grid=(Z,),
-        in_specs=[
-            bs(lambda i: (0, i, 0, 0)),
-            bs(lambda i: (0, (i - 1) % Z, 0, 0)),
-            bs(lambda i: (0, (i + 1) % Z, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=bs(lambda i: (0, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((1, Z, Y, X), field.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(field[0], field[0], field[0])
+    )(*args)
     out = out[None]
     zero = jnp.zeros((), out.dtype)
     out = out.at[..., :, :, 0].set(zero)
     out = out.at[..., :, :, -1].set(zero)
     out = out.at[..., :, 0, :].set(zero)
     out = out.at[..., :, -1, :].set(zero)
-    out = out.at[..., 0, :, :].set(zero)
-    out = out.at[..., -1, :, :].set(zero)
+    if not halo:
+        out = out.at[..., 0, :, :].set(zero)
+        out = out.at[..., -1, :, :].set(zero)
     return out

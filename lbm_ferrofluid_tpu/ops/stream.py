@@ -52,13 +52,20 @@ def bounce_back(lat: Lattice, f: jnp.ndarray, flags: jnp.ndarray) -> jnp.ndarray
     return jnp.where(flags == int(CellType.OBSTACLE), f_inv, f)
 
 
-def stream_bounce_moments(lat: Lattice, f: jnp.ndarray, flags: jnp.ndarray, use_pallas: bool = True):
+def stream_bounce_moments(
+    lat: Lattice, f: jnp.ndarray, flags: jnp.ndarray, use_pallas: bool = True,
+    mesh=None,
+):
     """stream -> bounce-back -> raw moments, fused on TPU when possible.
 
     Returns (f_post, m0 = Σ_q f_q, m1 = Σ_q f_q e_q), with moments taken from
     the post-bounce-back field.  On FLUID cells this equals the reference's
     pre-bounce moments (bounce back only rewrites OBSTACLE cells), and
     OBSTACLE-cell moments are discarded by the frozen-moment update anyway.
+
+    With ``mesh`` the fused kernel runs multi-chip under shard_map slab
+    decomposition (parallel/step3d.py); otherwise with sharded inputs the
+    jnp path below is taken, whose rolls GSPMD lowers to collective-permutes.
     """
     import os
 
@@ -66,27 +73,38 @@ def stream_bounce_moments(lat: Lattice, f: jnp.ndarray, flags: jnp.ndarray, use_
 
     from .pallas.stream3d import stream3d_supported, stream_bounce_moments as _pk
 
-    if (
-        use_pallas
-        and lat.dim == 3
+    pallas_on = (
+        use_pallas and lat.dim == 3 and lat.q == 19
+        and not os.environ.get("LBM_DISABLE_PALLAS")
+    )
+    if pallas_on and mesh is not None:
+        from ..parallel.step3d import (
+            default_interpret, sharded3d_ok, stream_bounce_moments_sharded,
+        )
+
+        interp = default_interpret()
+        if sharded3d_ok(mesh, f.shape, interp):
+            return stream_bounce_moments_sharded(f, flags, mesh, interpret=interp)
+    elif (
+        pallas_on
         and stream3d_supported(lat, f.shape)
         and jax.default_backend() == "tpu"
-        and not os.environ.get("LBM_DISABLE_PALLAS")
     ):
         return _pk(f, flags)
 
     f = stream(lat, f)
     f = bounce_back(lat, f, flags)
-    m0 = jnp.sum(f, axis=1, keepdims=True)
+    ff = f.astype(jnp.float32) if f.dtype == jnp.bfloat16 else f
+    m0 = jnp.sum(ff, axis=1, keepdims=True)
     moments = []
     import numpy as np
 
     for d in range(lat.dim):
         ed = jnp.asarray(
             lat.e[:, d].reshape(1, lat.q, *([1] * lat.dim)).astype(np.float64),
-            dtype=f.dtype,
+            dtype=ff.dtype,
         )
-        moments.append(jnp.sum(f * ed, axis=1, keepdims=True))
+        moments.append(jnp.sum(ff * ed, axis=1, keepdims=True))
     return f, m0, jnp.concatenate(moments, axis=1)
 
 
@@ -103,11 +121,13 @@ def stream_bounce_macro(
     density_gas: float,
     density_fluid: float,
     use_pallas: bool = True,
+    mesh=None,
 ):
     """Full hydrodynamic prologue in one pass: stream -> bounce-back ->
     frozen macro moments -> linear density map.
 
-    Returns (f_post, rho, vel, density).
+    Returns (f_post, rho, vel, density).  ``mesh`` as in
+    :func:`stream_bounce_moments`.
     """
     import os
 
@@ -116,12 +136,26 @@ def stream_bounce_macro(
     from .pallas.stream3d import stream3d_supported
     from .pallas.stream3d import stream_bounce_macro as _pk
 
-    if (
-        use_pallas
-        and lat.dim == 3
+    pallas_on = (
+        use_pallas and lat.dim == 3 and lat.q == 19
+        and not os.environ.get("LBM_DISABLE_PALLAS")
+    )
+    if pallas_on and mesh is not None:
+        from ..parallel.step3d import (
+            default_interpret, sharded3d_ok, stream_bounce_macro_sharded,
+        )
+
+        interp = default_interpret()
+        if sharded3d_ok(mesh, f.shape, interp):
+            return stream_bounce_macro_sharded(
+                f, flags, rho_old, vel_old, mesh, c=c, rho_gas=rho_gas,
+                rho_fluid=rho_fluid, density_gas=density_gas,
+                density_fluid=density_fluid, interpret=interp,
+            )
+    elif (
+        pallas_on
         and stream3d_supported(lat, f.shape)
         and jax.default_backend() == "tpu"
-        and not os.environ.get("LBM_DISABLE_PALLAS")
     ):
         return _pk(
             f, flags, rho_old, vel_old, c=c, rho_gas=rho_gas,

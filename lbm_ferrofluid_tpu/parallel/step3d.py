@@ -1,0 +1,302 @@
+"""Multi-chip execution of the fused Pallas 3D kernels via shard_map.
+
+XLA's SPMD partitioner cannot split a Pallas custom call, so the fast path
+runs each hot kernel inside ``shard_map`` over a ('batch', 'z') mesh: slab
+decomposition along z with explicit ring halo exchange (``jax.lax.ppermute``
+riding ICI) feeding the kernels' ghost-plane variants.  The cheap glue
+between kernels (contact-angle boundary, phi/H2 elementwise math, the
+staggered magnetic source) stays in ordinary jnp, where GSPMD partitions it
+automatically — mixing the two inside one jit is standard JAX.
+
+Reference contrast: the reference is strictly single-GPU and does periodic
+halos as in-place edge copies on one tensor
+(src/LBM/LBM_propagation/LBM_propagation_3d.py:32-64).  Here the same
+1-plane dependency becomes a ring collective-permute per neighbor per pass,
+and the 30-sweep magnetic Poisson loop uses depth-k ghost zones (exchange k
+planes every k sweeps — SURVEY.md §5's halo-widening row) to cut collective
+rounds per step from 30 to 30/k.
+
+Off TPU the kernels run in Pallas interpret mode, so the identical exchange
+logic is testable on the virtual 8-device CPU mesh (tests/test_sharded_step.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.pallas.hcz3d import hcz_collide_fused
+from ..ops.pallas.poisson import make_sweep_call
+from ..ops.pallas.stencil3d import grad_fields, laplacian_field
+from ..ops.pallas.stream3d import (
+    stream_bounce_macro as _pk_macro,
+    stream_bounce_moments as _pk_moments,
+)
+from .halo import ring_halo
+
+__all__ = [
+    "sharded3d_ok",
+    "default_interpret",
+    "stream_bounce_moments_sharded",
+    "stream_bounce_macro_sharded",
+    "poisson_sweeps_sharded",
+    "grad_fields_sharded",
+    "laplacian_field_sharded",
+    "hcz_collide_sharded",
+]
+
+_Z = "z"
+_B = "batch"
+
+
+def default_interpret() -> bool:
+    """Pallas kernels compile on TPU only; elsewhere run them interpreted."""
+    return jax.default_backend() != "tpu"
+
+
+def _mesh_sizes(mesh: Mesh) -> tuple[int, int]:
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    return sizes.get(_B, 1), sizes.get(_Z, 1)
+
+
+def sharded3d_ok(mesh: Mesh, shape: tuple[int, ...], interpret: bool) -> bool:
+    """Can the Pallas slab path run this [B, C, Z, Y, X] shape on ``mesh``?
+
+    Requires: only 'batch'/'z' mesh axes are >1 (y/x stay unsharded so the
+    in-plane ``pltpu.roll`` wrap is exact), one batch element per device
+    group, local slabs of >=2 planes, and (compiled mode) lane/sublane
+    alignment.
+    """
+    if len(shape) != 5:
+        return False
+    B, _, Z, Y, X = shape
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    for name, size in sizes.items():
+        if name not in (_B, _Z) and size > 1:
+            return False
+    nb, nz = sizes.get(_B, 1), sizes.get(_Z, 1)
+    if B % nb or B // nb != 1:
+        return False
+    if Z % nz or Z // nz < 2:
+        return False
+    if not interpret and (X % 128 or Y % 8):
+        return False
+    return True
+
+
+def _spec(mesh: Mesh) -> P:
+    """[B, C, Z, Y, X] partition spec over the mesh's batch/z axes."""
+    names = set(mesh.axis_names)
+    return P(_B if _B in names else None, None, _Z if _Z in names else None,
+             None, None)
+
+
+# ----------------------------------------------------------------------
+# Streaming (f and g): one ghost plane per direction per pass
+# ----------------------------------------------------------------------
+def stream_bounce_moments_sharded(f, flags, mesh, *, interpret=False):
+    """shard_map slab version of ops.pallas.stream3d.stream_bounce_moments."""
+    spec = _spec(mesh)
+
+    def body(f, flags):
+        up_ghost = ring_halo(f[:, 9:14, -1:], _Z, +1)  # from z-prev
+        dn_ghost = ring_halo(f[:, 14:19, :1], _Z, -1)  # from z-next
+        return _pk_moments(f, flags, up_ghost, dn_ghost, interpret=interpret)
+
+    fn = shard_map(
+        body, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec, spec),
+        check_vma=False,
+    )
+    return fn(f, flags)
+
+
+def stream_bounce_macro_sharded(
+    f, flags, rho_old, vel_old, mesh, *, c, rho_gas, rho_fluid, density_gas,
+    density_fluid, interpret=False,
+):
+    """shard_map slab version of ops.pallas.stream3d.stream_bounce_macro."""
+    spec = _spec(mesh)
+
+    def body(f, flags, rho_old, vel_old):
+        up_ghost = ring_halo(f[:, 9:14, -1:], _Z, +1)
+        dn_ghost = ring_halo(f[:, 14:19, :1], _Z, -1)
+        return _pk_macro(
+            f, flags, rho_old, vel_old, up_ghost, dn_ghost, c=c,
+            rho_gas=rho_gas, rho_fluid=rho_fluid, density_gas=density_gas,
+            density_fluid=density_fluid, interpret=interpret,
+        )
+
+    fn = shard_map(
+        body, mesh=mesh, in_specs=(spec,) * 4, out_specs=(spec,) * 4,
+        check_vma=False,
+    )
+    return fn(f, flags, rho_old, vel_old)
+
+
+# ----------------------------------------------------------------------
+# Magnetic Poisson loop: depth-k ghost zones
+# ----------------------------------------------------------------------
+def _extend(x, k):
+    """[C, Zl, Y, X] -> [C, Zl+2k, Y, X] with ring-neighbor ghost zones."""
+    lo = ring_halo(x[:, -k:], _Z, +1)
+    hi = ring_halo(x[:, :k], _Z, -1)
+    return jnp.concatenate([lo, x, hi], axis=1)
+
+
+def _refresh_ghosts(g_ext, k, Zl):
+    """Overwrite the k ghost planes each side from the ring neighbors' real
+    boundary planes (real region = [k, k+Zl))."""
+    lo = ring_halo(g_ext[:, Zl:Zl + k], _Z, +1)
+    hi = ring_halo(g_ext[:, k:2 * k], _Z, -1)
+    return g_ext.at[:, :k].set(lo).at[:, -k:].set(hi)
+
+
+def poisson_sweeps_sharded(
+    h, magnetic_flags, rhs_scaled, mesh, *, tau, n_iters, halo_depth=5,
+    interpret=False,
+):
+    """Run the Poisson inner loop multi-chip with depth-k halo widening.
+
+    Each slab carries k ghost planes per side; one exchange of k planes
+    buys k locally-exact sweeps (the valid region of a ghost zone shrinks
+    by one plane per sweep, so after k sweeps the real region is still
+    exact — the standard deep-halo trade of bandwidth for latency).  The
+    kernel's periodic z-wrap only ever touches ghost planes, which are
+    refreshed at the start of every round.  Results are bit-identical to
+    the single-device kernel for any k.
+
+    Returns (h_new ``[1,19,Zl,Y,X]`` local view, psi ``[1,1,Zl,Y,X]``).
+    """
+    spec = _spec(mesh)
+
+    def body(h, flags, rhs):
+        _, _, Zl, Y, X = h.shape
+        k = max(1, min(halo_depth, Zl, n_iters))
+        rounds, rem = divmod(n_iters, k)
+        call = make_sweep_call(Zl + 2 * k, Y, X, h.dtype, tau, interpret)
+
+        flags_ext = _extend(flags[0].astype(jnp.int32), k)
+        rhs_ext = _extend(rhs[0], k)
+
+        zpad = ((0, 0), (k, k), (0, 0), (0, 0))
+        mid = jnp.pad(h[0, :9], zpad)
+        up = jnp.pad(h[0, 9:14], zpad)
+        dn = jnp.pad(h[0, 14:19], zpad)
+        psi = jnp.zeros((1, Zl + 2 * k, Y, X), jnp.float32)
+
+        def n_sweeps(carry, n):
+            mid, up, dn, psi = carry
+            mid = _refresh_ghosts(mid, k, Zl)
+            up = _refresh_ghosts(up, k, Zl)
+            dn = _refresh_ghosts(dn, k, Zl)
+
+            def sweep(_, c):
+                m, u, d, _p = c
+                return tuple(call(m, u, d, flags_ext, rhs_ext))
+
+            return jax.lax.fori_loop(0, n, sweep, (mid, up, dn, psi))
+
+        carry = (mid, up, dn, psi)
+        if rounds:
+            carry, _ = jax.lax.scan(
+                lambda c, _: (n_sweeps(c, k), None), carry, None, length=rounds
+            )
+        if rem:
+            carry = n_sweeps(carry, rem)
+        mid, up, dn, psi = carry
+
+        real = slice(k, k + Zl)
+        h_new = jnp.concatenate([mid, up, dn], axis=0)[:, real][None]
+        return h_new, psi[:, real][None]
+
+    fn = shard_map(
+        body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=(spec, spec),
+        check_vma=False,
+    )
+    return fn(h, magnetic_flags, rhs_scaled)
+
+
+# ----------------------------------------------------------------------
+# Capillary stencils
+# ----------------------------------------------------------------------
+def _fix_xy_replicate(out):
+    """Local y/x boundary-ring replicate (the x/y part of
+    ops.pallas.stencil3d.fix_ring_replicate, same order)."""
+    out = out.at[..., :, :, 0].set(out[..., :, :, 1])
+    out = out.at[..., :, :, -1].set(out[..., :, :, -2])
+    out = out.at[..., :, 0, :].set(out[..., :, 1, :])
+    out = out.at[..., :, -1, :].set(out[..., :, -2, :])
+    return out
+
+
+def _zmask():
+    iz = jax.lax.axis_index(_Z)
+    nz = jax.lax.psum(1, _Z)
+    return iz == 0, iz == nz - 1
+
+
+def grad_fields_sharded(fields, mesh, *, dx=1.0, interpret=False):
+    """shard_map slab version of ops.pallas.stencil3d.grad_fields."""
+    spec = _spec(mesh)
+
+    def body(x):
+        glo = ring_halo(x[:, :, -1:], _Z, +1)
+        ghi = ring_halo(x[:, :, :1], _Z, -1)
+        out = grad_fields(x, glo, ghi, dx=dx, interpret=interpret)
+        out = _fix_xy_replicate(out)
+        first, last = _zmask()
+        out = out.at[..., 0, :, :].set(
+            jnp.where(first, out[..., 1, :, :], out[..., 0, :, :])
+        )
+        out = out.at[..., -1, :, :].set(
+            jnp.where(last, out[..., -2, :, :], out[..., -1, :, :])
+        )
+        return out
+
+    return shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False)(fields)
+
+
+def laplacian_field_sharded(field, mesh, *, dx=1.0, interpret=False):
+    """shard_map slab version of ops.pallas.stencil3d.laplacian_field."""
+    spec = _spec(mesh)
+
+    def body(x):
+        glo = ring_halo(x[:, :, -1:], _Z, +1)
+        ghi = ring_halo(x[:, :, :1], _Z, -1)
+        out = laplacian_field(x, glo, ghi, dx=dx, interpret=interpret)
+        first, last = _zmask()
+        zero = jnp.zeros_like(out[..., 0, :, :])
+        out = out.at[..., 0, :, :].set(
+            jnp.where(first, zero, out[..., 0, :, :])
+        )
+        out = out.at[..., -1, :, :].set(
+            jnp.where(last, zero, out[..., -1, :, :])
+        )
+        return out
+
+    return shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False)(field)
+
+
+# ----------------------------------------------------------------------
+# HCZ collision: purely local, no exchange
+# ----------------------------------------------------------------------
+def hcz_collide_sharded(
+    f, g, rho, vel, density, pressure, flags, force, dfai, dprho, mesh, *,
+    tau_f, tau_g, dx=1.0, dt=1.0, interpret=False,
+):
+    """shard_map wrapper over the fused HCZ collision (no communication —
+    collision is local; shard_map only carries the kernel past GSPMD)."""
+    spec = _spec(mesh)
+    body = functools.partial(
+        hcz_collide_fused, tau_f=tau_f, tau_g=tau_g, dx=dx, dt=dt,
+        interpret=interpret,
+    )
+    fn = shard_map(
+        body, mesh=mesh, in_specs=(spec,) * 10, out_specs=(spec, spec),
+        check_vma=False,
+    )
+    return fn(f, g, rho, vel, density, pressure, flags, force, dfai, dprho)
