@@ -2,12 +2,23 @@
 """Benchmark: MLUPS/chip on the 256^3 D3Q19 Rosensweig ferrofluid workload.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "MLUPS", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "MLUPS", "vs_baseline": N, ...}
 
 The workload is the reference's north-star configuration
 (demo_3d_LBM_Rosensweig_instability.py defaults scaled to 256^3): D3Q19
 HCZ multiphase + magnetic Poisson sub-solve (30 inner sweeps/step) +
 gravity + Kelvin force.  MLUPS counts *outer* steps x cells.
+
+Three precision modes are timed (3 repeats each, median reported):
+  * turbo  — bf16 storage for f, g, h (f32 in-register compute; long-horizon
+    physics tracking asserted in tests/test_bf16_physics.py) — the headline,
+  * bf16-h — bf16 h only (round-1 headline mode),
+  * f32    — full parity mode.
+
+Alongside MLUPS the output carries an HBM bytes-moved model and the implied
+fraction of the ~550 GB/s achievable single-chip bandwidth (the roofline —
+see CLAUDE.md: one step is ~31 full-volume passes, so a 256^3 chip-step is
+bandwidth-bound, not compute-bound).
 
 Falls back to smaller grids on OOM so the bench always reports a number;
 the resolution used is included in the JSON.
@@ -21,6 +32,39 @@ import sys
 import numpy as np
 
 BASELINE_TARGET_MLUPS = 2000.0  # driver-set north star (BASELINE.json)
+ACHIEVABLE_BW = 550e9  # measured single-chip HBM GB/s (CLAUDE.md roofline)
+POISSON_ITERS = 30
+
+
+def model_bytes_per_cell(n_iters=POISSON_ITERS, b_fg=4, b_h=4):
+    """Minimum HBM traffic per cell per outer step for the fused-kernel path.
+
+    Counts reads+writes of every kernel's operands (f/g/h distributions at
+    their storage width, macro/stencil fields at f32, flag bytes), ignoring
+    VMEM-resident reuse within a kernel.  This is the denominator-honest
+    traffic model behind pct_roofline.
+    """
+    B4 = 4
+    total = 0.0
+    # stream f (fused macro): r 19f + rho + 3 vel + flags; w 19f + rho + 3 vel + den
+    total += (19 * b_fg + 4 * B4 + 4) + (19 * b_fg + 5 * B4)
+    # stream g (fused moments): r 19g + flags; w 19g + m0 + 3 m1
+    total += (19 * b_fg + 4) + (19 * b_fg + 4 * B4)
+    # poisson: per sweep r 19h + rhs + flags(i32); w 19h + psi
+    total += n_iters * ((19 * b_h + B4 + 4) + (19 * b_h + B4))
+    # rhs build (staggered chi etc.): ~r 4 + w 1 f32 passes
+    total += 5 * B4
+    # H_int grad of psi: r 1 + w 3
+    total += 4 * B4
+    # capillary stencils: laplacian r1 w1; grads r4 w12; obstacle substitution r4 w4
+    total += (2 + 16 + 8) * B4
+    # capillary glue (phi, H2, force asm, vel/pressure recovery): ~r 14 w 8
+    total += 22 * B4
+    # collide f: r 19f + rho + 3 vel + 3 dfai + flags; w 19f
+    total += (19 * b_fg + 7 * B4 + 4) + 19 * b_fg
+    # collide g: r 19g + rho+3vel+den+p+3force+3dprho + flags; w 19g
+    total += (19 * b_fg + 12 * B4 + 4) + 19 * b_fg
+    return total
 
 
 def build_state(params, res):
@@ -41,7 +85,8 @@ def build_state(params, res):
     return init_ferrofluid_state(params, rho, den, vel, flags, mflags)
 
 
-def run(res, n_steps=20, warmup=3, h_dtype="float32"):
+def run(res, n_steps=20, warmup=3, h_dtype="float32", fg_dtype="float32",
+        repeats=3):
     import jax
 
     from lbm_ferrofluid_tpu.models import (
@@ -61,14 +106,23 @@ def run(res, n_steps=20, warmup=3, h_dtype="float32"):
         tau_g=0.68,
         gravity=1e-4,
         mag_strength=85.0,
-        poisson_iters=30,
+        poisson_iters=POISSON_ITERS,
         h_dtype=h_dtype,
+        fg_dtype=fg_dtype,
     )
     state = build_state(params, res)
     runner = SimulationRunner(params, ferrofluid_step_impl)
-    state, stats = runner.benchmark(state, n_steps=n_steps, warmup=warmup)
+    state, stats = runner.benchmark(
+        state, n_steps=n_steps, warmup=warmup, repeats=repeats
+    )
     if not bool(jax.numpy.isfinite(state.density).all()):
         raise FloatingPointError("bench produced non-finite fields")
+    b_fg = 2 if fg_dtype == "bfloat16" else 4
+    b_h = 2 if h_dtype == "bfloat16" else 4
+    bpc = model_bytes_per_cell(b_fg=b_fg, b_h=b_h)
+    gbps = stats["mlups"] * 1e6 * bpc / 1e9
+    stats["model_GBps"] = round(gbps, 1)
+    stats["pct_roofline"] = round(100.0 * gbps * 1e9 / ACHIEVABLE_BW, 1)
     return stats
 
 
@@ -77,35 +131,48 @@ def main():
     if len(sys.argv) > 1:
         res = tuple(int(x) for x in sys.argv[1:4])
 
-    stats = None
+    modes = [
+        ("turbo_bf16_fgh", dict(fg_dtype="bfloat16", h_dtype="bfloat16")),
+        ("bf16_h", dict(fg_dtype="float32", h_dtype="bfloat16")),
+        ("f32_parity", dict(fg_dtype="float32", h_dtype="float32")),
+    ]
+
+    results = None
     tried = []
     for candidate in [res, (192, 192, 192), (128, 128, 128), (64, 64, 64)]:
         try:
-            # headline: bf16-storage h (f32 in-register compute; documented
-            # non-bit-parity production mode), plus the f32 parity-mode number
-            stats = run(candidate, h_dtype="bfloat16")
-            stats_f32 = run(candidate, h_dtype="float32")
+            results = {name: run(candidate, **kw) for name, kw in modes}
             res = candidate
             break
         except Exception as e:  # OOM or compile failure: shrink
             tried.append(f"{candidate}: {type(e).__name__}")
             continue
-    if stats is None:
+    if results is None:
         print(json.dumps({"metric": "MLUPS_2563_rosensweig", "value": 0.0,
                           "unit": "MLUPS", "vs_baseline": 0.0, "error": tried}))
         return
 
-    value = round(stats["mlups"], 2)
+    head = results["turbo_bf16_fgh"]
+    value = round(head["mlups"], 2)
     out = {
         "metric": "MLUPS/chip D3Q19 Rosensweig (HCZ+mag, 30 Poisson iters/step)",
         "value": value,
         "unit": "MLUPS",
         "vs_baseline": round(value / BASELINE_TARGET_MLUPS, 4),
         "res": list(res),
-        "steps": stats["steps"],
-        "seconds": round(stats["seconds"], 3),
-        "h_storage": "bfloat16 (f32 compute); f32 parity mode below",
-        "f32_parity_mlups": round(stats_f32["mlups"], 2),
+        "steps": head["steps"],
+        "headline_mode": "turbo (bf16 f/g/h storage, f32 compute; physics "
+                         "tracking test: tests/test_bf16_physics.py)",
+        "modes": {
+            name: {
+                "mlups": round(r["mlups"], 2),
+                "mlups_best": round(r["mlups_best"], 2),
+                "seconds_all": r["seconds_all"],
+                "model_GBps": r["model_GBps"],
+                "pct_roofline": r["pct_roofline"],
+            }
+            for name, r in results.items()
+        },
     }
     if tried:
         out["fallbacks"] = tried

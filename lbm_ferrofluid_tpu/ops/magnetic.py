@@ -184,14 +184,16 @@ def solve_H_int(
         h, _psi = carry
         h = stream(lat, h)
         h = bounce_back(lat, h, magnetic_flags)
-        hf = h.astype(jnp.float32)
+        hf = h.astype(jnp.promote_types(h.dtype, jnp.float32))
         psi = jnp.sum(hf[:, 1:], axis=1, keepdims=True) / (1.0 - w0)
         heq_val = heq(lat, psi)
         collision_h = (1.0 - 1.0 / tau) * hf + heq_val / tau + add_h
         h = jnp.where(is_obs, hf, collision_h).astype(h_dtype)
         return h, psi
 
-    psi0 = jnp.zeros_like(phi, dtype=jnp.float32)
+    psi0 = jnp.zeros_like(
+        phi, dtype=jnp.promote_types(h.dtype, jnp.float32)
+    )
     h, psi = jax.lax.fori_loop(0, n_iters, body, (h, psi0))
     H_int = -isotropic_grad(psi, dx, magnetic_flags, dim)
     return H_int, h
