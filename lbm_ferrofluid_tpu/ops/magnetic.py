@@ -157,11 +157,23 @@ def solve_H_int(
                 n_iters=n_iters, halo_depth=halo_depth, interpret=interp,
             )
         else:
+            from .pallas.poisson import (
+                poisson_multisweep,
+                poisson_multisweep_supported,
+            )
             from .pallas.stencil3d import grad_fields
 
-            h, psi = poisson_sweeps(
-                h, magnetic_flags, rhs_scaled, tau=tau, n_iters=n_iters
-            )
+            if poisson_multisweep_supported(lat, h.shape, h.dtype, n_iters):
+                # temporally-blocked: k sweeps per HBM pass with the
+                # z-window VMEM-resident (bit-identical to the one-sweep
+                # kernel; tests/test_pallas_poisson.py)
+                h, psi = poisson_multisweep(
+                    h, magnetic_flags, rhs_scaled, tau=tau, n_iters=n_iters
+                )
+            else:
+                h, psi = poisson_sweeps(
+                    h, magnetic_flags, rhs_scaled, tau=tau, n_iters=n_iters
+                )
         # grad with the OBSTACLE substitution applied outside the kernel
         idx = (Ellipsis,) + (slice(1, -1),) * dim
         pad = [(0, 0)] * 2 + [(1, 1)] * dim

@@ -35,7 +35,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ...lattice import D3Q19, Lattice
 from ...utils.types import CellType
 
-__all__ = ["poisson_sweeps", "poisson_supported", "make_sweep_call"]
+__all__ = [
+    "poisson_sweeps",
+    "poisson_supported",
+    "make_sweep_call",
+    "poisson_multisweep_supported",
+]
 
 _OBS = int(CellType.OBSTACLE)
 
@@ -195,3 +200,247 @@ def poisson_sweeps(
 
     h_new = jnp.concatenate([mid, up, dn], axis=0)[None]
     return h_new, psi[None]
+
+
+# ----------------------------------------------------------------------
+# Temporally-blocked multi-sweep kernel
+# ----------------------------------------------------------------------
+#
+# The 30-sweep inner loop dominates the whole ferrofluid step (~84% of the
+# 256^3 step time measured in round 2), and one sweep at a time is HBM-bound:
+# read 19 channels + write 19 channels per sweep.  This kernel instead keeps
+# a z-window of (Zt + 2k) full planes of h resident in VMEM (v5e has ~128 MB,
+# probed) and runs k sweeps before writing the Zt interior planes back -
+# h traffic per sweep drops by ~k/(window amplification).  Ghost planes
+# absorb the invalid-neighbor frontier exactly like the multi-chip depth-k
+# halos (parallel/step3d.py): after s sweeps planes [s, P-1-s] of the window
+# are exact, so the interior [k, k+Zt) is exact after k sweeps.  Per-sweep
+# arithmetic is identical to _sweep_kernel, so results match the one-sweep
+# kernel (bitwise in f32 / at bf16 storage rounding).
+
+
+def poisson_multisweep_supported(lat, h_shape, h_dtype, n_iters):
+    if lat.q != 19:
+        return False
+    B, Q, Z, Y, X = h_shape
+    if not (B == 1 and X % 128 == 0 and Y % 8 == 0):
+        return False
+    k, Zt, _P = _multisweep_plan(h_shape, h_dtype)
+    return k > 0 and Z % Zt == 0 and Z >= Zt and n_iters >= k
+
+
+def _multisweep_plan(h_shape, dtype, vmem_budget=100 * 1024 * 1024):
+    """Choose (k sweeps/pass, Zt interior planes, P window planes) to fit
+    two 19-channel windows + flags/rhs/psi in VMEM."""
+    _, _, Z, Y, X = h_shape
+    bpe = 2 if jnp.dtype(dtype) == jnp.bfloat16 else 4
+    plane = Y * X
+    best = None
+    for k in (6, 5, 4, 3, 2):
+        for Zt in (16, 12, 10, 8, 6, 4):
+            if Z % Zt or Zt < k:
+                continue
+            P = Zt + 2 * k
+            need = (
+                2 * 19 * P * plane * bpe  # double-buffered h window
+                + P * plane * 4  # flags (i32)
+                + P * plane * 4  # rhs (f32)
+                + Zt * plane * 4  # psi staging
+            )
+            if need <= vmem_budget:
+                # cost model: ghost-zone compute amplification (P/Zt, VPU)
+                # plus h traffic per sweep (read amp + writeback, HBM)
+                amp = P / Zt
+                key = amp + 0.02 * (19 * bpe * (amp + 1.0) / k)
+                if best is None or key < best[0]:
+                    best = (key, k, Zt, P)
+    if best is None:
+        return 0, 0, 0
+    return best[1], best[2], best[3]
+
+
+def _multisweep_kernel(tau, k, Zt, P, Z, h_dtype,
+                       h_ref, flags_ref, rhs_ref, out_ref, psi_ref):
+    lat = D3Q19
+    Y, X = h_ref.shape[2], h_ref.shape[3]
+    inv_tau = 1.0 / tau
+    w0 = float(lat.weights[0])
+    i = pl.program_id(0)
+    z0 = i * Zt
+
+    def body(win_a, win_b, fwin, rwin, psi_scr, sems):
+        # ---- load the wrapped z-window [z0-k, z0+Zt+k) -----------------
+        # Three contiguous pieces (front ghost k | interior Zt | back ghost
+        # k) instead of per-plane copies: with Zt >= k (enforced by the
+        # plan) each piece never crosses the wrap internally, so the DMA
+        # chunks are large (19ch x span planes) and few.
+        i32 = jnp.int32
+        front = jax.lax.rem((z0 - k + Z).astype(i32), i32(Z))
+        back = jax.lax.rem((z0 + Zt).astype(i32), i32(Z))
+
+        def window_copies():
+            pieces = (
+                (front, 0, k),
+                (z0.astype(i32), k, Zt),
+                (back, k + Zt, k),
+            )
+            cps = []
+            for src, dst, span in pieces:
+                cps.append(pltpu.make_async_copy(
+                    h_ref.at[:, pl.ds(src, span)],
+                    win_a.at[:, pl.ds(dst, span)], sems.at[0],
+                ))
+                cps.append(pltpu.make_async_copy(
+                    flags_ref.at[:, pl.ds(src, span)],
+                    fwin.at[:, pl.ds(dst, span)], sems.at[1],
+                ))
+                cps.append(pltpu.make_async_copy(
+                    rhs_ref.at[:, pl.ds(src, span)],
+                    rwin.at[:, pl.ds(dst, span)], sems.at[2],
+                ))
+            return cps
+
+        for cp in window_copies():
+            cp.start()
+        for cp in window_copies():
+            cp.wait()
+
+        # ---- k sweeps in VMEM -----------------------------------------
+        bufs = (win_a, win_b)
+        for s in range(k):
+            src_buf = bufs[s % 2]
+            dst_buf = bufs[(s + 1) % 2]
+
+            def sweep_plane(j, _, *, s=s, src_buf=src_buf, dst_buf=dst_buf):
+                jm = jnp.maximum(j - 1, 0)
+                jp = jnp.minimum(j + 1, P - 1)
+                is_obs = fwin[0, j] == _OBS
+                rhs = rwin[0, j]
+
+                streamed = [None] * 19
+                for q in range(19):
+                    if q < 9:
+                        v = src_buf[q, j]
+                    elif q < 14:
+                        v = src_buf[q, jm]
+                    else:
+                        v = src_buf[q, jp]
+                    v = v.astype(jnp.float32)
+                    ex, ey = int(lat.e[q][0]), int(lat.e[q][1])
+                    if ey:
+                        v = pltpu.roll(v, ey % Y, 0)
+                    if ex:
+                        v = pltpu.roll(v, ex % X, 1)
+                    streamed[q] = v
+
+                post = [
+                    jnp.where(is_obs, streamed[int(lat.opposite[q])], streamed[q])
+                    for q in range(19)
+                ]
+                psi = post[1]
+                for q in range(2, 19):
+                    psi = psi + post[q]
+                psi = psi / (1.0 - w0)
+
+                if s == k - 1:
+                    # stage the last pre-collision psi of interior planes
+                    @pl.when((j >= k) & (j < k + Zt))
+                    def _():
+                        psi_scr[0, pl.ds(jnp.maximum(j - k, 0), 1)] = psi[None]
+
+                for q in range(19):
+                    wq = float(lat.weights[q])
+                    heq_q = wq * psi - (psi if q == 0 else 0.0)
+                    coll = (1.0 - inv_tau) * post[q] + heq_q * inv_tau + wq * rhs
+                    dst_buf[q, j] = jnp.where(is_obs, post[q], coll).astype(h_dtype)
+                return 0
+
+            jax.lax.fori_loop(0, P, sweep_plane, 0)
+
+        final = bufs[k % 2]
+        cp = pltpu.make_async_copy(
+            final.at[:, pl.ds(k, Zt)], out_ref.at[:, pl.ds(z0, Zt)], sems.at[0]
+        )
+        cp.start()
+        cp.wait()
+        cp = pltpu.make_async_copy(
+            psi_scr, psi_ref.at[:, pl.ds(z0, Zt)], sems.at[1]
+        )
+        cp.start()
+        cp.wait()
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((19, P, Y, X), h_dtype),
+        pltpu.VMEM((19, P, Y, X), h_dtype),
+        pltpu.VMEM((1, P, Y, X), jnp.int32),
+        pltpu.VMEM((1, P, Y, X), jnp.float32),
+        pltpu.VMEM((1, Zt, Y, X), jnp.float32),
+        pltpu.SemaphoreType.DMA((3,)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tau", "n_iters", "interpret"))
+def poisson_multisweep(
+    h: jnp.ndarray,
+    magnetic_flags: jnp.ndarray,
+    rhs_scaled: jnp.ndarray,
+    *,
+    tau: float,
+    n_iters: int,
+    interpret: bool = False,
+):
+    """Temporally-blocked variant of :func:`poisson_sweeps` (same contract).
+
+    Runs floor(n_iters / k) fused k-sweep passes with the z-window resident
+    in VMEM, then the remainder with the one-sweep kernel.
+    """
+    _, _, Z, Y, X = h.shape
+    k, Zt, P = _multisweep_plan(h.shape, h.dtype)
+    flags_i32 = magnetic_flags[0].astype(jnp.int32)
+    rhs_k = rhs_scaled[0].astype(jnp.float32)
+
+    passes, rem = divmod(n_iters, k)
+
+    call = pl.pallas_call(
+        functools.partial(_multisweep_kernel, tau, k, Zt, P, Z, h.dtype),
+        grid=(Z // Zt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((19, Z, Y, X), h.dtype),
+            jax.ShapeDtypeStruct((1, Z, Y, X), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    def one_pass(_, carry):
+        hc, _psi = carry
+        return tuple(call(hc, flags_i32, rhs_k))
+
+    psi0 = jnp.zeros((1, Z, Y, X), jnp.float32)
+    hc, psi = jax.lax.fori_loop(0, passes, one_pass, (h[0], psi0))
+
+    if rem:
+        sweep = make_sweep_call(Z, Y, X, h.dtype, tau, interpret)
+
+        def one_sweep(_, carry):
+            mid, up, dn, psi = carry
+            return tuple(sweep(mid, up, dn, flags_i32, rhs_k))
+
+        mid, up, dn, psi = jax.lax.fori_loop(
+            0, rem, one_sweep, (hc[:9], hc[9:14], hc[14:19], psi)
+        )
+        hc = jnp.concatenate([mid, up, dn], axis=0)
+
+    return hc[None], psi[None]

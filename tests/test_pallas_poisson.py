@@ -56,3 +56,31 @@ def test_poisson_kernel_matches_reference(n_iters):
     np.testing.assert_allclose(
         np.asarray(psi_ker), np.asarray(psi_ref), rtol=1e-5, atol=1e-6
     )
+
+
+@pytest.mark.parametrize("n_iters", [7, 30])
+def test_multisweep_matches_single_sweep(n_iters):
+    """Temporally-blocked kernel (k sweeps per HBM pass, VMEM-resident
+    z-window) is bit-identical to the one-sweep kernel, including the
+    remainder sweeps when k does not divide n_iters."""
+    from lbm_ferrofluid_tpu.ops.pallas.poisson import (
+        poisson_multisweep,
+        poisson_sweeps,
+    )
+
+    Z, Y, X = 16, 8, 16
+    rng = np.random.default_rng(5)
+    h = jnp.asarray(rng.uniform(-0.1, 0.1, (1, 19, Z, Y, X)), jnp.float32)
+    flags = np.full((1, 1, Z, Y, X), int(CellType.OBSTACLE), np.uint8)
+    flags[..., 1:-1, 1:-1, 1:-1] = int(CellType.FLUID)
+    flags = jnp.asarray(flags)
+    rhs = jnp.asarray(rng.uniform(-0.01, 0.01, (1, 1, Z, Y, X)), jnp.float32)
+
+    h_ref, psi_ref = poisson_sweeps(
+        h, flags, rhs, tau=0.8, n_iters=n_iters, interpret=True
+    )
+    h_ms, psi_ms = poisson_multisweep(
+        h, flags, rhs, tau=0.8, n_iters=n_iters, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(h_ms), np.asarray(h_ref))
+    np.testing.assert_array_equal(np.asarray(psi_ms), np.asarray(psi_ref))
