@@ -158,16 +158,17 @@ def solve_H_int(
             )
         else:
             from .pallas.poisson import (
-                poisson_multisweep,
+                poisson_multisweep2,
                 poisson_multisweep_supported,
             )
             from .pallas.stencil3d import grad_fields
 
             if poisson_multisweep_supported(lat, h.shape, h.dtype, n_iters):
-                # temporally-blocked: k sweeps per HBM pass with the
-                # z-window VMEM-resident (bit-identical to the one-sweep
+                # temporally-blocked + pipelined: k in-place sweeps per HBM
+                # pass with the z-window VMEM-resident and the next block
+                # prefetched under compute (bit-identical to the one-sweep
                 # kernel; tests/test_pallas_poisson.py)
-                h, psi = poisson_multisweep(
+                h, psi = poisson_multisweep2(
                     h, magnetic_flags, rhs_scaled, tau=tau, n_iters=n_iters
                 )
             else:

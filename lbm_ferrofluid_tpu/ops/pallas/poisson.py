@@ -225,7 +225,7 @@ def poisson_multisweep_supported(lat, h_shape, h_dtype, n_iters):
     B, Q, Z, Y, X = h_shape
     if not (B == 1 and X % 128 == 0 and Y % 8 == 0):
         return False
-    k, Zt, _P = _multisweep_plan(h_shape, h_dtype)
+    k, Zt, _P = _multisweep2_plan(h_shape, h_dtype)
     return k > 0 and Z % Zt == 0 and Z >= Zt and n_iters >= k
 
 
@@ -417,6 +417,306 @@ def poisson_multisweep(
         out_shape=[
             jax.ShapeDtypeStruct((19, Z, Y, X), h.dtype),
             jax.ShapeDtypeStruct((1, Z, Y, X), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    def one_pass(_, carry):
+        hc, _psi = carry
+        return tuple(call(hc, flags_i32, rhs_k))
+
+    psi0 = jnp.zeros((1, Z, Y, X), jnp.float32)
+    hc, psi = jax.lax.fori_loop(0, passes, one_pass, (h[0], psi0))
+
+    if rem:
+        sweep = make_sweep_call(Z, Y, X, h.dtype, tau, interpret)
+
+        def one_sweep(_, carry):
+            mid, up, dn, psi = carry
+            return tuple(sweep(mid, up, dn, flags_i32, rhs_k))
+
+        mid, up, dn, psi = jax.lax.fori_loop(
+            0, rem, one_sweep, (hc[:9], hc[9:14], hc[14:19], psi)
+        )
+        hc = jnp.concatenate([mid, up, dn], axis=0)
+
+    return hc[None], psi[None]
+
+
+# ----------------------------------------------------------------------
+# v2: in-place sweeps + cross-block prefetch (DMA hidden under compute)
+# ----------------------------------------------------------------------
+#
+# v1 above loads a window, runs k sweeps (ping-pong between two VMEM
+# windows), stores — DMA and compute serialize, and the second window
+# buffer caps the window size.  v2 sweeps IN PLACE in a single window
+# (ascending-z with a one-plane write delay: res_j is held back until
+# j+1's inputs are consumed, and a stash plane keeps the pre-sweep value
+# of plane j for j+1's up-neighbor), which frees a whole window buffer to
+# prefetch the NEXT grid block while this one computes.  Scratch persists
+# across grid steps (scratch_shapes, not run_scoped), so the window
+# buffers alternate and the store of block i-1 drains while block i is
+# swept.
+
+
+def _ms2_window_copies(h_ref, fl_ref, rh_ref, wbuf, fbuf, rbuf, sems,
+                       z0, k, Zt, Z):
+    """The three contiguous piece-copies of a block's wrapped z-window."""
+    i32 = jnp.int32
+    front = jax.lax.rem((z0 - k + Z).astype(i32), i32(Z))
+    back = jax.lax.rem((z0 + Zt).astype(i32), i32(Z))
+    pieces = ((front, 0, k), (z0.astype(i32), k, Zt), (back, k + Zt, k))
+    cps = []
+    for src, dst, span in pieces:
+        cps.append(pltpu.make_async_copy(
+            h_ref.at[:, pl.ds(src, span)], wbuf.at[:, pl.ds(dst, span)],
+            sems.at[0],
+        ))
+        cps.append(pltpu.make_async_copy(
+            fl_ref.at[:, pl.ds(src, span)], fbuf.at[:, pl.ds(dst, span)],
+            sems.at[1],
+        ))
+        cps.append(pltpu.make_async_copy(
+            rh_ref.at[:, pl.ds(src, span)], rbuf.at[:, pl.ds(dst, span)],
+            sems.at[2],
+        ))
+    return cps
+
+
+def _ms2_store_copies(wbuf, psi_scr, out_ref, psi_ref, sems, z0, k, Zt):
+    return (
+        pltpu.make_async_copy(
+            wbuf.at[:, pl.ds(k, Zt)], out_ref.at[:, pl.ds(z0, Zt)], sems.at[3]
+        ),
+        pltpu.make_async_copy(
+            psi_scr, psi_ref.at[:, pl.ds(z0, Zt)], sems.at[4]
+        ),
+    )
+
+
+def _multisweep2_kernel(tau, k, Zt, P, Z, h_dtype,
+                        h_ref, flags_ref, rhs_ref, out_ref, psi_ref,
+                        w0buf, w1buf, f0buf, f1buf, r0buf, r1buf,
+                        stash, pending, psi0_scr, psi1_scr, sems):
+    lat = D3Q19
+    Y, X = h_ref.shape[2], h_ref.shape[3]
+    inv_tau = 1.0 / tau
+    w0w = float(lat.weights[0])
+    i = pl.program_id(0)
+    nblocks = pl.num_programs(0)
+    z0 = i * Zt
+    z0_next = (i + 1) * Zt
+    z0_prev = (i - 1) * Zt
+
+    wbufs = (w0buf, w1buf)
+    fbufs = (f0buf, f1buf)
+    rbufs = (r0buf, r1buf)
+    psbufs = (psi0_scr, psi1_scr)
+
+    def bufs(slot):
+        return wbufs[slot], fbufs[slot], rbufs[slot], psbufs[slot]
+
+    # slot for this block alternates; prefetch goes to the other slot
+    for slot in (0, 1):
+
+        @pl.when(jax.lax.rem(i, jnp.int32(2)) == slot)
+        def _(slot=slot):
+            cur_w, cur_f, cur_r, cur_p = bufs(slot)
+            nxt_w, nxt_f, nxt_r, nxt_p = bufs(1 - slot)
+
+            # first block: synchronous load of its own window
+            @pl.when(i == 0)
+            def _():
+                for cp in _ms2_window_copies(
+                    h_ref, flags_ref, rhs_ref, cur_w, cur_f, cur_r, sems,
+                    z0, k, Zt, Z,
+                ):
+                    cp.start()
+                for cp in _ms2_window_copies(
+                    h_ref, flags_ref, rhs_ref, cur_w, cur_f, cur_r, sems,
+                    z0, k, Zt, Z,
+                ):
+                    cp.wait()
+
+            # otherwise: wait for the prefetch issued by block i-1
+            @pl.when(i > 0)
+            def _():
+                for cp in _ms2_window_copies(
+                    h_ref, flags_ref, rhs_ref, cur_w, cur_f, cur_r, sems,
+                    z0, k, Zt, Z,
+                ):
+                    cp.wait()
+                # block i-1's result store (from the other slot) must drain
+                # before that slot is prefetched into
+                for cp in _ms2_store_copies(
+                    nxt_w, nxt_p, out_ref, psi_ref, sems, z0_prev, k, Zt
+                ):
+                    cp.wait()
+
+            # prefetch block i+1 into the other slot, overlapping compute
+            @pl.when(i + 1 < nblocks)
+            def _():
+                for cp in _ms2_window_copies(
+                    h_ref, flags_ref, rhs_ref, nxt_w, nxt_f, nxt_r, sems,
+                    z0_next, k, Zt, Z,
+                ):
+                    cp.start()
+
+            # ---- k in-place sweeps ------------------------------------
+            for s in range(k):
+
+                def sweep_plane(j, _, *, s=s):
+                    jp = jnp.minimum(j + 1, P - 1)
+                    is_obs = cur_f[0, j] == _OBS
+                    rhs = cur_r[0, j]
+
+                    streamed = [None] * 19
+                    for q in range(19):
+                        if q < 9:
+                            v = cur_w[q, j]
+                        elif q < 14:
+                            # old plane j-1 lives in the stash (garbage for
+                            # j == 0: that plane's result is discarded)
+                            v = stash[q, 0]
+                        else:
+                            v = cur_w[q, jp]
+                        v = v.astype(jnp.float32)
+                        ex, ey = int(lat.e[q][0]), int(lat.e[q][1])
+                        if ey:
+                            v = pltpu.roll(v, ey % Y, 0)
+                        if ex:
+                            v = pltpu.roll(v, ex % X, 1)
+                        streamed[q] = v
+
+                    post = [
+                        jnp.where(
+                            is_obs, streamed[int(lat.opposite[q])], streamed[q]
+                        )
+                        for q in range(19)
+                    ]
+                    psi = post[1]
+                    for q in range(2, 19):
+                        psi = psi + post[q]
+                    psi = psi / (1.0 - w0w)
+
+                    if s == k - 1:
+                        @pl.when((j >= k) & (j < k + Zt))
+                        def _():
+                            cur_p[0, pl.ds(jnp.maximum(j - k, 0), 1)] = (
+                                psi[None]
+                            )
+
+                    # delayed writeback: flush res_{j-1}, then stash the
+                    # old plane j before it can be overwritten
+                    @pl.when(j > 0)
+                    def _():
+                        cur_w[:, pl.ds(j - 1, 1)] = pending[:, :]
+                    for q in range(19):
+                        stash[q, 0] = cur_w[q, j]
+
+                    for q in range(19):
+                        wq = float(lat.weights[q])
+                        heq_q = wq * psi - (psi if q == 0 else 0.0)
+                        coll = (
+                            (1.0 - inv_tau) * post[q]
+                            + heq_q * inv_tau
+                            + wq * rhs
+                        )
+                        pending[q, 0] = jnp.where(
+                            is_obs, post[q], coll
+                        ).astype(h_dtype)
+                    return 0
+
+                jax.lax.fori_loop(0, P, sweep_plane, 0)
+                # flush the last plane
+                cur_w[:, pl.ds(P - 1, 1)] = pending[:, :]
+
+            # ---- store this block's interior (async; drained by the next
+            # block, or right here for the last one) ----------------------
+            for cp in _ms2_store_copies(
+                cur_w, cur_p, out_ref, psi_ref, sems, z0, k, Zt
+            ):
+                cp.start()
+
+            @pl.when(i == nblocks - 1)
+            def _():
+                for cp in _ms2_store_copies(
+                    cur_w, cur_p, out_ref, psi_ref, sems, z0, k, Zt
+                ):
+                    cp.wait()
+
+
+def _multisweep2_plan(h_shape, dtype, vmem_budget=104 * 1024 * 1024):
+    """(k, Zt, P) for the in-place pipelined kernel: two single windows
+    (current + prefetch) + stash/pending planes + double flags/rhs/psi."""
+    _, _, Z, Y, X = h_shape
+    bpe = 2 if jnp.dtype(dtype) == jnp.bfloat16 else 4
+    plane = Y * X
+    best = None
+    for k in (6, 5, 4, 3, 2):
+        for Zt in (16, 12, 10, 8, 6, 4):
+            if Z % Zt or Zt < k:
+                continue
+            P = Zt + 2 * k
+            need = (
+                2 * 19 * P * plane * bpe  # current + prefetch windows
+                + 2 * 19 * plane * bpe  # stash + pending planes
+                + 2 * P * plane * 8  # flags(i32)+rhs(f32), double-buffered
+                + 2 * Zt * plane * 4  # psi staging, double-buffered
+            )
+            if need <= vmem_budget:
+                amp = P / Zt
+                key = amp + 0.02 * (19 * bpe * (amp + 1.0) / k)
+                if best is None or key < best[0]:
+                    best = (key, k, Zt, P)
+    if best is None:
+        return 0, 0, 0
+    return best[1], best[2], best[3]
+
+
+@functools.partial(jax.jit, static_argnames=("tau", "n_iters", "interpret"))
+def poisson_multisweep2(
+    h: jnp.ndarray,
+    magnetic_flags: jnp.ndarray,
+    rhs_scaled: jnp.ndarray,
+    *,
+    tau: float,
+    n_iters: int,
+    interpret: bool = False,
+):
+    """Pipelined in-place variant of :func:`poisson_multisweep` (same
+    contract, same per-sweep arithmetic)."""
+    _, _, Z, Y, X = h.shape
+    k, Zt, P = _multisweep2_plan(h.shape, h.dtype)
+    flags_i32 = magnetic_flags[0].astype(jnp.int32)
+    rhs_k = rhs_scaled[0].astype(jnp.float32)
+
+    passes, rem = divmod(n_iters, k)
+
+    call = pl.pallas_call(
+        functools.partial(_multisweep2_kernel, tau, k, Zt, P, Z, h.dtype),
+        grid=(Z // Zt,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((19, Z, Y, X), h.dtype),
+            jax.ShapeDtypeStruct((1, Z, Y, X), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((19, P, Y, X), h.dtype),
+            pltpu.VMEM((19, P, Y, X), h.dtype),
+            pltpu.VMEM((1, P, Y, X), jnp.int32),
+            pltpu.VMEM((1, P, Y, X), jnp.int32),
+            pltpu.VMEM((1, P, Y, X), jnp.float32),
+            pltpu.VMEM((1, P, Y, X), jnp.float32),
+            pltpu.VMEM((19, 1, Y, X), h.dtype),
+            pltpu.VMEM((19, 1, Y, X), h.dtype),
+            pltpu.VMEM((1, Zt, Y, X), jnp.float32),
+            pltpu.VMEM((1, Zt, Y, X), jnp.float32),
+            pltpu.SemaphoreType.DMA((5,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,

@@ -177,41 +177,59 @@ def poisson_sweeps_sharded(
         _, _, Zl, Y, X = h.shape
         k = max(1, min(halo_depth, Zl, n_iters))
         rounds, rem = divmod(n_iters, k)
-        call = make_sweep_call(Zl + 2 * k, Y, X, h.dtype, tau, interpret)
+        Zext = Zl + 2 * k
+
+        from ..lattice import D3Q19
+        from ..ops.pallas.poisson import (
+            poisson_multisweep2,
+            poisson_multisweep_supported,
+        )
 
         flags_ext = _extend(flags[0].astype(jnp.int32), k)
-        rhs_ext = _extend(rhs[0], k)
+        rhs_ext = _extend(rhs[0].astype(jnp.float32), k)
 
-        zpad = ((0, 0), (k, k), (0, 0), (0, 0))
-        mid = jnp.pad(h[0, :9], zpad)
-        up = jnp.pad(h[0, 9:14], zpad)
-        dn = jnp.pad(h[0, 14:19], zpad)
-        psi = jnp.zeros((1, Zl + 2 * k, Y, X), jnp.float32)
+        hc = jnp.pad(h[0], ((0, 0), (k, k), (0, 0), (0, 0)))
+        psi = jnp.zeros((1, Zext, Y, X), jnp.float32)
+
+        ext_shape = (1, 19, Zext, Y, X)
+        use_ms = poisson_multisweep_supported(D3Q19, ext_shape, h.dtype, k)
+        call = None if use_ms else make_sweep_call(
+            Zext, Y, X, h.dtype, tau, interpret
+        )
 
         def n_sweeps(carry, n):
-            mid, up, dn, psi = carry
-            mid = _refresh_ghosts(mid, k, Zl)
-            up = _refresh_ghosts(up, k, Zl)
-            dn = _refresh_ghosts(dn, k, Zl)
+            """Refresh the k ghost planes from ring neighbors, then run n
+            locally-exact sweeps on the extended slab — via the temporally
+            blocked kernel when the extended shape supports it."""
+            hc, psi = carry
+            hc = _refresh_ghosts(hc, k, Zl)
+            if use_ms:
+                h_new, psi = poisson_multisweep2(
+                    hc[None], flags_ext[None], rhs_ext[None], tau=tau,
+                    n_iters=n, interpret=interpret,
+                )
+                return h_new[0], psi[0]
 
             def sweep(_, c):
                 m, u, d, _p = c
                 return tuple(call(m, u, d, flags_ext, rhs_ext))
 
-            return jax.lax.fori_loop(0, n, sweep, (mid, up, dn, psi))
+            mid, up, dn, psi = jax.lax.fori_loop(
+                0, n, sweep, (hc[:9], hc[9:14], hc[14:19], psi)
+            )
+            return jnp.concatenate([mid, up, dn], axis=0), psi
 
-        carry = (mid, up, dn, psi)
+        carry = (hc, psi)
         if rounds:
             carry, _ = jax.lax.scan(
                 lambda c, _: (n_sweeps(c, k), None), carry, None, length=rounds
             )
         if rem:
             carry = n_sweeps(carry, rem)
-        mid, up, dn, psi = carry
+        hc, psi = carry
 
         real = slice(k, k + Zl)
-        h_new = jnp.concatenate([mid, up, dn], axis=0)[:, real][None]
-        return h_new, psi[:, real][None]
+        return hc[:, real][None], psi[:, real][None]
 
     fn = shard_map(
         body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=(spec, spec),

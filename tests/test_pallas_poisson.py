@@ -58,15 +58,19 @@ def test_poisson_kernel_matches_reference(n_iters):
     )
 
 
+@pytest.mark.parametrize("variant", ["v1", "v2"])
 @pytest.mark.parametrize("n_iters", [7, 30])
-def test_multisweep_matches_single_sweep(n_iters):
+def test_multisweep_matches_single_sweep(n_iters, variant):
     """Temporally-blocked kernel (k sweeps per HBM pass, VMEM-resident
     z-window) is bit-identical to the one-sweep kernel, including the
     remainder sweeps when k does not divide n_iters."""
     from lbm_ferrofluid_tpu.ops.pallas.poisson import (
         poisson_multisweep,
+        poisson_multisweep2,
         poisson_sweeps,
     )
+
+    ms = poisson_multisweep if variant == "v1" else poisson_multisweep2
 
     Z, Y, X = 16, 8, 16
     rng = np.random.default_rng(5)
@@ -79,7 +83,7 @@ def test_multisweep_matches_single_sweep(n_iters):
     h_ref, psi_ref = poisson_sweeps(
         h, flags, rhs, tau=0.8, n_iters=n_iters, interpret=True
     )
-    h_ms, psi_ms = poisson_multisweep(
+    h_ms, psi_ms = ms(
         h, flags, rhs, tau=0.8, n_iters=n_iters, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(h_ms), np.asarray(h_ref))
