@@ -36,7 +36,7 @@ ACHIEVABLE_BW = 550e9  # measured single-chip HBM GB/s (CLAUDE.md roofline)
 POISSON_ITERS = 30
 
 
-def model_bytes_per_cell(n_iters=POISSON_ITERS, b_fg=4, b_h=4):
+def model_bytes_per_cell(n_iters=POISSON_ITERS, b_fg=4, b_h=4, res=(256,) * 3):
     """Minimum HBM traffic per cell per outer step for the fused-kernel path.
 
     Counts reads+writes of every kernel's operands (f/g/h distributions at
@@ -50,8 +50,22 @@ def model_bytes_per_cell(n_iters=POISSON_ITERS, b_fg=4, b_h=4):
     total += (19 * b_fg + 4 * B4 + 4) + (19 * b_fg + 5 * B4)
     # stream g (fused moments): r 19g + flags; w 19g + m0 + 3 m1
     total += (19 * b_fg + 4) + (19 * b_fg + 4 * B4)
-    # poisson: per sweep r 19h + rhs + flags(i32); w 19h + psi
-    total += n_iters * ((19 * b_h + B4 + 4) + (19 * b_h + B4))
+    # poisson: the time-skewed wavefront kernel does k sweeps per HBM pass:
+    # per pass r 19h * (1 + 2k/Z) + flags(i32) + rhs; w 19h (+ psi, last pass)
+    import jax.numpy as jnp
+
+    from lbm_ferrofluid_tpu.ops.pallas.poisson import _wf_plan
+
+    h_dtype = jnp.bfloat16 if b_h == 2 else jnp.float32
+    k = _wf_plan((1, 19, *res), h_dtype, n_iters)
+    if k >= 2:
+        Z = res[0]
+        passes = n_iters / k
+        total += passes * (
+            19 * b_h * (2 + 2 * k / Z) + (1 + 2 * k / Z) * (B4 + 4)
+        ) + B4  # psi written once
+    else:
+        total += n_iters * ((19 * b_h + B4 + 4) + (19 * b_h + B4))
     # rhs build (staggered chi etc.): ~r 4 + w 1 f32 passes
     total += 5 * B4
     # H_int grad of psi: r 1 + w 3
@@ -119,7 +133,7 @@ def run(res, n_steps=20, warmup=3, h_dtype="float32", fg_dtype="float32",
         raise FloatingPointError("bench produced non-finite fields")
     b_fg = 2 if fg_dtype == "bfloat16" else 4
     b_h = 2 if h_dtype == "bfloat16" else 4
-    bpc = model_bytes_per_cell(b_fg=b_fg, b_h=b_h)
+    bpc = model_bytes_per_cell(b_fg=b_fg, b_h=b_h, res=res)
     gbps = stats["mlups"] * 1e6 * bpc / 1e9
     stats["model_GBps"] = round(gbps, 1)
     stats["pct_roofline"] = round(100.0 * gbps * 1e9 / ACHIEVABLE_BW, 1)

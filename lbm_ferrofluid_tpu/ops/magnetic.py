@@ -160,10 +160,20 @@ def solve_H_int(
             from .pallas.poisson import (
                 poisson_multisweep2,
                 poisson_multisweep_supported,
+                poisson_wavefront,
+                poisson_wavefront_supported,
             )
             from .pallas.stencil3d import grad_fields
 
-            if poisson_multisweep_supported(lat, h.shape, h.dtype, n_iters):
+            if poisson_wavefront_supported(lat, h.shape, h.dtype, n_iters):
+                # time-skewed wavefront: k sweeps pipelined over ascending z
+                # with per-stage VMEM ring buffers — one HBM read+write of h
+                # per k sweeps at ~1.02x compute amplification (bit-identical
+                # to the one-sweep kernel; tests/test_pallas_poisson.py)
+                h, psi = poisson_wavefront(
+                    h, magnetic_flags, rhs_scaled, tau=tau, n_iters=n_iters
+                )
+            elif poisson_multisweep_supported(lat, h.shape, h.dtype, n_iters):
                 # temporally-blocked + pipelined: k in-place sweeps per HBM
                 # pass with the z-window VMEM-resident and the next block
                 # prefetched under compute (bit-identical to the one-sweep

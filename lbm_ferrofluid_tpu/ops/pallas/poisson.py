@@ -40,6 +40,8 @@ __all__ = [
     "poisson_supported",
     "make_sweep_call",
     "poisson_multisweep_supported",
+    "poisson_wavefront",
+    "poisson_wavefront_supported",
 ]
 
 _OBS = int(CellType.OBSTACLE)
@@ -61,6 +63,47 @@ def poisson_supported(lat: Lattice, h_shape: tuple[int, ...]) -> bool:
         return False
     B, Q, Z, Y, X = h_shape
     return B == 1 and X % 128 == 0 and Y % 8 == 0 and Z >= 2
+
+
+def _sweep_math(streamed, is_obs, rhs, tau):
+    """Bounce-back + psi moment + relaxation of one sweep, given the 19
+    pull-streamed f32 planes.  Returns (psi, out[19]).
+
+    Reduced-op form of the reference arithmetic
+    (LBM_magnetic_3d.py:108-188), shared by every Poisson kernel so the
+    temporally-blocked variants stay bit-identical to the one-sweep kernel:
+
+    * full-way bounce back permutes channels 1..18 at a cell, so the psi
+      moment Σ_{q>0} h_q is invariant under it — psi is summed from the
+      PRE-bounce-back values, dropping 19 selects/plane.  At OBSTACLE cells
+      this changes the summation order only; the emitted psi there is
+      discarded anyway (the gradient's obstacle substitution in
+      solve_H_int / isotropic_grad replaces it).
+    * the relaxation is refactored to  a·h_q + w_q·u  with
+      u = psi/tau + rhs hoisted per plane (for q=0 minus an extra psi/tau,
+      from heq_0 = (w_0 - 1)·psi): ~2 fewer VPU ops per channel.
+    """
+    lat = D3Q19
+    inv_tau = 1.0 / tau
+    a = 1.0 - inv_tau
+    inv_1mw0 = 1.0 / (1.0 - float(lat.weights[0]))
+
+    psi_sum = streamed[1]
+    for q in range(2, 19):
+        psi_sum = psi_sum + streamed[q]
+    psi = psi_sum * inv_1mw0
+
+    t = psi * inv_tau
+    u = t + rhs
+    out = [None] * 19
+    for q in range(19):
+        wq = float(lat.weights[q])
+        coll = a * streamed[q] + wq * u
+        if q == 0:
+            coll = coll - t
+        # OBSTACLE cells keep the bounce-backed populations un-collided
+        out[q] = jnp.where(is_obs, streamed[int(lat.opposite[q])], coll)
+    return psi, out
 
 
 def _sweep_kernel(tau, mid_ref, up_ref, dn_ref, flags_ref, rhs_ref,
@@ -94,29 +137,16 @@ def _sweep_kernel(tau, mid_ref, up_ref, dn_ref, flags_ref, rhs_ref,
     for row in range(19):
         streamed[_ORDER[row]] = load(row)
 
-    # full-way bounce back on OBSTACLE cells
-    post = [
-        jnp.where(is_obs, streamed[int(lat.opposite[q])], streamed[q])
-        for q in range(19)
-    ]
-
-    psi = post[1]
-    for q in range(2, 19):
-        psi = psi + post[q]
-    psi = psi / (1.0 - float(lat.weights[0]))
+    psi, out = _sweep_math(streamed, is_obs, rhs, tau)
     psi_ref[0, 0] = psi.astype(psi_ref.dtype)
 
-    inv_tau = 1.0 / tau
     outs = (omid_ref, oup_ref, odn_ref)
     for row in range(19):
         q = _ORDER[row]
-        wq = float(lat.weights[q])
-        heq_q = wq * psi - (psi if q == 0 else 0.0)
-        coll = (1.0 - inv_tau) * post[q] + heq_q * inv_tau + wq * rhs
         ref = outs[0] if row < 9 else (outs[1] if row < 14 else outs[2])
-        ref[row if row < 9 else (row - 9 if row < 14 else row - 14), 0] = jnp.where(
-            is_obs, post[q], coll
-        ).astype(ref.dtype)
+        ref[row if row < 9 else (row - 9 if row < 14 else row - 14), 0] = (
+            out[q].astype(ref.dtype)
+        )
 
 
 def make_sweep_call(Z, Y, X, h_dtype, tau, interpret=False):
@@ -263,8 +293,6 @@ def _multisweep_kernel(tau, k, Zt, P, Z, h_dtype,
                        h_ref, flags_ref, rhs_ref, out_ref, psi_ref):
     lat = D3Q19
     Y, X = h_ref.shape[2], h_ref.shape[3]
-    inv_tau = 1.0 / tau
-    w0 = float(lat.weights[0])
     i = pl.program_id(0)
     z0 = i * Zt
 
@@ -333,14 +361,7 @@ def _multisweep_kernel(tau, k, Zt, P, Z, h_dtype,
                         v = pltpu.roll(v, ex % X, 1)
                     streamed[q] = v
 
-                post = [
-                    jnp.where(is_obs, streamed[int(lat.opposite[q])], streamed[q])
-                    for q in range(19)
-                ]
-                psi = post[1]
-                for q in range(2, 19):
-                    psi = psi + post[q]
-                psi = psi / (1.0 - w0)
+                psi, out = _sweep_math(streamed, is_obs, rhs, tau)
 
                 if s == k - 1:
                     # stage the last pre-collision psi of interior planes
@@ -349,10 +370,7 @@ def _multisweep_kernel(tau, k, Zt, P, Z, h_dtype,
                         psi_scr[0, pl.ds(jnp.maximum(j - k, 0), 1)] = psi[None]
 
                 for q in range(19):
-                    wq = float(lat.weights[q])
-                    heq_q = wq * psi - (psi if q == 0 else 0.0)
-                    coll = (1.0 - inv_tau) * post[q] + heq_q * inv_tau + wq * rhs
-                    dst_buf[q, j] = jnp.where(is_obs, post[q], coll).astype(h_dtype)
+                    dst_buf[q, j] = out[q].astype(h_dtype)
                 return 0
 
             jax.lax.fori_loop(0, P, sweep_plane, 0)
@@ -487,24 +505,32 @@ def _ms2_window_copies(h_ref, fl_ref, rh_ref, wbuf, fbuf, rbuf, sems,
 
 
 def _ms2_store_copies(wbuf, psi_scr, out_ref, psi_ref, sems, z0, k, Zt):
-    return (
+    cps = (
         pltpu.make_async_copy(
             wbuf.at[:, pl.ds(k, Zt)], out_ref.at[:, pl.ds(z0, Zt)], sems.at[3]
         ),
-        pltpu.make_async_copy(
-            psi_scr, psi_ref.at[:, pl.ds(z0, Zt)], sems.at[4]
-        ),
     )
+    if psi_ref is not None:
+        cps += (
+            pltpu.make_async_copy(
+                psi_scr, psi_ref.at[:, pl.ds(z0, Zt)], sems.at[4]
+            ),
+        )
+    return cps
 
 
-def _multisweep2_kernel(tau, k, Zt, P, Z, h_dtype,
-                        h_ref, flags_ref, rhs_ref, out_ref, psi_ref,
-                        w0buf, w1buf, f0buf, f1buf, r0buf, r1buf,
-                        stash, pending, psi0_scr, psi1_scr, sems):
+def _multisweep2_kernel(tau, k, Zt, P, Z, h_dtype, emit_psi, *refs):
+    if emit_psi:
+        (h_ref, flags_ref, rhs_ref, out_ref, psi_ref,
+         w0buf, w1buf, f0buf, f1buf, r0buf, r1buf,
+         stash, pending, psi0_scr, psi1_scr, sems) = refs
+    else:
+        (h_ref, flags_ref, rhs_ref, out_ref,
+         w0buf, w1buf, f0buf, f1buf, r0buf, r1buf,
+         stash, pending, sems) = refs
+        psi_ref = psi0_scr = psi1_scr = None
     lat = D3Q19
     Y, X = h_ref.shape[2], h_ref.shape[3]
-    inv_tau = 1.0 / tau
-    w0w = float(lat.weights[0])
     i = pl.program_id(0)
     nblocks = pl.num_programs(0)
     z0 = i * Zt
@@ -591,18 +617,9 @@ def _multisweep2_kernel(tau, k, Zt, P, Z, h_dtype,
                             v = pltpu.roll(v, ex % X, 1)
                         streamed[q] = v
 
-                    post = [
-                        jnp.where(
-                            is_obs, streamed[int(lat.opposite[q])], streamed[q]
-                        )
-                        for q in range(19)
-                    ]
-                    psi = post[1]
-                    for q in range(2, 19):
-                        psi = psi + post[q]
-                    psi = psi / (1.0 - w0w)
+                    psi, out = _sweep_math(streamed, is_obs, rhs, tau)
 
-                    if s == k - 1:
+                    if emit_psi and s == k - 1:
                         @pl.when((j >= k) & (j < k + Zt))
                         def _():
                             cur_p[0, pl.ds(jnp.maximum(j - k, 0), 1)] = (
@@ -618,16 +635,7 @@ def _multisweep2_kernel(tau, k, Zt, P, Z, h_dtype,
                         stash[q, 0] = cur_w[q, j]
 
                     for q in range(19):
-                        wq = float(lat.weights[q])
-                        heq_q = wq * psi - (psi if q == 0 else 0.0)
-                        coll = (
-                            (1.0 - inv_tau) * post[q]
-                            + heq_q * inv_tau
-                            + wq * rhs
-                        )
-                        pending[q, 0] = jnp.where(
-                            is_obs, post[q], coll
-                        ).astype(h_dtype)
+                        pending[q, 0] = out[q].astype(h_dtype)
                     return 0
 
                 jax.lax.fori_loop(0, P, sweep_plane, 0)
@@ -688,7 +696,12 @@ def poisson_multisweep2(
     interpret: bool = False,
 ):
     """Pipelined in-place variant of :func:`poisson_multisweep` (same
-    contract, same per-sweep arithmetic)."""
+    contract, same per-sweep arithmetic).
+
+    Only the LAST sweep's pre-collision psi is consumed by the caller, so
+    all passes except the final psi-producing one skip the psi staging and
+    writeback entirely (psi is 1/19 of the h traffic plus a VMEM plane).
+    """
     _, _, Z, Y, X = h.shape
     k, Zt, P = _multisweep2_plan(h.shape, h.dtype)
     flags_i32 = magnetic_flags[0].astype(jnp.int32)
@@ -696,16 +709,8 @@ def poisson_multisweep2(
 
     passes, rem = divmod(n_iters, k)
 
-    call = pl.pallas_call(
-        functools.partial(_multisweep2_kernel, tau, k, Zt, P, Z, h.dtype),
-        grid=(Z // Zt,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
-        out_shape=[
-            jax.ShapeDtypeStruct((19, Z, Y, X), h.dtype),
-            jax.ShapeDtypeStruct((1, Z, Y, X), jnp.float32),
-        ],
-        scratch_shapes=[
+    def make_call(emit_psi):
+        scratch = [
             pltpu.VMEM((19, P, Y, X), h.dtype),
             pltpu.VMEM((19, P, Y, X), h.dtype),
             pltpu.VMEM((1, P, Y, X), jnp.int32),
@@ -714,22 +719,323 @@ def poisson_multisweep2(
             pltpu.VMEM((1, P, Y, X), jnp.float32),
             pltpu.VMEM((19, 1, Y, X), h.dtype),
             pltpu.VMEM((19, 1, Y, X), h.dtype),
-            pltpu.VMEM((1, Zt, Y, X), jnp.float32),
-            pltpu.VMEM((1, Zt, Y, X), jnp.float32),
-            pltpu.SemaphoreType.DMA((5,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )
+        ]
+        out_shape = [jax.ShapeDtypeStruct((19, Z, Y, X), h.dtype)]
+        if emit_psi:
+            scratch += [
+                pltpu.VMEM((1, Zt, Y, X), jnp.float32),
+                pltpu.VMEM((1, Zt, Y, X), jnp.float32),
+            ]
+            out_shape.append(jax.ShapeDtypeStruct((1, Z, Y, X), jnp.float32))
+        scratch.append(pltpu.SemaphoreType.DMA((5,)))
+        return pl.pallas_call(
+            functools.partial(
+                _multisweep2_kernel, tau, k, Zt, P, Z, h.dtype, emit_psi
+            ),
+            grid=(Z // Zt,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * len(out_shape),
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )
 
-    def one_pass(_, carry):
-        hc, _psi = carry
-        return tuple(call(hc, flags_i32, rhs_k))
+    call_nopsi = make_call(False)
+    n_nopsi = passes - (1 if rem == 0 else 0)
 
-    psi0 = jnp.zeros((1, Z, Y, X), jnp.float32)
-    hc, psi = jax.lax.fori_loop(0, passes, one_pass, (h[0], psi0))
+    def one_pass(_, hc):
+        return call_nopsi(hc, flags_i32, rhs_k)[0]
+
+    hc = jax.lax.fori_loop(0, n_nopsi, one_pass, h[0])
+    psi = jnp.zeros((1, Z, Y, X), jnp.float32)
+    if rem == 0:
+        hc, psi = make_call(True)(hc, flags_i32, rhs_k)
+
+    if rem:
+        sweep = make_sweep_call(Z, Y, X, h.dtype, tau, interpret)
+
+        def one_sweep(_, carry):
+            mid, up, dn, psi = carry
+            return tuple(sweep(mid, up, dn, flags_i32, rhs_k))
+
+        mid, up, dn, psi = jax.lax.fori_loop(
+            0, rem, one_sweep, (hc[:9], hc[9:14], hc[14:19], psi)
+        )
+        hc = jnp.concatenate([mid, up, dn], axis=0)
+
+    return hc[None], psi[None]
+
+
+# ----------------------------------------------------------------------
+# v3: time-skewed wavefront over the whole z extent
+# ----------------------------------------------------------------------
+#
+# v1/v2 hold a full (Zt + 2k)-plane window of h resident in VMEM, which caps
+# Zt at 4-8 planes and costs a ghost-zone amplification P/Zt of 1.75-2x in
+# both VPU work and HBM reads.  The wavefront kernel instead runs the k
+# sweeps as a SOFTWARE PIPELINE over ascending z: sweep s lags sweep s-1 by
+# one plane, and each sweep stage only needs the previous stage's last 3
+# planes - a ring buffer - so the "window" can be the whole domain.  One
+# pass then reads (Z + 2k) planes and writes Z planes for k sweeps:
+#
+#   HBM traffic/sweep  = (1 + 2k/Z + 1) / k   volumes  (~0.41 at k=5, Z=256)
+#   compute amplification = 1 + (k+1)/Z        (~1.02, vs 1.75-2.0 for v1/v2)
+#
+# The periodic z-wrap is handled exactly like v1/v2's block ghosts: the
+# window is [-k, Z+k) with the 2k wrap planes re-read and their sweeps
+# recomputed (the only redundancy left).  Per-plane arithmetic is
+# _sweep_math and intermediate sweeps round to the storage dtype when
+# writing their ring (exactly like v1/v2 writing their windows), so the
+# interior result is bit-identical to the one-sweep kernel.
+#
+# Pipeline schedule, iteration t in [0, P), P = Z + 2k, window coord
+# w_s = t - s for stage s (stage s = sweep s+1):
+#   * stage s-1 produces plane t-s+1 at iteration t, which together with the
+#     ring's t-s, t-s-1 is exactly what stage s needs for plane t-s,
+#   * stage s runs for t >= 2s; all stages finish at t = P-1,
+#   * stage k-1's interior planes [k, k+Z) stream back to HBM from a 2-slot
+#     store ring; input h/flags/rhs planes stream in 2 iterations ahead.
+
+
+def _wf_plan(h_shape, dtype, n_iters, vmem_budget=100 * 1024 * 1024):
+    """Pick the pipeline depth k: ring VMEM = (4 + 3(k-1) + 2) 19-channel
+    planes + (k+2) flags/rhs planes.  Prefer k dividing n_iters (no slow
+    remainder sweeps), then deeper."""
+    _, _, Z, Y, X = h_shape
+    bpe = 2 if jnp.dtype(dtype) == jnp.bfloat16 else 4
+    plane19 = 19 * Y * X * bpe
+    for k in sorted(
+        (2, 3, 4, 5, 6), key=lambda k: (n_iters % k != 0, -k)
+    ):
+        if k > n_iters:
+            continue
+        need = (
+            (4 + 3 * (k - 1) + 2) * plane19  # input + stage + store rings
+            + (k + 2) * Y * X * 8  # flags (i32) + rhs (f32) rings
+            + 2 * Y * X * 4  # psi store ring
+        )
+        if need <= vmem_budget:
+            return k
+    return 0
+
+
+def poisson_wavefront_supported(lat, h_shape, h_dtype, n_iters):
+    if lat.q != 19:
+        return False
+    B, Q, Z, Y, X = h_shape
+    if not (B == 1 and X % 128 == 0 and Y % 8 == 0 and Z >= 8):
+        return False
+    return _wf_plan(h_shape, h_dtype, n_iters) >= 2
+
+
+def _wavefront_kernel(tau, k, Z, h_dtype, emit_psi, *refs):
+    if emit_psi:
+        (h_ref, flags_ref, rhs_ref, out_ref, psi_ref,
+         in_ring, f_ring, r_ring, store_ring, psi_ring,
+         *stage_rings, sem_h, sem_f, sem_r, sem_o, sem_p) = refs
+    else:
+        (h_ref, flags_ref, rhs_ref, out_ref,
+         in_ring, f_ring, r_ring, store_ring,
+         *stage_rings, sem_h, sem_f, sem_r, sem_o) = refs
+        psi_ref = psi_ring = sem_p = None
+    lat = D3Q19
+    Y, X = h_ref.shape[2], h_ref.shape[3]
+    P = Z + 2 * k
+    FR = k + 2  # flags/rhs ring size
+
+    def rem_(a, n):
+        # constants stay python ints so they weakly promote to the loop
+        # index dtype (int64 when jax_enable_x64 is on in tests)
+        a = jnp.asarray(a)
+        return jax.lax.rem(a, jnp.asarray(n, a.dtype))
+
+    def in_copies(plane):
+        """Async copies of window plane ``plane`` of h/flags/rhs (wrapped)."""
+        src = rem_(plane + (Z - k), Z)
+        return (
+            pltpu.make_async_copy(
+                h_ref.at[:, pl.ds(src, 1)],
+                in_ring.at[:, pl.ds(rem_(plane, 4), 1)],
+                sem_h.at[rem_(plane, 4)],
+            ),
+            pltpu.make_async_copy(
+                flags_ref.at[:, pl.ds(src, 1)],
+                f_ring.at[:, pl.ds(rem_(plane, FR), 1)],
+                sem_f.at[rem_(plane, 2)],
+            ),
+            pltpu.make_async_copy(
+                rhs_ref.at[:, pl.ds(src, 1)],
+                r_ring.at[:, pl.ds(rem_(plane, FR), 1)],
+                sem_r.at[rem_(plane, 2)],
+            ),
+        )
+
+    def out_copy(w):
+        return pltpu.make_async_copy(
+            store_ring.at[:, pl.ds(rem_(w, 2), 1)],
+            out_ref.at[:, pl.ds(w - k, 1)],
+            sem_o.at[rem_(w, 2)],
+        )
+
+    def psi_copy(w):
+        return pltpu.make_async_copy(
+            psi_ring.at[:, pl.ds(rem_(w, 2), 1)],
+            psi_ref.at[:, pl.ds(w - k, 1)],
+            sem_p.at[rem_(w, 2)],
+        )
+
+    # ---- preamble: planes 0 and 1 in flight, plane 0 landed --------------
+    for plane in (0, 1):
+        for cp in in_copies(plane):
+            cp.start()
+    for cp in in_copies(0):
+        cp.wait()
+
+    def body(t, _):
+        # ---- input pipeline: land plane t+1, launch plane t+2 ----------
+        @pl.when(t + 1 <= P - 1)
+        def _():
+            for cp in in_copies(t + 1):
+                cp.wait()
+
+        @pl.when(t + 2 <= P - 1)
+        def _():
+            for cp in in_copies(t + 2):
+                cp.start()
+
+        # ---- pipeline stages, in order --------------------------------
+        for s in range(k):
+
+            @pl.when(t >= 2 * s)
+            def _(s=s):
+                w = t - s
+                if s == 0:
+                    prev, R = in_ring, 4
+                    wm = jnp.maximum(w - 1, 0)
+                    wp = jnp.minimum(w + 1, P - 1)
+                else:
+                    prev, R = stage_rings[s - 1], 3
+                    wm, wp = w - 1, w + 1
+                sm = rem_(wm, R)
+                s0 = rem_(w, R)
+                sp = rem_(wp, R)
+                fr_slot = rem_(w, FR)
+                is_obs = f_ring[0, fr_slot] == _OBS
+                rhs = r_ring[0, fr_slot]
+
+                streamed = [None] * 19
+                for q in range(19):
+                    slot = s0 if q < 9 else (sm if q < 14 else sp)
+                    v = prev[q, slot].astype(jnp.float32)
+                    ex, ey = int(lat.e[q][0]), int(lat.e[q][1])
+                    if ey:
+                        v = pltpu.roll(v, ey % Y, 0)
+                    if ex:
+                        v = pltpu.roll(v, ex % X, 1)
+                    streamed[q] = v
+
+                psi, out = _sweep_math(streamed, is_obs, rhs, tau)
+
+                if s < k - 1:
+                    ws = rem_(w, 3)
+                    for q in range(19):
+                        stage_rings[s][q, ws] = out[q].astype(h_dtype)
+                else:
+                    # final sweep: stream interior planes back to HBM
+                    @pl.when((w >= k) & (w < k + Z))
+                    def _():
+                        # slot w%2 was last used by plane w-2's store
+                        @pl.when(w - 2 >= k)
+                        def _():
+                            out_copy(w - 2).wait()
+                            if emit_psi:
+                                psi_copy(w - 2).wait()
+                        slot = rem_(w, 2)
+                        for q in range(19):
+                            store_ring[q, slot] = out[q].astype(h_dtype)
+                        out_copy(w).start()
+                        if emit_psi:
+                            psi_ring[0, slot] = psi
+                            psi_copy(w).start()
+
+        return 0
+
+    jax.lax.fori_loop(0, P, body, 0)
+
+    # drain the last two stores
+    for d in (2, 1):
+        out_copy(k + Z - d).wait()
+        if emit_psi:
+            psi_copy(k + Z - d).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("tau", "n_iters", "interpret"))
+def poisson_wavefront(
+    h: jnp.ndarray,
+    magnetic_flags: jnp.ndarray,
+    rhs_scaled: jnp.ndarray,
+    *,
+    tau: float,
+    n_iters: int,
+    interpret: bool = False,
+):
+    """Time-skewed wavefront variant of :func:`poisson_sweeps` (same
+    contract, same per-sweep arithmetic, interior bit-identical)."""
+    _, _, Z, Y, X = h.shape
+    k = _wf_plan(h.shape, h.dtype, n_iters)
+    flags_i32 = magnetic_flags[0].astype(jnp.int32)
+    rhs_k = rhs_scaled[0].astype(jnp.float32)
+
+    passes, rem = divmod(n_iters, k)
+
+    def make_call(emit_psi):
+        scratch = [
+            pltpu.VMEM((19, 4, Y, X), h.dtype),     # input ring
+            pltpu.VMEM((1, k + 2, Y, X), jnp.int32),   # flags ring
+            pltpu.VMEM((1, k + 2, Y, X), jnp.float32),  # rhs ring
+            pltpu.VMEM((19, 2, Y, X), h.dtype),     # store ring
+        ]
+        out_shape = [jax.ShapeDtypeStruct((19, Z, Y, X), h.dtype)]
+        if emit_psi:
+            scratch.append(pltpu.VMEM((1, 2, Y, X), jnp.float32))
+            out_shape.append(jax.ShapeDtypeStruct((1, Z, Y, X), jnp.float32))
+        scratch += [pltpu.VMEM((19, 3, Y, X), h.dtype) for _ in range(k - 1)]
+        scratch += [
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        if emit_psi:
+            scratch.append(pltpu.SemaphoreType.DMA((2,)))
+        return pl.pallas_call(
+            functools.partial(
+                _wavefront_kernel, tau, k, Z, h.dtype, emit_psi
+            ),
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * len(out_shape),
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )
+
+    call_nopsi = make_call(False)
+    n_nopsi = passes - (1 if rem == 0 else 0)
+
+    def one_pass(_, hc):
+        return call_nopsi(hc, flags_i32, rhs_k)[0]
+
+    hc = jax.lax.fori_loop(0, n_nopsi, one_pass, h[0])
+    psi = jnp.zeros((1, Z, Y, X), jnp.float32)
+    if rem == 0:
+        hc, psi = make_call(True)(hc, flags_i32, rhs_k)
 
     if rem:
         sweep = make_sweep_call(Z, Y, X, h.dtype, tau, interpret)

@@ -58,19 +58,25 @@ def test_poisson_kernel_matches_reference(n_iters):
     )
 
 
-@pytest.mark.parametrize("variant", ["v1", "v2"])
+@pytest.mark.parametrize("variant", ["v1", "v2", "v3"])
 @pytest.mark.parametrize("n_iters", [7, 30])
 def test_multisweep_matches_single_sweep(n_iters, variant):
-    """Temporally-blocked kernel (k sweeps per HBM pass, VMEM-resident
-    z-window) is bit-identical to the one-sweep kernel, including the
-    remainder sweeps when k does not divide n_iters."""
+    """Temporally-blocked kernels (k sweeps per HBM pass: v1/v2 VMEM-resident
+    z-window, v3 time-skewed wavefront with ring buffers) are bit-identical
+    to the one-sweep kernel, including the remainder sweeps when k does not
+    divide n_iters."""
     from lbm_ferrofluid_tpu.ops.pallas.poisson import (
         poisson_multisweep,
         poisson_multisweep2,
         poisson_sweeps,
+        poisson_wavefront,
     )
 
-    ms = poisson_multisweep if variant == "v1" else poisson_multisweep2
+    ms = {
+        "v1": poisson_multisweep,
+        "v2": poisson_multisweep2,
+        "v3": poisson_wavefront,
+    }[variant]
 
     Z, Y, X = 16, 8, 16
     rng = np.random.default_rng(5)
