@@ -46,10 +46,9 @@ def model_bytes_per_cell(n_iters=POISSON_ITERS, b_fg=4, b_h=4, res=(256,) * 3):
     """
     B4 = 4
     total = 0.0
-    # stream f (fused macro): r 19f + rho + 3 vel + flags; w 19f + rho + 3 vel + den
-    total += (19 * b_fg + 4 * B4 + 4) + (19 * b_fg + 5 * B4)
-    # stream g (fused moments): r 19g + flags; w 19g + m0 + 3 m1
-    total += (19 * b_fg + 4) + (19 * b_fg + 4 * B4)
+    # prologue (ring-pipelined): r 19f + 19g + flags + rho + 3 vel;
+    # w 9 f32 macro channels only — post-stream f/g never hit HBM
+    total += (38 * b_fg + 4 + 4 * B4) + 9 * B4
     # poisson: the time-skewed wavefront kernel does k sweeps per HBM pass:
     # per pass r 19h * (1 + 2k/Z) + flags(i32) + rhs; w 19h (+ psi, last pass)
     import jax.numpy as jnp
@@ -74,10 +73,10 @@ def model_bytes_per_cell(n_iters=POISSON_ITERS, b_fg=4, b_h=4, res=(256,) * 3):
     total += (2 + 16 + 8) * B4
     # capillary glue (phi, H2, force asm, vel/pressure recovery): ~r 14 w 8
     total += 22 * B4
-    # collide f: r 19f + rho + 3 vel + 3 dfai + flags; w 19f
-    total += (19 * b_fg + 7 * B4 + 4) + 19 * b_fg
-    # collide g: r 19g + rho+3vel+den+p+3force+3dprho + flags; w 19g
-    total += (19 * b_fg + 12 * B4 + 4) + 19 * b_fg
+    # epilogue (re-stream + fused collide of f and g): r 19f + 19g +
+    # flags + 15 f32 macro channels (plus their concat staging write);
+    # w 19f + 19g
+    total += (38 * b_fg + 4 + 15 * B4) + 15 * B4 + 38 * b_fg
     return total
 
 

@@ -104,16 +104,51 @@ def ferrofluid_step_impl(
     dx, dt = params.dx, params.dt
 
     c = dx / dt
-    f, rho, vel, density = stream_bounce_macro(
-        lat, state.f, state.flags, state.rho, state.vel,
-        c=c, rho_gas=params.rho_gas, rho_fluid=params.rho_fluid,
-        density_gas=params.density_gas, density_fluid=params.density_fluid,
-        use_pallas=params.use_pallas, mesh=mesh,
-    )
-    g, m0g, m1g = stream_bounce_moments(
-        lat, state.g, state.flags, params.use_pallas, mesh=mesh
+
+    # Single-device TPU fast path: the ring-pipelined prologue streams f and
+    # g in register and emits only the macro fields (no post-stream
+    # writeback, no channel-group splits); the matching epilogue at the end
+    # of the step re-streams and collides in one pass.
+    import os
+
+    from ..ops.pallas.fused_step import (
+        fused_step_supported,
+        lbm_epilogue,
+        lbm_prologue,
     )
 
+    fastpath = (
+        params.use_pallas and lat.dim == 3 and mesh is None
+        and fused_step_supported(lat, state.f.shape, params.kbc_type)
+        and jax.default_backend() == "tpu"
+        and not os.environ.get("LBM_DISABLE_PALLAS")
+    )
+    if fastpath:
+        rho, vel, density, m0g, m1g = lbm_prologue(
+            state.f, state.g, state.flags, state.rho, state.vel,
+            c=c, rho_gas=params.rho_gas, rho_fluid=params.rho_fluid,
+            density_gas=params.density_gas,
+            density_fluid=params.density_fluid,
+        )
+        f = g = None  # post-stream distributions never materialize
+    else:
+        f, rho, vel, density = stream_bounce_macro(
+            lat, state.f, state.flags, state.rho, state.vel,
+            c=c, rho_gas=params.rho_gas, rho_fluid=params.rho_fluid,
+            density_gas=params.density_gas,
+            density_fluid=params.density_fluid,
+            use_pallas=params.use_pallas, mesh=mesh,
+        )
+        g, m0g, m1g = stream_bounce_moments(
+            lat, state.g, state.flags, params.use_pallas, mesh=mesh
+        )
+
+    # phi and the Poisson source term stay in jnp: XLA fuses this entire
+    # elementwise/staggered chain into the surrounding step at near-zero
+    # marginal cost.  A fused Pallas version was built and benched in round
+    # 2 and was ~1.3% SLOWER end-to-end (extra materialization at the
+    # kernel boundary: 3x density fetch + 6 face operands) — see
+    # docs/PERFORMANCE.md "What did not help".
     phi = -(
         2.0 * (density - params.density_gas)
         / (params.density_fluid - params.density_gas)
@@ -142,7 +177,7 @@ def ferrofluid_step_impl(
         rho,
         vel,
         state.flags,
-        g,
+        state.g if fastpath else g,  # unused when g_sum/g_mom are given
         density,
         state.pressure,
         kappa=params.kappa,
@@ -161,26 +196,33 @@ def ferrofluid_step_impl(
         use_pallas=params.use_pallas,
         mesh=mesh,
     )
-    f, g = hcz_collide(
-        lat,
-        f,
-        g,
-        rho,
-        vel,
-        density,
-        pressure,
-        state.flags,
-        force,
-        dfai,
-        dprho,
-        tau_f=params.tau_f,
-        tau_g=params.tau_g,
-        kbc_type=params.kbc_type,
-        dx=dx,
-        dt=dt,
-        use_pallas=params.use_pallas,
-        mesh=mesh,
-    )
+    if fastpath:
+        f, g = lbm_epilogue(
+            state.f, state.g, state.flags, rho, vel, density, pressure,
+            force, dfai, dprho, tau_f=params.tau_f, tau_g=params.tau_g,
+            dx=dx, dt=dt,
+        )
+    else:
+        f, g = hcz_collide(
+            lat,
+            f,
+            g,
+            rho,
+            vel,
+            density,
+            pressure,
+            state.flags,
+            force,
+            dfai,
+            dprho,
+            tau_f=params.tau_f,
+            tau_g=params.tau_g,
+            kbc_type=params.kbc_type,
+            dx=dx,
+            dt=dt,
+            use_pallas=params.use_pallas,
+            mesh=mesh,
+        )
     return FerrofluidState(
         f=f,
         g=g,

@@ -89,6 +89,7 @@ def solve_H_int(
     use_pallas: bool = True,
     mesh=None,
     halo_depth: int = 5,
+    rhs_scaled=None,
 ):
     """Run ``n_iters`` sweeps of [stream -> bounce-back -> magnetic_sweep].
 
@@ -113,17 +114,21 @@ def solve_H_int(
     w = jnp.asarray(lat.w_bcast(np.float64), dtype=h.dtype)
     w0 = float(lat.weights[0])
 
-    # loop-invariant source term
-    chi = CHI_K * (1.0 - smooth_phi(phi, 0.1 * dx))
-    chx = staggered_x(chi) * H_ext_mac[0]
-    chy = staggered_y(chi) * H_ext_mac[1]
-    rhs = (chx[..., 1:] - chx[..., :-1]) + (chy[..., 1:, :] - chy[..., :-1, :])
-    if dim == 3:
-        chz = staggered_z(chi) * H_ext_mac[2]
-        rhs = rhs + (chz[..., 1:, :, :] - chz[..., :-1, :, :])
-    rhs = rhs * dx / (1.0 + chi)
-    rhs = jnp.where(magnetic_flags == int(CellType.FLUID), rhs, jnp.zeros_like(rhs))
-    rhs_scaled = dt * rhs * (cs2 * (0.5 - tau) * dt)
+    if rhs_scaled is None:
+        # loop-invariant source term (callers that already hold the scaled
+        # rhs — e.g. the sharded slab path — may pass it in directly)
+        chi = CHI_K * (1.0 - smooth_phi(phi, 0.1 * dx))
+        chx = staggered_x(chi) * H_ext_mac[0]
+        chy = staggered_y(chi) * H_ext_mac[1]
+        rhs = (chx[..., 1:] - chx[..., :-1]) + (chy[..., 1:, :] - chy[..., :-1, :])
+        if dim == 3:
+            chz = staggered_z(chi) * H_ext_mac[2]
+            rhs = rhs + (chz[..., 1:, :, :] - chz[..., :-1, :, :])
+        rhs = rhs * dx / (1.0 + chi)
+        rhs = jnp.where(
+            magnetic_flags == int(CellType.FLUID), rhs, jnp.zeros_like(rhs)
+        )
+        rhs_scaled = dt * rhs * (cs2 * (0.5 - tau) * dt)
 
     # Fused Pallas sweep kernel on TPU when shapes allow; jnp fallback is
     # semantically identical (tests assert agreement in interpret mode).

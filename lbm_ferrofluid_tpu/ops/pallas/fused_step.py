@@ -1,0 +1,422 @@
+"""Ring-pipelined prologue/epilogue kernels: f and g stream through VMEM
+exactly once per pass, with no channel-group splits or post-stream
+writebacks.
+
+The classic composition pays four full passes over each distribution per
+outer step (split into e_z channel groups for the BlockSpec kernels, stream
++ writeback, re-read for collision, write) plus the split/concat copies at
+every Pallas boundary (~2.8 ms per 19-channel copy at 256^3 f32, measured).
+Here the step becomes:
+
+* ``lbm_prologue`` — pull-stream f and g IN REGISTER and emit only the
+  macro fields (rho, vel, density from f; m0, m1 moments from g).  The
+  post-stream distributions are never written back to HBM.
+* ``lbm_epilogue`` — re-stream f and g (the pull is deterministic, so the
+  in-register values equal what the writeback would have stored, after
+  rounding through the storage dtype), then apply the fused HCZ collision
+  (ops/pallas/hcz3d.py math) and write the post-collision f', g'.
+
+Both kernels take the full 19-channel arrays in ANY memory space and DMA
+one z-plane per loop iteration through 4-slot VMEM ring buffers (input
+prefetched two iterations ahead, output drained from a 2-slot store ring) —
+the same choreography as the wavefront Poisson kernel
+(ops/pallas/poisson.py:poisson_wavefront).  Periodic z-wrap comes from the
+modular source index of the ring DMA.
+
+Reference semantics reproduced: propagation + full-way bounce back
+(LBM_propagation_3d.py:18-111), macro recovery with the OBSTACLE freeze
+(demo drivers), HCZ LBGK collision (HCZ_3d.py:213-263).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...lattice import D3Q19, Lattice
+from ...utils.types import CellType
+from .hcz3d import _feq_rows, _gamma_rows
+
+__all__ = ["lbm_prologue", "lbm_epilogue", "fused_step_supported"]
+
+_OBS = int(CellType.OBSTACLE)
+_FLUID = int(CellType.FLUID)
+
+
+def fused_step_supported(lat: Lattice, shape, kbc_type=None) -> bool:
+    if lat.q != 19 or kbc_type is not None:
+        return False
+    B, Q, Z, Y, X = shape
+    return B == 1 and X % 128 == 0 and Y % 8 == 0 and Z >= 4
+
+
+def _rem(a, n):
+    a = jnp.asarray(a)
+    return jax.lax.rem(a, jnp.asarray(n, a.dtype))
+
+
+def _in_copies(streams, w, Z):
+    """Async copies of z-plane ``w mod Z`` of every input stream into ring
+    slot ``(w+1) % 4`` (the +1 keeps the preamble's w=-1 plane at slot 0)."""
+    src = _rem(w + Z, Z)
+    slot = _rem(w + 1, 4)
+    return [
+        pltpu.make_async_copy(
+            ref.at[:, pl.ds(src, 1)], ring.at[:, pl.ds(slot, 1)],
+            sem.at[slot],
+        )
+        for ref, ring, sem in streams
+    ]
+
+
+def _stream_plane(ring, slots, flags_row, Y, X):
+    """Pull-streamed + bounce-backed 19 channels of one plane, in f32.
+
+    ``slots = (s_mid, s_up, s_dn)``: ring slots holding planes z, z-1, z+1.
+    """
+    lat = D3Q19
+    s0, sm, sp = slots
+    is_obs = flags_row == _OBS
+    streamed = [None] * 19
+    for q in range(19):
+        slot = s0 if q < 9 else (sm if q < 14 else sp)
+        v = ring[q, slot].astype(jnp.float32)
+        ex, ey = int(lat.e[q][0]), int(lat.e[q][1])
+        if ey:
+            v = pltpu.roll(v, ey % Y, 0)
+        if ex:
+            v = pltpu.roll(v, ex % X, 1)
+        streamed[q] = v
+    return [
+        jnp.where(is_obs, streamed[int(lat.opposite[q])], streamed[q])
+        for q in range(19)
+    ], is_obs
+
+
+def _moments(post):
+    lat = D3Q19
+    m0 = post[0]
+    for q in range(1, 19):
+        m0 = m0 + post[q]
+    m1 = []
+    for d in range(3):
+        md = None
+        for q in range(19):
+            ev = int(lat.e[q][d])
+            if ev == 0:
+                continue
+            term = post[q] if ev == 1 else -post[q]
+            md = term if md is None else md + term
+        m1.append(md)
+    return m0, m1
+
+
+def _prologue_kernel(c, rho_gas, rho_fluid, density_gas, density_fluid, Z,
+                     f_ref, g_ref, flags_ref, rho_ref, vel_ref,
+                     out_ref,
+                     f_ring, g_ring, fl_ring, ro_ring, ve_ring, store,
+                     sem_f, sem_g, sem_fl, sem_ro, sem_ve, sem_o):
+    Y, X = f_ref.shape[2], f_ref.shape[3]
+    streams = [
+        (f_ref, f_ring, sem_f),
+        (g_ref, g_ring, sem_g),
+        (flags_ref, fl_ring, sem_fl),
+        (rho_ref, ro_ring, sem_ro),
+        (vel_ref, ve_ring, sem_ve),
+    ]
+
+    for w in (-1, 0, 1):
+        for cp in _in_copies(streams, w, Z):
+            cp.start()
+    for w in (-1, 0):
+        for cp in _in_copies(streams, w, Z):
+            cp.wait()
+
+    def out_copy(t):
+        return pltpu.make_async_copy(
+            store.at[:, pl.ds(_rem(t, 2), 1)],
+            out_ref.at[:, pl.ds(t, 1)],
+            sem_o.at[_rem(t, 2)],
+        )
+
+    def body(t, _):
+        # every plane in [1, Z] is waited exactly once (plane Z is the
+        # z-wrap copy of plane 0 needed at t = Z-1) — an unconsumed DMA
+        # semaphore at kernel exit faults real hardware
+        for cp in _in_copies(streams, t + 1, Z):
+            cp.wait()
+
+        @pl.when(t + 2 <= Z)
+        def _():
+            for cp in _in_copies(streams, t + 2, Z):
+                cp.start()
+
+        s0 = _rem(t + 1, 4)
+        sm = _rem(t, 4)
+        sp = _rem(t + 2, 4)
+        flags_row = fl_ring[0, s0]
+        post_f, is_obs = _stream_plane(f_ring, (s0, sm, sp), flags_row, Y, X)
+        post_g, _ = _stream_plane(g_ring, (s0, sm, sp), flags_row, Y, X)
+
+        m0f, m1f = _moments(post_f)
+        m0g, m1g = _moments(post_g)
+
+        rho = jnp.where(is_obs, ro_ring[0, s0], m0f)
+        density = density_gas + (density_fluid - density_gas) * (
+            (rho - rho_gas) / (rho_fluid - rho_gas)
+        )
+        inv_rho = c / rho
+
+        @pl.when(t - 2 >= 0)
+        def _():
+            out_copy(t - 2).wait()
+
+        slot = _rem(t, 2)
+        store[0, slot] = rho
+        for d in range(3):
+            store[1 + d, slot] = jnp.where(
+                is_obs, ve_ring[d, s0], m1f[d] * inv_rho
+            )
+        store[4, slot] = density
+        store[5, slot] = m0g
+        for d in range(3):
+            store[6 + d, slot] = m1g[d]
+        out_copy(t).start()
+        return 0
+
+    jax.lax.fori_loop(0, Z, body, 0)
+    for d in (2, 1):
+        out_copy(Z - d).wait()
+
+
+def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype,
+                     f_ref, g_ref, flags_ref, mac_ref,
+                     fout_ref, gout_ref,
+                     f_ring, g_ring, fl_ring, mc_ring,
+                     f_store, g_store,
+                     sem_f, sem_g, sem_fl, sem_mc, sem_fo, sem_go):
+    lat = D3Q19
+    Y, X = f_ref.shape[2], f_ref.shape[3]
+    c = dx / dt
+    cs2 = c * c / 3.0
+    streams = [
+        (f_ref, f_ring, sem_f),
+        (g_ref, g_ring, sem_g),
+        (flags_ref, fl_ring, sem_fl),
+        (mac_ref, mc_ring, sem_mc),
+    ]
+
+    for w in (-1, 0, 1):
+        for cp in _in_copies(streams, w, Z):
+            cp.start()
+    for w in (-1, 0):
+        for cp in _in_copies(streams, w, Z):
+            cp.wait()
+
+    def out_copies(t):
+        slot = _rem(t, 2)
+        return (
+            pltpu.make_async_copy(
+                f_store.at[:, pl.ds(slot, 1)], fout_ref.at[:, pl.ds(t, 1)],
+                sem_fo.at[slot],
+            ),
+            pltpu.make_async_copy(
+                g_store.at[:, pl.ds(slot, 1)], gout_ref.at[:, pl.ds(t, 1)],
+                sem_go.at[slot],
+            ),
+        )
+
+    def body(t, _):
+        # every plane in [1, Z] is waited exactly once (plane Z is the
+        # z-wrap copy of plane 0 needed at t = Z-1) — an unconsumed DMA
+        # semaphore at kernel exit faults real hardware
+        for cp in _in_copies(streams, t + 1, Z):
+            cp.wait()
+
+        @pl.when(t + 2 <= Z)
+        def _():
+            for cp in _in_copies(streams, t + 2, Z):
+                cp.start()
+
+        s0 = _rem(t + 1, 4)
+        sm = _rem(t, 4)
+        sp = _rem(t + 2, 4)
+        flags_row = fl_ring[0, s0]
+        # re-stream and round through the storage dtype: bit-identical to
+        # what the classic path's post-stream writeback stored
+        post_f, _ = _stream_plane(f_ring, (s0, sm, sp), flags_row, Y, X)
+        post_g, _ = _stream_plane(g_ring, (s0, sm, sp), flags_row, Y, X)
+        post_f = [p.astype(fg_dtype).astype(jnp.float32) for p in post_f]
+        post_g = [p.astype(fg_dtype).astype(jnp.float32) for p in post_g]
+
+        is_fluid = flags_row == _FLUID
+        rho = mc_ring[0, s0]
+        ux, uy, uz = mc_ring[1, s0], mc_ring[2, s0], mc_ring[3, s0]
+        dens = mc_ring[4, s0]
+        p = mc_ring[5, s0]
+        fx, fy, fz = mc_ring[6, s0], mc_ring[7, s0], mc_ring[8, s0]
+        gx, gy, gz = -mc_ring[9, s0], -mc_ring[10, s0], -mc_ring[11, s0]
+        px, py, pz = -mc_ring[12, s0], -mc_ring[13, s0], -mc_ring[14, s0]
+
+        feq = _feq_rows(rho, ux, uy, uz, c)
+        gamma = _gamma_rows(ux, uy, uz, c)
+
+        # f: HCZ LBGK with the -grad(fai) forcing (hcz3d.py:_f_kernel)
+        pref_f = dt * dt * (1.0 - 0.5 / tau_f) / cs2
+        u_dot_g = ux * gx + uy * gy + uz * gz
+        # g: pressure-form update (hcz3d.py:_g_kernel)
+        dens_term = cs2 * dens / rho
+        p_term = p - cs2 * dens
+        u_dot_f = ux * fx + uy * fy + uz * fz
+        u_dot_p = ux * px + uy * py + uz * pz
+        pref_g = dt * (1.0 - 0.5 / tau_g)
+
+        @pl.when(t - 2 >= 0)
+        def _():
+            for cp in out_copies(t - 2):
+                cp.wait()
+
+        slot = _rem(t, 2)
+        for q in range(19):
+            wq = float(lat.weights[q])
+            ex, ey, ez = (float(lat.e[q][d]) for d in range(3))
+            e_dot_g = (ex * gx + ey * gy + ez * gz) * c
+            fq = post_f[q]
+            coll_f = (
+                fq + (feq[q] - fq) / tau_f
+                + pref_f * gamma[q] * (e_dot_g - u_dot_g)
+            )
+            f_store[q, slot] = jnp.where(
+                is_fluid, coll_f, fq
+            ).astype(fg_dtype)
+
+            geq = wq * p_term + dens_term * feq[q]
+            e_dot_f = (ex * fx + ey * fy + ez * fz) * c
+            e_dot_p = (ex * px + ey * py + ez * pz) * c
+            gq = post_g[q]
+            coll_g = (
+                gq + (geq - gq) / tau_g
+                + pref_g * (
+                    gamma[q] * (e_dot_f - u_dot_f)
+                    + (gamma[q] - wq) * (e_dot_p - u_dot_p)
+                )
+            )
+            g_store[q, slot] = jnp.where(
+                is_fluid, coll_g, gq
+            ).astype(fg_dtype)
+
+        for cp in out_copies(t):
+            cp.start()
+        return 0
+
+    jax.lax.fori_loop(0, Z, body, 0)
+    for d in (2, 1):
+        for cp in out_copies(Z - d):
+            cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "c", "rho_gas", "rho_fluid", "density_gas", "density_fluid", "interpret",
+))
+def lbm_prologue(
+    f, g, flags, rho_old, vel_old, *, c, rho_gas, rho_fluid, density_gas,
+    density_fluid, interpret=False,
+):
+    """Stream f and g in register; emit only the macro fields.
+
+    Returns (rho [1,1,Z,Y,X], vel [1,3], density [1,1], m0g [1,1],
+    m1g [1,3]), all f32 — exactly the quantities
+    ops/pallas/stream3d.py:stream_bounce_macro + stream_bounce_moments
+    produce, without writing the post-stream distributions back to HBM.
+    """
+    _, _, Z, Y, X = f.shape
+    flags_i32 = flags[0].astype(jnp.int32)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _prologue_kernel, c, rho_gas, rho_fluid, density_gas,
+            density_fluid, Z,
+        ),
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((9, Z, Y, X), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((19, 4, Y, X), f.dtype),
+            pltpu.VMEM((19, 4, Y, X), g.dtype),
+            pltpu.VMEM((1, 4, Y, X), jnp.int32),
+            pltpu.VMEM((1, 4, Y, X), rho_old.dtype),
+            pltpu.VMEM((3, 4, Y, X), vel_old.dtype),
+            pltpu.VMEM((9, 2, Y, X), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(f[0], g[0], flags_i32, rho_old[0], vel_old[0])
+    return (
+        out[None, 0:1], out[None, 1:4], out[None, 4:5], out[None, 5:6],
+        out[None, 6:9],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "tau_f", "tau_g", "dx", "dt", "interpret",
+))
+def lbm_epilogue(
+    f, g, flags, rho, vel, density, pressure, force, dfai, dprho, *,
+    tau_f, tau_g, dx=1.0, dt=1.0, interpret=False,
+):
+    """Re-stream f and g and apply the fused HCZ collision in one pass.
+
+    Semantics: stream + bounce-back (rounded through the storage dtype,
+    matching the classic writeback) followed by
+    ops/pallas/hcz3d.py:hcz_collide_fused.  Returns (f', g').
+    """
+    _, _, Z, Y, X = f.shape
+    flags_i32 = flags[0].astype(jnp.int32)
+    mac = jnp.concatenate(
+        [rho, vel, density, pressure, force, dfai, dprho], axis=1
+    )[0].astype(jnp.float32)
+
+    f_new, g_new = pl.pallas_call(
+        functools.partial(
+            _epilogue_kernel, tau_f, tau_g, dx, dt, Z, f.dtype,
+        ),
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((19, Z, Y, X), f.dtype),
+            jax.ShapeDtypeStruct((19, Z, Y, X), g.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((19, 4, Y, X), f.dtype),
+            pltpu.VMEM((19, 4, Y, X), g.dtype),
+            pltpu.VMEM((1, 4, Y, X), jnp.int32),
+            pltpu.VMEM((15, 4, Y, X), jnp.float32),
+            pltpu.VMEM((19, 2, Y, X), f.dtype),
+            pltpu.VMEM((19, 2, Y, X), g.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(f[0], g[0], flags_i32, mac)
+    return f_new[None], g_new[None]

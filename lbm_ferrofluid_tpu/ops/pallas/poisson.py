@@ -424,13 +424,13 @@ def poisson_multisweep(
         functools.partial(_multisweep_kernel, tau, k, Zt, P, Z, h.dtype),
         grid=(Z // Zt,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((19, Z, Y, X), h.dtype),
@@ -733,8 +733,8 @@ def poisson_multisweep2(
                 _multisweep2_kernel, tau, k, Zt, P, Z, h.dtype, emit_psi
             ),
             grid=(Z // Zt,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
-            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * len(out_shape),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(out_shape),
             out_shape=out_shape,
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
@@ -986,6 +986,11 @@ def poisson_wavefront(
     contract, same per-sweep arithmetic, interior bit-identical)."""
     _, _, Z, Y, X = h.shape
     k = _wf_plan(h.shape, h.dtype, n_iters)
+    if k < 2:  # no pipeline depth fits (tiny n_iters): plain sweeps
+        return poisson_sweeps(
+            h, magnetic_flags, rhs_scaled, tau=tau, n_iters=n_iters,
+            interpret=interpret,
+        )
     flags_i32 = magnetic_flags[0].astype(jnp.int32)
     rhs_k = rhs_scaled[0].astype(jnp.float32)
 
@@ -1016,8 +1021,8 @@ def poisson_wavefront(
                 _wavefront_kernel, tau, k, Z, h.dtype, emit_psi
             ),
             grid=(1,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
-            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * len(out_shape),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(out_shape),
             out_shape=out_shape,
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(

@@ -183,6 +183,8 @@ def poisson_sweeps_sharded(
         from ..ops.pallas.poisson import (
             poisson_multisweep2,
             poisson_multisweep_supported,
+            poisson_wavefront,
+            poisson_wavefront_supported,
         )
 
         flags_ext = _extend(flags[0].astype(jnp.int32), k)
@@ -192,17 +194,27 @@ def poisson_sweeps_sharded(
         psi = jnp.zeros((1, Zext, Y, X), jnp.float32)
 
         ext_shape = (1, 19, Zext, Y, X)
-        use_ms = poisson_multisweep_supported(D3Q19, ext_shape, h.dtype, k)
-        call = None if use_ms else make_sweep_call(
+        use_wf = poisson_wavefront_supported(D3Q19, ext_shape, h.dtype, k)
+        use_ms = not use_wf and poisson_multisweep_supported(
+            D3Q19, ext_shape, h.dtype, k
+        )
+        call = None if (use_wf or use_ms) else make_sweep_call(
             Zext, Y, X, h.dtype, tau, interpret
         )
 
         def n_sweeps(carry, n):
             """Refresh the k ghost planes from ring neighbors, then run n
-            locally-exact sweeps on the extended slab — via the temporally
-            blocked kernel when the extended shape supports it."""
+            locally-exact sweeps on the extended slab — via the wavefront /
+            temporally-blocked kernels when the extended shape supports
+            them (their periodic z-wrap only pollutes ghost planes)."""
             hc, psi = carry
             hc = _refresh_ghosts(hc, k, Zl)
+            if use_wf:
+                h_new, psi = poisson_wavefront(
+                    hc[None], flags_ext[None], rhs_ext[None], tau=tau,
+                    n_iters=n, interpret=interpret,
+                )
+                return h_new[0], psi[0]
             if use_ms:
                 h_new, psi = poisson_multisweep2(
                     hc[None], flags_ext[None], rhs_ext[None], tau=tau,

@@ -1,0 +1,112 @@
+"""Ring-pipelined prologue/epilogue kernels vs the classic kernel pair
+(interpret mode on CPU): macro fields and post-collision distributions must
+be bit-identical."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lbm_ferrofluid_tpu import CellType, D3Q19
+from lbm_ferrofluid_tpu.ops.pallas.fused_step import (
+    fused_step_supported,
+    lbm_epilogue,
+    lbm_prologue,
+)
+from lbm_ferrofluid_tpu.ops.pallas.hcz3d import hcz_collide_fused
+from lbm_ferrofluid_tpu.ops.pallas.stream3d import (
+    stream_bounce_macro,
+    stream_bounce_moments,
+)
+
+C = 1.0
+RHO_GAS, RHO_FLUID = 0.02381, 0.2508
+
+
+def _setup(dtype):
+    Z, Y, X = 6, 8, 128
+    rng = np.random.default_rng(9)
+    f = jnp.asarray(rng.uniform(0.0, 1.0, (1, 19, Z, Y, X)), jnp.float32)
+    g = jnp.asarray(rng.uniform(0.0, 1.0, (1, 19, Z, Y, X)), jnp.float32)
+    f, g = f.astype(dtype), g.astype(dtype)
+    flags = np.full((1, 1, Z, Y, X), int(CellType.OBSTACLE), np.uint8)
+    flags[..., 1:-1, 1:-1, 1:-1] = int(CellType.FLUID)
+    flags = jnp.asarray(flags)
+    rho_old = jnp.asarray(rng.uniform(0.1, 1.0, (1, 1, Z, Y, X)), jnp.float32)
+    vel_old = jnp.asarray(
+        rng.uniform(-0.1, 0.1, (1, 3, Z, Y, X)), jnp.float32
+    )
+    return f, g, flags, rho_old, vel_old
+
+
+def test_supported():
+    assert fused_step_supported(D3Q19, (1, 19, 6, 8, 128))
+    assert not fused_step_supported(D3Q19, (1, 19, 6, 8, 128), kbc_type=2)
+    assert not fused_step_supported(D3Q19, (1, 19, 2, 8, 128))  # Z < 4
+    assert not fused_step_supported(D3Q19, (1, 19, 6, 8, 130))
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_prologue_matches_classic(dtype):
+    f, g, flags, rho_old, vel_old = _setup(jnp.dtype(dtype))
+    kw = dict(c=C, rho_gas=RHO_GAS, rho_fluid=RHO_FLUID,
+              density_gas=RHO_GAS, density_fluid=RHO_FLUID)
+
+    _, rho_ref, vel_ref, den_ref = stream_bounce_macro(
+        f, flags, rho_old, vel_old, interpret=True, **kw
+    )
+    _, m0_ref, m1_ref = stream_bounce_moments(g, flags, interpret=True)
+
+    rho, vel, den, m0g, m1g = lbm_prologue(
+        f, g, flags, rho_old, vel_old, interpret=True, **kw
+    )
+    for got, want, name in [
+        (rho, rho_ref, "rho"), (vel, vel_ref, "vel"),
+        (den, den_ref, "density"), (m0g, m0_ref, "m0g"),
+        (m1g, m1_ref, "m1g"),
+    ]:
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want), err_msg=name
+        )
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_epilogue_matches_classic(dtype):
+    f, g, flags, rho_old, vel_old = _setup(jnp.dtype(dtype))
+    Z, Y, X = f.shape[2:]
+    rng = np.random.default_rng(10)
+
+    kw = dict(c=C, rho_gas=RHO_GAS, rho_fluid=RHO_FLUID,
+              density_gas=RHO_GAS, density_fluid=RHO_FLUID)
+    f_post, rho, vel, den = stream_bounce_macro(
+        f, flags, rho_old, vel_old, interpret=True, **kw
+    )
+    g_post, _, _ = stream_bounce_moments(g, flags, interpret=True)
+
+    pressure = jnp.asarray(rng.uniform(0.0, 0.1, (1, 1, Z, Y, X)), jnp.float32)
+    force = jnp.asarray(rng.uniform(-1e-3, 1e-3, (1, 3, Z, Y, X)), jnp.float32)
+    dfai = jnp.asarray(rng.uniform(-1e-3, 1e-3, (1, 3, Z, Y, X)), jnp.float32)
+    dprho = jnp.asarray(rng.uniform(-1e-3, 1e-3, (1, 3, Z, Y, X)), jnp.float32)
+
+    f_ref, g_ref = hcz_collide_fused(
+        f_post, g_post, rho, vel, den, pressure, flags, force, dfai, dprho,
+        tau_f=0.68, tau_g=0.68, interpret=True,
+    )
+    f_new, g_new = lbm_epilogue(
+        f, g, flags, rho, vel, den, pressure, force, dfai, dprho,
+        tau_f=0.68, tau_g=0.68, interpret=True,
+    )
+    if dtype == "bfloat16":
+        # storage rounding absorbs compiler FMA-contraction differences
+        np.testing.assert_array_equal(np.asarray(f_new), np.asarray(f_ref))
+        np.testing.assert_array_equal(np.asarray(g_new), np.asarray(g_ref))
+    else:
+        # the two kernels are separate XLA programs; the CPU backend
+        # contracts mul+add to FMA differently around the re-stream vs the
+        # buffer load, so f32 differs at the ulp level (amplified by the
+        # geq cancellation in the g update) — well under golden tolerances
+        np.testing.assert_allclose(
+            np.asarray(f_new), np.asarray(f_ref), rtol=1e-4, atol=5e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_new), np.asarray(g_ref), rtol=1e-4, atol=5e-7
+        )
