@@ -197,8 +197,8 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype,
                      f_ref, g_ref, flags_ref, mac_ref,
                      fout_ref, gout_ref,
                      f_ring, g_ring, fl_ring, mc_ring,
-                     f_store, g_store,
-                     sem_f, sem_g, sem_fl, sem_mc, sem_fo, sem_go):
+                     f_store, g_store, f_seam, g_seam,
+                     sem_f, sem_g, sem_fl, sem_mc, sem_fo, sem_go, sem_s):
     lat = D3Q19
     Y, X = f_ref.shape[2], f_ref.shape[3]
     c = dx / dt
@@ -209,10 +209,23 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype,
         (flags_ref, fl_ring, sem_fl),
         (mac_ref, mc_ring, sem_mc),
     ]
+    # f/g alias their outputs (the collide runs in place, saving a full
+    # 19-channel copy each): plane p's HBM read lands at body p-1, its
+    # write starts at the end of body p — ordered.  The ONLY late re-read
+    # is the z-wrap plane 0 at w=Z (body Z-2), long after plane 0 was
+    # overwritten at body 0, so plane 0 is stashed pristine at preamble.
+    seam_cps = [
+        pltpu.make_async_copy(f_ref.at[:, pl.ds(0, 1)], f_seam, sem_s.at[0]),
+        pltpu.make_async_copy(g_ref.at[:, pl.ds(0, 1)], g_seam, sem_s.at[1]),
+    ]
+    for cp in seam_cps:
+        cp.start()
 
     for w in (-1, 0, 1):
         for cp in _in_copies(streams, w, Z):
             cp.start()
+    for cp in seam_cps:  # must land before plane 0's in-place write (t=0)
+        cp.wait()
     for w in (-1, 0):
         for cp in _in_copies(streams, w, Z):
             cp.wait()
@@ -237,9 +250,24 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype,
         for cp in _in_copies(streams, t + 1, Z):
             cp.wait()
 
-        @pl.when(t + 2 <= Z)
+        @pl.when(t + 2 <= Z - 1)
         def _():
             for cp in _in_copies(streams, t + 2, Z):
+                cp.start()
+
+        @pl.when(t + 2 == Z)
+        def _():
+            # z-wrap plane: f/g from the pristine seam stash (their HBM
+            # plane 0 was overwritten in place at body 0); flags/mac are
+            # not aliased, so they re-read normally
+            slot = _rem(Z + 1, 4)
+            pltpu.make_async_copy(
+                f_seam, f_ring.at[:, pl.ds(slot, 1)], sem_f.at[slot]
+            ).start()
+            pltpu.make_async_copy(
+                g_seam, g_ring.at[:, pl.ds(slot, 1)], sem_g.at[slot]
+            ).start()
+            for cp in _in_copies(streams[2:], Z, Z):
                 cp.start()
 
         s0 = _rem(t + 1, 4)
@@ -407,13 +435,17 @@ def lbm_epilogue(
             pltpu.VMEM((15, 4, Y, X), jnp.float32),
             pltpu.VMEM((19, 2, Y, X), f.dtype),
             pltpu.VMEM((19, 2, Y, X), g.dtype),
+            pltpu.VMEM((19, 1, Y, X), f.dtype),
+            pltpu.VMEM((19, 1, Y, X), g.dtype),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        input_output_aliases={0: 0, 1: 1},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),

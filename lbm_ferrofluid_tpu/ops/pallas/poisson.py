@@ -833,13 +833,13 @@ def poisson_wavefront_supported(lat, h_shape, h_dtype, n_iters):
 
 def _wavefront_kernel(tau, k, Z, h_dtype, emit_psi, *refs):
     if emit_psi:
-        (h_ref, flags_ref, rhs_ref, out_ref, psi_ref,
+        (h_ref, flags_ref, rhs_ref, out_ref, psi_ref, seam_ref,
          in_ring, f_ring, r_ring, store_ring, psi_ring,
-         *stage_rings, sem_h, sem_f, sem_r, sem_o, sem_p) = refs
+         *stage_rings, sem_h, sem_f, sem_r, sem_o, sem_p, sem_s) = refs
     else:
-        (h_ref, flags_ref, rhs_ref, out_ref,
+        (h_ref, flags_ref, rhs_ref, out_ref, seam_ref,
          in_ring, f_ring, r_ring, store_ring,
-         *stage_rings, sem_h, sem_f, sem_r, sem_o) = refs
+         *stage_rings, sem_h, sem_f, sem_r, sem_o, sem_s) = refs
         psi_ref = psi_ring = sem_p = None
     lat = D3Q19
     Y, X = h_ref.shape[2], h_ref.shape[3]
@@ -852,12 +852,22 @@ def _wavefront_kernel(tau, k, Z, h_dtype, emit_psi, *refs):
         a = jnp.asarray(a)
         return jax.lax.rem(a, jnp.asarray(n, a.dtype))
 
-    def in_copies(plane):
-        """Async copies of window plane ``plane`` of h/flags/rhs (wrapped)."""
+    def in_copies(plane, h_from_seam=False):
+        """Async copies of window plane ``plane`` of h/flags/rhs (wrapped).
+
+        ``h_ref`` aliases ``out_ref`` (in-place pass), so the wrap-seam
+        re-reads of planes [0, k) at window planes >= Z+k — which happen
+        AFTER those planes were overwritten — must come from the pristine
+        ``seam_ref`` stash instead (``h_from_seam``; the seam index equals
+        the wrapped ``src``).  All other planes are read strictly before
+        their in-place write (read of plane p lands at t=p+k-1, write
+        starts at t=p+k).
+        """
         src = rem_(plane + (Z - k), Z)
+        h_src = seam_ref if h_from_seam else h_ref
         return (
             pltpu.make_async_copy(
-                h_ref.at[:, pl.ds(src, 1)],
+                h_src.at[:, pl.ds(src, 1)],
                 in_ring.at[:, pl.ds(rem_(plane, 4), 1)],
                 sem_h.at[rem_(plane, 4)],
             ),
@@ -887,10 +897,16 @@ def _wavefront_kernel(tau, k, Z, h_dtype, emit_psi, *refs):
             sem_p.at[rem_(w, 2)],
         )
 
-    # ---- preamble: planes 0 and 1 in flight, plane 0 landed --------------
-    for plane in (0, 1):
+    # ---- preamble: stash the seam planes, planes 0 and 1 in flight ------
+    seam_cp = pltpu.make_async_copy(
+        h_ref.at[:, pl.ds(0, k)], seam_ref, sem_s
+    )
+    seam_cp.start()
+    for plane in (0, 1):  # window planes 0,1 always read h_ref (< Z+k)
         for cp in in_copies(plane):
             cp.start()
+    # the stash must land before plane 0's in-place write at t=k
+    seam_cp.wait()
     for cp in in_copies(0):
         cp.wait()
 
@@ -898,12 +914,19 @@ def _wavefront_kernel(tau, k, Z, h_dtype, emit_psi, *refs):
         # ---- input pipeline: land plane t+1, launch plane t+2 ----------
         @pl.when(t + 1 <= P - 1)
         def _():
+            # the wait only touches the semaphore + byte count, which are
+            # identical for the seam and h_ref variants
             for cp in in_copies(t + 1):
                 cp.wait()
 
-        @pl.when(t + 2 <= P - 1)
+        @pl.when((t + 2 <= P - 1) & (t + 2 < Z + k))
         def _():
             for cp in in_copies(t + 2):
+                cp.start()
+
+        @pl.when((t + 2 >= Z + k) & (t + 2 <= P - 1))
+        def _():
+            for cp in in_copies(t + 2, h_from_seam=True):
                 cp.start()
 
         # ---- pipeline stages, in order --------------------------------
@@ -1007,6 +1030,10 @@ def poisson_wavefront(
         if emit_psi:
             scratch.append(pltpu.VMEM((1, 2, Y, X), jnp.float32))
             out_shape.append(jax.ShapeDtypeStruct((1, Z, Y, X), jnp.float32))
+        # HBM stash of the seam planes [0, k): h aliases the output (the
+        # pass runs in place, saving a full 19-channel copy per pass), so
+        # the wrap re-reads at window planes >= Z+k read this instead
+        out_shape.append(jax.ShapeDtypeStruct((19, k, Y, X), h.dtype))
         scratch += [pltpu.VMEM((19, 3, Y, X), h.dtype) for _ in range(k - 1)]
         scratch += [
             pltpu.SemaphoreType.DMA((4,)),
@@ -1016,6 +1043,7 @@ def poisson_wavefront(
         ]
         if emit_psi:
             scratch.append(pltpu.SemaphoreType.DMA((2,)))
+        scratch.append(pltpu.SemaphoreType.DMA(()))
         return pl.pallas_call(
             functools.partial(
                 _wavefront_kernel, tau, k, Z, h.dtype, emit_psi
@@ -1025,6 +1053,7 @@ def poisson_wavefront(
             out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(out_shape),
             out_shape=out_shape,
             scratch_shapes=scratch,
+            input_output_aliases={0: 0},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=120 * 1024 * 1024,
             ),
@@ -1040,7 +1069,7 @@ def poisson_wavefront(
     hc = jax.lax.fori_loop(0, n_nopsi, one_pass, h[0])
     psi = jnp.zeros((1, Z, Y, X), jnp.float32)
     if rem == 0:
-        hc, psi = make_call(True)(hc, flags_i32, rhs_k)
+        hc, psi, _ = make_call(True)(hc, flags_i32, rhs_k)
 
     if rem:
         sweep = make_sweep_call(Z, Y, X, h.dtype, tau, interpret)

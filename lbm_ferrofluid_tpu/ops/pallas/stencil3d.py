@@ -67,7 +67,20 @@ _LAP_TAPS = (
 )
 
 
-def _grad_kernel(n_fields, inv12dx, halo, mid_ref, prev_ref, next_ref, *rest):
+def _ring_replicate_plane(v, Y, X):
+    """Replace the y/x boundary ring with nearest-interior values (x edges
+    first, then y on the x-fixed result — the fix_ring_replicate order)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1)
+    v = jnp.where(col == 0, _shift_replicate(v, 0, -1, Y, X), v)
+    v = jnp.where(col == X - 1, _shift_replicate(v, 0, 1, Y, X), v)
+    row = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0)
+    v = jnp.where(row == 0, _shift_replicate(v, -1, 0, Y, X), v)
+    v = jnp.where(row == Y - 1, _shift_replicate(v, 1, 0, Y, X), v)
+    return v
+
+
+def _grad_kernel(n_fields, inv12dx, halo, ring_fix, mid_ref, prev_ref,
+                 next_ref, *rest):
     Z = pl.num_programs(0)
     i = pl.program_id(0)
     Y, X = mid_ref.shape[2], mid_ref.shape[3]
@@ -85,6 +98,11 @@ def _grad_kernel(n_fields, inv12dx, halo, mid_ref, prev_ref, next_ref, *rest):
             # domain-boundary replicate is a masked output fix by the caller
             vm = jnp.where(first, glo_ref[f, 0], prev_ref[f, 0])
             vp = jnp.where(last, ghi_ref[f, 0], next_ref[f, 0])
+        elif ring_fix:
+            # the z-index map is clamped to [1, Z-2] (see grad_fields):
+            # edge programs compute their interior neighbor's plane, whose
+            # z-neighbors are always in range — no replicate select needed
+            vm, vp = prev_ref[f, 0], next_ref[f, 0]
         else:
             # replicate along z at the domain boundary
             vm = jnp.where(first, v0, prev_ref[f, 0])
@@ -96,10 +114,13 @@ def _grad_kernel(n_fields, inv12dx, halo, mid_ref, prev_ref, next_ref, *rest):
                 # reading neighbor at offset o means shifting the plane by +o
                 t = _shift_replicate(planes[oz], -oy, -ox, Y, X) * wgt
                 acc = t if acc is None else acc + t
-            out_ref[f * 3 + d, 0] = acc * inv12dx
+            res = acc * inv12dx
+            if ring_fix:
+                res = _ring_replicate_plane(res, Y, X)
+            out_ref[f * 3 + d, 0] = res
 
 
-def _lap_kernel(inv6dx2, halo, mid_ref, prev_ref, next_ref, *rest):
+def _lap_kernel(inv6dx2, halo, ring_fix, mid_ref, prev_ref, next_ref, *rest):
     Z = pl.num_programs(0)
     i = pl.program_id(0)
     Y, X = mid_ref.shape[2], mid_ref.shape[3]
@@ -119,7 +140,16 @@ def _lap_kernel(inv6dx2, halo, mid_ref, prev_ref, next_ref, *rest):
     for (oz, oy, ox), wgt in _LAP_TAPS:
         t = _shift_replicate(planes[oz], -oy, -ox, Y, X) * wgt
         acc = t if acc is None else acc + t
-    out_ref[0, 0] = acc * inv6dx2
+    res = acc * inv6dx2
+    if ring_fix:
+        # zero boundary ring (x/y everywhere, whole z edge planes)
+        col = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0)
+        edge = (col == 0) | (col == X - 1) | (row == 0) | (row == Y - 1)
+        if not halo:
+            edge = edge | jnp.broadcast_to((i == 0) | (i == Z - 1), (Y, X))
+        res = jnp.where(edge, jnp.zeros((), res.dtype), res)
+    out_ref[0, 0] = res
 
 
 def fix_ring_replicate(out):
@@ -156,20 +186,34 @@ def grad_fields(
     """
     _, N, Z, Y, X = fields.shape
     halo = ghost_lo is not None
+    ring_fix = (not halo) and Z >= 4
     bs = lambda c, fn: pl.BlockSpec(  # noqa: E731
         (c, 1, Y, X), fn, memory_space=pltpu.VMEM
     )
-    in_specs = [
-        bs(N, lambda i: (0, i, 0, 0)),
-        bs(N, lambda i: (0, (i - 1) % Z, 0, 0)),
-        bs(N, lambda i: (0, (i + 1) % Z, 0, 0)),
-    ]
+    if ring_fix:
+        # clamp the z map to [1, Z-2]: edge programs compute their interior
+        # neighbor's (already y/x-ring-fixed) result, which IS the
+        # fix_ring_replicate z-fix — no post-pass over the output needed
+        zc = lambda i: jnp.clip(i, 1, Z - 2)  # noqa: E731
+        in_specs = [
+            bs(N, lambda i: (0, zc(i), 0, 0)),
+            bs(N, lambda i: (0, zc(i) - 1, 0, 0)),
+            bs(N, lambda i: (0, zc(i) + 1, 0, 0)),
+        ]
+    else:
+        in_specs = [
+            bs(N, lambda i: (0, i, 0, 0)),
+            bs(N, lambda i: (0, (i - 1) % Z, 0, 0)),
+            bs(N, lambda i: (0, (i + 1) % Z, 0, 0)),
+        ]
     args = [fields[0], fields[0], fields[0]]
     if halo:
         in_specs += [bs(N, lambda i: (0, 0, 0, 0))] * 2
         args += [ghost_lo[0], ghost_hi[0]]
     out = pl.pallas_call(
-        functools.partial(_grad_kernel, N, 1.0 / (12.0 * dx), halo),
+        functools.partial(
+            _grad_kernel, N, 1.0 / (12.0 * dx), halo, ring_fix
+        ),
         grid=(Z,),
         in_specs=in_specs,
         out_specs=bs(3 * N, lambda i: (0, i, 0, 0)),
@@ -178,6 +222,8 @@ def grad_fields(
         interpret=interpret,
     )(*args)
     if halo:
+        return out[None]
+    if ring_fix:  # boundary ring already written by the kernel
         return out[None]
     # the kernel computes the stencil at every plane with replicate-clamped
     # reads; the reference instead replicates the *interior result* outward
@@ -197,6 +243,7 @@ def laplacian_field(
     """
     _, _, Z, Y, X = field.shape
     halo = ghost_lo is not None
+    ring_fix = not halo
     bs = lambda fn: pl.BlockSpec(  # noqa: E731
         (1, 1, Y, X), fn, memory_space=pltpu.VMEM
     )
@@ -210,7 +257,7 @@ def laplacian_field(
         in_specs += [bs(lambda i: (0, 0, 0, 0))] * 2
         args += [ghost_lo[0], ghost_hi[0]]
     out = pl.pallas_call(
-        functools.partial(_lap_kernel, 1.0 / (6.0 * dx * dx), halo),
+        functools.partial(_lap_kernel, 1.0 / (6.0 * dx * dx), halo, ring_fix),
         grid=(Z,),
         in_specs=in_specs,
         out_specs=bs(lambda i: (0, i, 0, 0)),
@@ -219,12 +266,11 @@ def laplacian_field(
         interpret=interpret,
     )(*args)
     out = out[None]
+    if ring_fix:  # zero ring already written by the kernel
+        return out
     zero = jnp.zeros((), out.dtype)
     out = out.at[..., :, :, 0].set(zero)
     out = out.at[..., :, :, -1].set(zero)
     out = out.at[..., :, 0, :].set(zero)
     out = out.at[..., :, -1, :].set(zero)
-    if not halo:
-        out = out.at[..., 0, :, :].set(zero)
-        out = out.at[..., -1, :, :].set(zero)
     return out

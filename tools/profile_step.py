@@ -1,8 +1,11 @@
 #!/usr/bin/env python
-"""Per-op profile of the 256^3 ferrofluid step on the real TPU.
+"""Per-op profile of the 256^3-class ferrofluid step on the real TPU.
 
-Times each phase of ferrofluid_step_impl as a separately-jitted piece
-(timings sync via host readback; see CLAUDE.md).  Usage:
+The tunneled backend's host-readback sync costs ~35 ms, swamping any
+single-op timing.  Each op is therefore timed as R chained applications
+inside ONE jitted program (outputs feed back into inputs so XLA cannot
+CSE the repeats), with the measured sync floor subtracted and the result
+divided by R.  Usage:
 
     PYTHONPATH=/root/.axon_site:/root/repo python tools/profile_step.py [f32|turbo]
 """
@@ -37,22 +40,47 @@ from lbm_ferrofluid_tpu.ops.pallas.stencil3d import (  # noqa: E402
     laplacian_field,
 )
 
+_FLOOR_MS = [0.0]
+
 
 def sync(x):
     leaves = jax.tree_util.tree_leaves(x)
     np.asarray(jax.device_get(leaves[0][..., :1, :1, :1]))
 
 
-def timeit(name, fn, *args, reps=5, **kw):
-    out = fn(*args, **kw)
+def timeit(name, fn, *args, R=8, reps=3, chain=None, **kw):
+    """Time ``fn`` as R chained applications per sync.
+
+    ``chain(out, args) -> new_args`` feeds each application's output back
+    into the next one's inputs (data dependence defeats CSE).  Without a
+    chain the op runs once per sync (floor-dominated — only for ops too
+    awkward to chain).
+    """
+    kw_fn = partial(fn, **kw)
+    if chain is None:
+        R = 1
+
+        run = jax.jit(lambda *a: kw_fn(*a))
+    else:
+
+        @jax.jit
+        def run(*a):
+            out = kw_fn(*a)
+            for _ in range(R - 1):
+                a = chain(out, a)
+                out = kw_fn(*a)
+            return out
+
+    out = run(*args)
     sync(out)
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args, **kw)
+        out = run(*args)
         sync(out)
         ts.append(time.perf_counter() - t0)
-    print(f"{name:40s} {min(ts) * 1e3:8.2f} ms", flush=True)
+    per_op = max(min(ts) * 1e3 - _FLOOR_MS[0], 0.0) / R
+    print(f"{name:40s} {per_op:8.2f} ms  (x{R})", flush=True)
     return out
 
 
@@ -72,59 +100,86 @@ def main():
     lat = params.lattice
     print(f"mode={mode} res={res}", flush=True)
 
-    # sync-floor baseline: host-readback latency to subtract mentally
+    # sync-floor baseline, subtracted from every row below
     tiny = jax.jit(lambda x: x + 1.0)
-    timeit("(sync floor: x+1 on [1,1,Z,Y,X])", tiny, state.pressure)
+    tiny_out = tiny(state.pressure)
+    sync(tiny_out)
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        sync(tiny(state.pressure))
+        ts.append(time.perf_counter() - t0)
+    _FLOOR_MS[0] = min(ts) * 1e3
+    print(f"{'(sync floor)':40s} {_FLOOR_MS[0]:8.2f} ms", flush=True)
 
-    full = jax.jit(ferrofluid_step_impl, static_argnums=0, donate_argnums=1)
-
-    def run_full(state, reps=5):
-        s2 = full(params, state)
-        sync(s2)
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            s2 = full(params, s2)
-            sync(s2)
-            ts.append(time.perf_counter() - t0)
-        print(f"{'full step':40s} {min(ts) * 1e3:8.2f} ms", flush=True)
-        return s2
-
-    state = run_full(state)
+    full = jax.jit(ferrofluid_step_impl, static_argnums=0)
+    timeit("full step", lambda s: full(params, s), state,
+           chain=lambda out, a: (out,))
 
     c = params.dx / params.dt
-    sbm = jax.jit(partial(
+
+    from lbm_ferrofluid_tpu.ops.pallas.fused_step import (
+        fused_step_supported, lbm_epilogue, lbm_prologue,
+    )
+    if fused_step_supported(lat, state.f.shape, params.kbc_type):
+        pro = partial(
+            lbm_prologue, c=c, rho_gas=params.rho_gas,
+            rho_fluid=params.rho_fluid, density_gas=params.density_gas,
+            density_fluid=params.density_fluid,
+        )
+        timeit(
+            "lbm_prologue (fused)", pro, state.f, state.g, state.flags,
+            state.rho, state.vel,
+            chain=lambda out, a: (a[0], a[1], a[2], out[0], out[1]),
+        )
+        epi = partial(
+            lbm_epilogue, tau_f=params.tau_f, tau_g=params.tau_g,
+            dx=params.dx, dt=params.dt,
+        )
+        timeit(
+            "lbm_epilogue (fused)", epi, state.f, state.g, state.flags,
+            state.rho, state.vel, state.density, state.pressure,
+            state.force, state.vel, state.vel,
+            chain=lambda out, a: (out[0], out[1]) + a[2:],
+        )
+
+    sbm = partial(
         stream_bounce_macro, lat, c=c, rho_gas=params.rho_gas,
         rho_fluid=params.rho_fluid, density_gas=params.density_gas,
         density_fluid=params.density_fluid,
-    ))
-    f, rho, vel, density = timeit(
+    )
+    out = timeit(
         "stream_bounce_macro (f)", sbm, state.f, state.flags, state.rho,
         state.vel,
+        chain=lambda out, a: (out[0], a[1], out[1], out[2]),
     )
-    g, m0g, m1g = timeit(
-        "stream_bounce_moments (g)",
-        jax.jit(partial(stream_bounce_moments, lat)), state.g, state.flags,
+    f, rho, vel, density = out
+    out = timeit(
+        "stream_bounce_moments (g)", partial(stream_bounce_moments, lat),
+        state.g, state.flags,
+        chain=lambda out, a: (out[0], a[1]),
     )
+    g, m0g, m1g = out
 
-    @jax.jit
     def phi_fn(density):
         return -(2.0 * (density - params.density_gas)
                  / (params.density_fluid - params.density_gas) - 1.0)
 
-    phi = timeit("phi", phi_fn, density)
+    phi = timeit("phi", phi_fn, density,
+                 chain=lambda out, a: (out,))
 
-    solve = jax.jit(partial(
+    solve = partial(
         solve_H_int, lat, tau=params.tau, n_iters=30, dx=params.dx,
         dt=params.dt,
-    ))
-    H_int, h = timeit(
+    )
+    out = timeit(
         "solve_H_int (rhs+30 sweeps+grad)", solve, state.h, phi,
         state.magnetic_flags, list(state.H_ext_mac),
+        chain=lambda out, a: (out[1],) + a[1:], R=4,
     )
+    H_int, h = out
 
     # rhs build alone (the solve prologue)
-    @jax.jit
     def rhs_fn(phi, H_ext_mac, magnetic_flags):
         from lbm_ferrofluid_tpu.utils.types import CellType
         chi = CHI_K * (1.0 - smooth_phi(phi, 0.1 * params.dx))
@@ -143,51 +198,56 @@ def main():
         return rhs
 
     rhs = timeit("  rhs build", rhs_fn, phi, list(state.H_ext_mac),
-                 state.magnetic_flags)
+                 state.magnetic_flags,
+                 chain=lambda out, a: (out,) + a[1:])
 
-    pw = jax.jit(partial(poisson_wavefront, tau=params.tau, n_iters=30))
-    _ = timeit("  poisson wavefront x30", pw, state.h,
-               state.magnetic_flags, rhs)
+    pw = partial(poisson_wavefront, tau=params.tau, n_iters=30)
+    timeit("  poisson wavefront x30", pw, state.h,
+           state.magnetic_flags, rhs,
+           chain=lambda out, a: (out[0],) + a[1:], R=4)
 
-    @jax.jit
     def h2_fn(H_ext, H_int):
         H_tot = H_ext + H_int
         return jnp.sum(H_tot * H_tot, axis=1, keepdims=True)
 
-    H2 = timeit("H2", h2_fn, state.H_ext, H_int)
+    H2 = timeit("H2", h2_fn, state.H_ext, H_int,
+                chain=lambda out, a: (a[0], a[1] + out))
 
-    cap = jax.jit(partial(
+    cap = partial(
         hcz_capillary, lat, kappa=params.kappa,
-        gravity=jnp.asarray(params.gravity_vec(), dtype=vel.dtype),
+        gravity=jnp.asarray(params.gravity_vec(), dtype=jnp.float32),
         contact_angle=params.contact_angle, rho_gas=params.rho_gas,
         rho_fluid=params.rho_fluid, density_gas=params.density_gas,
         density_fluid=params.density_fluid, dx=params.dx, dt=params.dt,
-    ))
-    rho2, vel2, density2, pressure2, force, dfai, dprho = timeit(
+    )
+    out = timeit(
         "hcz_capillary (all)", cap, rho, vel, state.flags, g, density,
         state.pressure, H2=H2, phi=phi, g_sum=m0g, g_mom=m1g,
+        chain=lambda out, a: (out[0], out[1], a[2], a[3], out[2], out[3]),
     )
+    rho2, vel2, density2, pressure2, force, dfai, dprho = out
 
-    @jax.jit
-    def cab_fn(rho, flags):
-        return contact_angle_boundary(rho, flags, params.contact_angle, 3)
-
-    _ = timeit("  contact_angle_boundary", cab_fn, rho, state.flags)
-    _ = timeit("  laplacian_field", jax.jit(partial(laplacian_field, dx=params.dx)),
-               density)
+    timeit("  contact_angle_boundary",
+           lambda r, fl: contact_angle_boundary(r, fl, params.contact_angle, 3),
+           rho, state.flags,
+           chain=lambda out, a: (out, a[1]))
+    timeit("  laplacian_field", partial(laplacian_field, dx=params.dx),
+           density, chain=lambda out, a: (out,))
     stack4 = jnp.concatenate([density, density, density, density], axis=1)
-    _ = timeit("  grad_fields(4)", jax.jit(partial(grad_fields, dx=params.dx)),
-               stack4)
-    _ = timeit("  grad_fields(1) [H_int]",
-               jax.jit(partial(grad_fields, dx=params.dx)), density)
+    timeit("  grad_fields(4)", partial(grad_fields, dx=params.dx),
+           stack4, chain=lambda out, a: (out[:, :4],))
+    timeit("  grad_fields(1) [H_int]",
+           partial(grad_fields, dx=params.dx), density,
+           chain=lambda out, a: (out[:, :1],))
 
-    col = jax.jit(partial(
+    col = partial(
         hcz_collide, lat, tau_f=params.tau_f, tau_g=params.tau_g,
         kbc_type=params.kbc_type, dx=params.dx, dt=params.dt,
-    ))
-    _ = timeit(
+    )
+    timeit(
         "hcz_collide", col, f, g, rho2, vel2, density2, pressure2,
         state.flags, force, dfai, dprho,
+        chain=lambda out, a: (out[0], out[1]) + a[2:],
     )
 
 
