@@ -73,10 +73,10 @@ def model_bytes_per_cell(n_iters=POISSON_ITERS, b_fg=4, b_h=4, res=(256,) * 3):
     total += (2 + 16 + 8) * B4
     # capillary glue (phi, H2, force asm, vel/pressure recovery): ~r 14 w 8
     total += 22 * B4
-    # epilogue (re-stream + fused collide of f and g): r 19f + 19g +
-    # flags + 15 f32 macro channels (plus their concat staging write);
-    # w 19f + 19g
-    total += (38 * b_fg + 4 + 15 * B4) + 15 * B4 + 38 * b_fg
+    # epilogue (re-stream + fused collide of f and g, in place): r 19f +
+    # 19g + flags + 15 f32 macro channels DMA'd straight from their
+    # producers (no concat staging); w 19f + 19g
+    total += (38 * b_fg + 4 + 15 * B4) + 38 * b_fg
     return total
 
 

@@ -194,7 +194,9 @@ def _prologue_kernel(c, rho_gas, rho_fluid, density_gas, density_fluid, Z,
 
 
 def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype,
-                     f_ref, g_ref, flags_ref, mac_ref,
+                     f_ref, g_ref, flags_ref,
+                     rho_ref, vel_ref, den_ref, pres_ref,
+                     force_ref, dfai_ref, dprho_ref,
                      fout_ref, gout_ref,
                      f_ring, g_ring, fl_ring, mc_ring,
                      f_store, g_store, f_seam, g_seam,
@@ -207,8 +209,26 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype,
         (f_ref, f_ring, sem_f),
         (g_ref, g_ring, sem_g),
         (flags_ref, fl_ring, sem_fl),
-        (mac_ref, mc_ring, sem_mc),
     ]
+    # the 7 macro fields DMA into channel rows of ONE mac ring slot (no
+    # host-side 15-channel concat); all 7 copies per slot share sem_mc —
+    # waiting each copy object in turn consumes exactly the signaled bytes
+    mac_parts = (
+        (rho_ref, 0, 1), (vel_ref, 1, 3), (den_ref, 4, 1), (pres_ref, 5, 1),
+        (force_ref, 6, 3), (dfai_ref, 9, 3), (dprho_ref, 12, 3),
+    )
+
+    def mac_copies(w):
+        src = _rem(w + Z, Z)
+        slot = _rem(w + 1, 4)
+        return [
+            pltpu.make_async_copy(
+                ref.at[:, pl.ds(src, 1)],
+                mc_ring.at[pl.ds(off, nc), pl.ds(slot, 1)],
+                sem_mc.at[slot],
+            )
+            for ref, off, nc in mac_parts
+        ]
     # f/g alias their outputs (the collide runs in place, saving a full
     # 19-channel copy each): plane p's HBM read lands at body p-1, its
     # write starts at the end of body p — ordered.  The ONLY late re-read
@@ -222,12 +242,12 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype,
         cp.start()
 
     for w in (-1, 0, 1):
-        for cp in _in_copies(streams, w, Z):
+        for cp in _in_copies(streams, w, Z) + mac_copies(w):
             cp.start()
     for cp in seam_cps:  # must land before plane 0's in-place write (t=0)
         cp.wait()
     for w in (-1, 0):
-        for cp in _in_copies(streams, w, Z):
+        for cp in _in_copies(streams, w, Z) + mac_copies(w):
             cp.wait()
 
     def out_copies(t):
@@ -247,12 +267,12 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype,
         # every plane in [1, Z] is waited exactly once (plane Z is the
         # z-wrap copy of plane 0 needed at t = Z-1) — an unconsumed DMA
         # semaphore at kernel exit faults real hardware
-        for cp in _in_copies(streams, t + 1, Z):
+        for cp in _in_copies(streams, t + 1, Z) + mac_copies(t + 1):
             cp.wait()
 
         @pl.when(t + 2 <= Z - 1)
         def _():
-            for cp in _in_copies(streams, t + 2, Z):
+            for cp in _in_copies(streams, t + 2, Z) + mac_copies(t + 2):
                 cp.start()
 
         @pl.when(t + 2 == Z)
@@ -267,7 +287,7 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype,
             pltpu.make_async_copy(
                 g_seam, g_ring.at[:, pl.ds(slot, 1)], sem_g.at[slot]
             ).start()
-            for cp in _in_copies(streams[2:], Z, Z):
+            for cp in _in_copies(streams[2:], Z, Z) + mac_copies(Z):
                 cp.start()
 
         s0 = _rem(t + 1, 4)
@@ -413,16 +433,17 @@ def lbm_epilogue(
     """
     _, _, Z, Y, X = f.shape
     flags_i32 = flags[0].astype(jnp.int32)
-    mac = jnp.concatenate(
-        [rho, vel, density, pressure, force, dfai, dprho], axis=1
-    )[0].astype(jnp.float32)
+    macs = [
+        x[0].astype(jnp.float32)
+        for x in (rho, vel, density, pressure, force, dfai, dprho)
+    ]
 
     f_new, g_new = pl.pallas_call(
         functools.partial(
             _epilogue_kernel, tau_f, tau_g, dx, dt, Z, f.dtype,
         ),
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 10,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_shape=[
             jax.ShapeDtypeStruct((19, Z, Y, X), f.dtype),
@@ -450,5 +471,5 @@ def lbm_epilogue(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(f[0], g[0], flags_i32, mac)
+    )(f[0], g[0], flags_i32, *macs)
     return f_new[None], g_new[None]
