@@ -801,25 +801,46 @@ def poisson_multisweep2(
 
 
 def _wf_plan(h_shape, dtype, n_iters, vmem_budget=100 * 1024 * 1024):
-    """Pick the pipeline depth k: ring VMEM = (4 + 3(k-1) + 2) 19-channel
-    planes + (k+2) flags/rhs planes.  Prefer k dividing n_iters (no slow
-    remainder sweeps), then deeper."""
+    """Pick the pipeline depth k: ring VMEM = (4 + 2) 19-channel planes at
+    the storage dtype + 3(k-1) stage planes at the stage dtype + (k+2)
+    flags/rhs planes.  Prefer k dividing n_iters (no slow remainder
+    sweeps), then deeper."""
+    k, _ = _wf_plan_full(h_shape, dtype, n_iters, None, vmem_budget)
+    return k
+
+
+def _wf_plan_full(h_shape, dtype, n_iters, stage_dtype=None,
+                  vmem_budget=100 * 1024 * 1024):
+    """Return (k, stage_dtype).  ``stage_dtype=None`` = auto = the storage
+    dtype.  f32 stage rings for bf16 storage were benched and are ~10%
+    SLOWER end-to-end (bf16 VMEM load/store widening is effectively free
+    in Mosaic, while doubling the stage rings' VMEM traffic is not) — the
+    explicit knob remains for experiments and accuracy studies
+    (tests/test_pallas_poisson.py::test_wavefront_f32_stages_track_f32)."""
     _, _, Z, Y, X = h_shape
     bpe = 2 if jnp.dtype(dtype) == jnp.bfloat16 else 4
-    plane19 = 19 * Y * X * bpe
-    for k in sorted(
-        (2, 3, 4, 5, 6), key=lambda k: (n_iters % k != 0, -k)
-    ):
-        if k > n_iters:
-            continue
-        need = (
-            (4 + 3 * (k - 1) + 2) * plane19  # input + stage + store rings
-            + (k + 2) * Y * X * 8  # flags (i32) + rhs (f32) rings
-            + 2 * Y * X * 4  # psi store ring
-        )
-        if need <= vmem_budget:
-            return k
-    return 0
+
+    def plan(stage_bpe):
+        plane19 = 19 * Y * X
+        for k in sorted(
+            (2, 3, 4, 5, 6), key=lambda k: (n_iters % k != 0, -k)
+        ):
+            if k > n_iters:
+                continue
+            need = (
+                (4 + 2) * plane19 * bpe  # input + store rings
+                + 3 * (k - 1) * plane19 * stage_bpe  # stage rings
+                + (k + 2) * Y * X * 8  # flags (i32) + rhs (f32) rings
+                + 2 * Y * X * 4  # psi store ring
+            )
+            if need <= vmem_budget:
+                return k
+        return 0
+
+    if stage_dtype is not None:
+        sd = jnp.dtype(stage_dtype)
+        return plan(2 if sd == jnp.bfloat16 else 4), sd
+    return plan(bpe), jnp.dtype(dtype)
 
 
 def poisson_wavefront_supported(lat, h_shape, h_dtype, n_iters):
@@ -831,7 +852,7 @@ def poisson_wavefront_supported(lat, h_shape, h_dtype, n_iters):
     return _wf_plan(h_shape, h_dtype, n_iters) >= 2
 
 
-def _wavefront_kernel(tau, k, Z, h_dtype, emit_psi, *refs):
+def _wavefront_kernel(tau, k, Z, h_dtype, stage_dtype, emit_psi, *refs):
     if emit_psi:
         (h_ref, flags_ref, rhs_ref, out_ref, psi_ref, seam_ref,
          in_ring, f_ring, r_ring, store_ring, psi_ring,
@@ -965,7 +986,7 @@ def _wavefront_kernel(tau, k, Z, h_dtype, emit_psi, *refs):
                 if s < k - 1:
                     ws = rem_(w, 3)
                     for q in range(19):
-                        stage_rings[s][q, ws] = out[q].astype(h_dtype)
+                        stage_rings[s][q, ws] = out[q].astype(stage_dtype)
                 else:
                     # final sweep: stream interior planes back to HBM
                     @pl.when((w >= k) & (w < k + Z))
@@ -995,7 +1016,9 @@ def _wavefront_kernel(tau, k, Z, h_dtype, emit_psi, *refs):
             psi_copy(k + Z - d).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("tau", "n_iters", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "tau", "n_iters", "interpret", "stage_dtype"
+))
 def poisson_wavefront(
     h: jnp.ndarray,
     magnetic_flags: jnp.ndarray,
@@ -1004,11 +1027,21 @@ def poisson_wavefront(
     tau: float,
     n_iters: int,
     interpret: bool = False,
+    stage_dtype=None,
 ):
     """Time-skewed wavefront variant of :func:`poisson_sweeps` (same
-    contract, same per-sweep arithmetic, interior bit-identical)."""
+    contract, same per-sweep arithmetic, interior bit-identical when
+    ``stage_dtype`` matches the storage dtype).
+
+    ``stage_dtype=None`` (auto) prefers f32 stage rings for bf16 storage:
+    intermediate sweeps within a pass then skip the bf16 round-trip (and
+    its ~2 convert ops/channel on the VPU-bound sweep).  That is CLOSER to
+    the f32 trajectory than bf16-rounded stages, but no longer bit-equal
+    to the one-sweep kernel — pass ``stage_dtype=h.dtype`` for the
+    bit-exact composition (tests do).
+    """
     _, _, Z, Y, X = h.shape
-    k = _wf_plan(h.shape, h.dtype, n_iters)
+    k, stage_dt = _wf_plan_full(h.shape, h.dtype, n_iters, stage_dtype)
     if k < 2:  # no pipeline depth fits (tiny n_iters): plain sweeps
         return poisson_sweeps(
             h, magnetic_flags, rhs_scaled, tau=tau, n_iters=n_iters,
@@ -1034,7 +1067,7 @@ def poisson_wavefront(
         # pass runs in place, saving a full 19-channel copy per pass), so
         # the wrap re-reads at window planes >= Z+k read this instead
         out_shape.append(jax.ShapeDtypeStruct((19, k, Y, X), h.dtype))
-        scratch += [pltpu.VMEM((19, 3, Y, X), h.dtype) for _ in range(k - 1)]
+        scratch += [pltpu.VMEM((19, 3, Y, X), stage_dt) for _ in range(k - 1)]
         scratch += [
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -1046,7 +1079,7 @@ def poisson_wavefront(
         scratch.append(pltpu.SemaphoreType.DMA(()))
         return pl.pallas_call(
             functools.partial(
-                _wavefront_kernel, tau, k, Z, h.dtype, emit_psi
+                _wavefront_kernel, tau, k, Z, h.dtype, stage_dt, emit_psi
             ),
             grid=(1,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,

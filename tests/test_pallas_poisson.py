@@ -92,11 +92,51 @@ def test_multisweep_matches_single_sweep(n_iters, variant, dtype):
     flags = jnp.asarray(flags)
     rhs = jnp.asarray(rng.uniform(-0.01, 0.01, (1, 1, Z, Y, X)), jnp.float32)
 
+    kw = {}
+    if variant == "v3":
+        # pin stage rings to the storage dtype: the bit-exact composition
+        # (auto mode upgrades bf16 stages to f32 — tested separately below)
+        kw["stage_dtype"] = jnp.dtype(dtype)
     h_ref, psi_ref = poisson_sweeps(
         h, flags, rhs, tau=0.8, n_iters=n_iters, interpret=True
     )
     h_ms, psi_ms = ms(
-        h, flags, rhs, tau=0.8, n_iters=n_iters, interpret=True
+        h, flags, rhs, tau=0.8, n_iters=n_iters, interpret=True, **kw
     )
     np.testing.assert_array_equal(np.asarray(h_ms), np.asarray(h_ref))
     np.testing.assert_array_equal(np.asarray(psi_ms), np.asarray(psi_ref))
+
+
+def test_wavefront_f32_stages_track_f32_solution():
+    """The explicit f32-stage-ring option (benched ~10% slower on TPU, so
+    not the default — see _wf_plan_full) must be at least as close to the
+    all-f32 solve as the bf16-staged composition (fewer roundings inside
+    each pass)."""
+    from lbm_ferrofluid_tpu.ops.pallas.poisson import (
+        poisson_sweeps,
+        poisson_wavefront,
+    )
+
+    Z, Y, X = 16, 8, 16
+    rng = np.random.default_rng(7)
+    h32 = jnp.asarray(rng.uniform(-0.1, 0.1, (1, 19, Z, Y, X)), jnp.float32)
+    h16 = h32.astype(jnp.bfloat16)
+    flags = np.full((1, 1, Z, Y, X), int(CellType.OBSTACLE), np.uint8)
+    flags[..., 1:-1, 1:-1, 1:-1] = int(CellType.FLUID)
+    flags = jnp.asarray(flags)
+    rhs = jnp.asarray(rng.uniform(-0.01, 0.01, (1, 1, Z, Y, X)), jnp.float32)
+
+    ref, _ = poisson_sweeps(h32, flags, rhs, tau=0.8, n_iters=12,
+                            interpret=True)
+    ref = np.asarray(ref, np.float64)
+
+    hi, _ = poisson_wavefront(h16, flags, rhs, tau=0.8, n_iters=12,
+                              interpret=True, stage_dtype=jnp.float32)
+    lo, _ = poisson_wavefront(h16, flags, rhs, tau=0.8, n_iters=12,
+                              interpret=True)  # auto = storage dtype
+    err_hi = np.abs(np.asarray(hi, np.float64) - ref).max()
+    err_lo = np.abs(np.asarray(lo, np.float64) - ref).max()
+    assert err_hi <= err_lo + 1e-12, (err_hi, err_lo)
+    # and it is a genuine bf16-storage result: error dominated by storage
+    # rounding, not divergence
+    assert err_hi < 2e-3, err_hi
