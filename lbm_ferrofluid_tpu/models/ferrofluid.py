@@ -195,6 +195,9 @@ def ferrofluid_step_impl(
         g_mom=m1g,
         use_pallas=params.use_pallas,
         mesh=mesh,
+        gravity_static=tuple(
+            float(gv) for gv in params.gravity_vec().reshape(-1)
+        ),
     )
     if fastpath:
         f, g = lbm_epilogue(

@@ -528,6 +528,7 @@ def hcz_capillary(
     g_mom: jnp.ndarray | None = None,
     use_pallas: bool = True,
     mesh=None,
+    gravity_static: tuple | None = None,
 ):
     """HCZ capillary step: wetting BC, surface-tension/gravity/Kelvin forces,
     EOS potentials and macro recovery from g.
@@ -548,6 +549,7 @@ def hcz_capillary(
         pad = [(0, 0)] * (x.ndim - dim) + [(1, 1)] * dim
         return jnp.pad(x[tuple(idx)], pad, mode="edge")
 
+    rho_pre, density_pre = rho, density  # pre-contact-angle (fai/prho basis)
     prho = _rep_pad_interior(pressure - RT * density)
     fai = _rep_pad_interior(eos_pressure(rho, dx=dx, dt=dt) - rho * RT)
 
@@ -591,6 +593,41 @@ def hcz_capillary(
         and stencil3d_supported(density.shape)
         and jax.default_backend() == "tpu"
     )
+    # Fully fused single-device path: gradients of all stencil fields +
+    # force assembly + vel/pressure recovery in ONE ring-pipelined pass
+    # (the gradients never hit HBM) — requires the precomputed g moments
+    # and a statically-known gravity vector.
+    if (
+        fuse_stencils and not sharded
+        and g_sum is not None and g_mom is not None
+        and (H2 is None) == (phi is None)
+    ):
+        from .pallas.capmac import capmac_supported, hcz_capillary_gradmac
+
+        if gravity_static is not None:
+            grav = tuple(float(gc) for gc in gravity_static)
+        else:
+            # inside jit `gravity` is a tracer (jnp.asarray constants are
+            # traced); only concrete arrays can gate the fused kernel
+            try:
+                grav = tuple(
+                    float(gc) for gc in np.asarray(gravity).reshape(-1)
+                )
+            except Exception:
+                grav = None
+        if grav is not None and len(grav) == 3 and capmac_supported(density.shape):
+            lap_density = laplacian_field(density, dx=dx)
+            vel, pressure, force, dfai, dprho = hcz_capillary_gradmac(
+                lap_density, rho_pre, density_pre, pressure, rho,
+                H2, phi, flags, g_sum, g_mom, vel,
+                kappa=float(kappa), gravity=grav,
+                mu0_half=0.5 * MU0, rho_gas=float(rho_gas),
+                rho_fluid=float(rho_fluid), density_gas=float(density_gas),
+                density_fluid=float(density_fluid), dx=float(dx),
+                dt=float(dt),
+            )
+            return rho, vel, density, pressure, force, dfai, dprho
+
     if fuse_stencils:
         # one Pallas pass for the Laplacian, one for all gradients
         lap_density = laplacian_field(density, dx=dx)

@@ -1,0 +1,332 @@
+"""Fused capillary kernel: isotropic gradients of the four HCZ stencil
+fields + Kelvin/surface-tension/gravity force assembly + macro vel/pressure
+recovery, in ONE ring-pipelined pass.
+
+Replaces the composition in ops/collide.py:hcz_capillary (single-device
+TPU path): grad_fields over a concatenated 4-field stack, then an XLA
+fusion reading the 12 gradient channels back to assemble force/dfai/dprho
+and recover vel/pressure — ~2 extra HBM round-trips over 12-15 channels.
+Here the stencil INPUT fields (fai, prho, chi) are recomputed in register
+from their 1-channel primitives (rho, pressure), the gradients never hit
+HBM, and the kernel emits exactly the macro fields the fused epilogue
+consumes.
+
+Semantic notes (mirroring hcz_capillary, reference HCZ_3d.py:21-263):
+* ``fai = rep_pad_interior(eos(rho) - rho RT)`` and
+  ``prho = rep_pad_interior(pressure - RT density)`` use the PRE-contact-
+  angle rho/density; the force/recovery use the post-contact-angle
+  density.  Both rho arrays are inputs.
+* ``_sub(fai) == fai`` and ``_sub(prho) == prho`` identically: the
+  OBSTACLE substitution pads the interior outward, and these fields are
+  already interior-padded, so the substitution is the identity.  Only
+  ``lap`` and ``chi`` get a real substitution.
+* z boundaries: pad/clamp semantics (NOT periodic) — the grad ring fix
+  clamps the source plane to [1, Z-2] exactly like
+  stencil3d.grad_fields(ring_fix=True).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils.types import CellType
+from ..moments import eos_pressure
+from .stencil3d import (
+    _GRAD_TAPS,
+    _ring_replicate_plane,
+    _shift_replicate,
+)
+
+__all__ = ["capmac_supported", "hcz_capillary_gradmac"]
+
+_OBS = int(CellType.OBSTACLE)
+_FLUID = int(CellType.FLUID)
+
+# susceptibility constant, as ops/collide.py
+from ..collide import CHI_K, smooth_phi  # noqa: E402
+
+
+def capmac_supported(shape) -> bool:
+    B, C, Z, Y, X = shape
+    return B == 1 and X % 128 == 0 and Y % 8 == 0 and Z >= 4
+
+
+def _kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
+            density_gas, density_fluid, dx, dt, Z, has_h2,
+            *refs):
+    n_in = 11 if has_h2 else 9
+    n_drv = 5 if has_h2 else 3
+    ins = refs[:n_in]
+    outs = refs[n_in:n_in + 5]
+    scratch = refs[n_in + 5:]
+    rings = scratch[:n_in]
+    stores = scratch[n_in:n_in + 5]
+    drv = scratch[n_in + 5:n_in + 5 + n_drv]
+    sems_in = scratch[n_in + 5 + n_drv:2 * n_in + 5 + n_drv]
+    sems_out = scratch[2 * n_in + 5 + n_drv:]
+    Y, X = ins[0].shape[2], ins[0].shape[3]
+    c = dx / dt
+    cs2 = c * c / 3.0
+    RT = cs2
+    inv12dx = 1.0 / (12.0 * dx)
+
+    def rem_(a, n):
+        a = jnp.asarray(a)
+        return jax.lax.rem(a, jnp.asarray(n, a.dtype))
+
+    def in_copies(q):
+        slot = rem_(q, 5)
+        return [
+            pltpu.make_async_copy(
+                ref.at[:, pl.ds(q, 1)], ring.at[:, pl.ds(slot, 1)],
+                sem.at[slot],
+            )
+            for ref, ring, sem in zip(ins, rings, sems_in)
+        ]
+
+    def out_copies(p):
+        slot = rem_(p, 2)
+        return [
+            pltpu.make_async_copy(
+                store.at[:, pl.ds(slot, 1)], ref.at[:, pl.ds(p, 1)],
+                sem.at[slot],
+            )
+            for ref, store, sem in zip(outs, stores, sems_out)
+        ]
+
+    ring_idx = {name: i for i, name in enumerate(
+        ["lap", "rho", "den", "pres", "rhoca"]
+        + (["h2", "phi"] if has_h2 else [])
+        + ["flags", "gsum", "gmom", "vel"]
+    )}
+
+    def plane(name, q, ch=0):
+        return rings[ring_idx[name]][ch, rem_(q, 5)]
+
+    # derived per-plane fields (all f32 in register) -------------------
+    def density_of(rho):
+        return density_gas + (density_fluid - density_gas) * (
+            (rho - rho_gas) / (rho_fluid - rho_gas)
+        )
+
+    def raw_fai(q):
+        rho = plane("rho", q)
+        return eos_pressure(rho, dx=dx, dt=dt) - rho * RT
+
+    def raw_prho(q):
+        return plane("pres", q) - RT * plane("den", q)
+
+    def chi_of(q):
+        return CHI_K * (1.0 - smooth_phi(plane("phi", q), 0.1 * dx))
+
+    def compute_derived(q):
+        """Once per landed input plane: the ring-replicated pad fields
+        (consumed up to 3x by the sliding grad window)."""
+        slot = rem_(q, 5)
+        drv[0][0, slot] = _ring_replicate_plane(raw_fai(q), Y, X)
+        drv[1][0, slot] = _ring_replicate_plane(raw_prho(q), Y, X)
+        drv[2][0, slot] = _ring_replicate_plane(plane("lap", q), Y, X)
+        if has_h2:
+            cr = chi_of(q)
+            drv[3][0, slot] = cr
+            drv[4][0, slot] = _ring_replicate_plane(cr, Y, X)
+
+    def body(t, _):
+        @pl.when(t + 1 <= Z - 1)
+        def _():
+            for cp in in_copies(t + 1):
+                cp.wait()
+            compute_derived(t + 1)
+
+        p = t - 1  # output plane (lag 1: the ring-fix clamp needs +2 planes)
+        pc = jnp.clip(p, 1, Z - 2)
+
+        # window planes and their clamped pad sources
+        qs = [pc - 1, pc, pc + 1]
+        flags_q = [plane("flags", q) for q in qs]
+        obs_q = [f == _OBS for f in flags_q]
+
+        # stencil input fields with reference-exact substitution:
+        #   fai/prho: interior-padded already => substitution is identity
+        #   lap/chi:  where(OBS, ring_rep(field at clamped plane), field)
+        def clampq(q):
+            return jnp.clip(q, 1, Z - 2)
+
+        def d(i, q):
+            return drv[i][0, rem_(q, 5)]
+
+        sub = {}
+        sub["fai"] = [d(0, clampq(q)) for q in qs]
+        sub["prho"] = [d(1, clampq(q)) for q in qs]
+        sub["lap"] = [
+            jnp.where(o, d(2, clampq(q)), plane("lap", q))
+            for o, q in zip(obs_q, qs)
+        ]
+        if has_h2:
+            sub["chi"] = [
+                jnp.where(o, d(4, clampq(q)), d(3, q))
+                for o, q in zip(obs_q, qs)
+            ]
+
+        fields = ["lap", "fai", "prho"] + (["chi"] if has_h2 else [])
+        grads = {}
+        for name in fields:
+            planes3 = {-1: sub[name][0], 0: sub[name][1], 1: sub[name][2]}
+            for d in range(3):
+                acc = None
+                for (oz, oy, ox), wgt in _GRAD_TAPS[d]:
+                    tp = _shift_replicate(planes3[oz], -oy, -ox, Y, X) * wgt
+                    acc = tp if acc is None else acc + tp
+                grads[(name, d)] = _ring_replicate_plane(
+                    acc * inv12dx, Y, X
+                )
+
+        # ---- assembly at plane p (post-contact-angle density) ----------
+        dens = density_of(plane("rhoca", p))
+        force = [
+            kappa * dens * grads[("lap", d)] + gravity[d] * dens
+            for d in range(3)
+        ]
+        if has_h2:
+            h2 = plane("h2", p)
+            for d in range(3):
+                force[d] = force[d] - mu0_half * h2 * grads[("chi", d)]
+        dfai = [grads[("fai", d)] for d in range(3)]
+        dprho = [grads[("prho", d)] for d in range(3)]
+
+        is_fluid = plane("flags", p) == _FLUID
+        inv_rt_dens = 1.0 / (RT * dens)
+        vel = [
+            jnp.where(
+                is_fluid,
+                (plane("gmom", p, d) * c + 0.5 * dt * RT * force[d])
+                * inv_rt_dens,
+                plane("vel", p, d),
+            )
+            for d in range(3)
+        ]
+        vdp = vel[0] * dprho[0] + vel[1] * dprho[1] + vel[2] * dprho[2]
+        pressure = jnp.where(
+            is_fluid,
+            plane("gsum", p) - 0.5 * dt * vdp,
+            plane("pres", p),
+        )
+
+        @pl.when(p - 2 >= 0)
+        def _():
+            for cp in out_copies(p - 2):
+                cp.wait()
+
+        slot = rem_(p, 2)
+        for d in range(3):
+            stores[0][d, slot] = vel[d]
+            stores[2][d, slot] = force[d]
+            stores[3][d, slot] = dfai[d]
+            stores[4][d, slot] = dprho[d]
+        stores[1][0, slot] = pressure
+        for cp in out_copies(p):
+            cp.start()
+
+        # start the next input plane AFTER compute: the ring holds 5
+        # planes [t-2, t+2]; compute needs down to pc-1 >= t-3?  no:
+        # pc-1 >= p-1 = t-2, and plane t+2 lands in slot (t+2)%5 which
+        # held plane t-3 — no longer needed
+        @pl.when(t + 2 <= Z - 1)
+        def _():
+            for cp in in_copies(t + 2):
+                cp.start()
+        return 0
+
+    # preamble: planes 0, 1, 2 in flight; 0 and 1 landed + derived
+    for q in (0, 1, 2):
+        for cp in in_copies(q):
+            cp.start()
+    for q in (0, 1):
+        for cp in in_copies(q):
+            cp.wait()
+        compute_derived(q)
+
+    jax.lax.fori_loop(1, Z + 1, body, 0)
+    for d in (2, 1):
+        for cp in out_copies(Z - d):
+            cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "kappa", "gravity", "mu0_half", "rho_gas", "rho_fluid", "density_gas",
+    "density_fluid", "dx", "dt", "interpret",
+))
+def hcz_capillary_gradmac(
+    lap, rho_pre, density_pre, pressure, rho_ca, H2, phi, flags, g_sum,
+    g_mom, vel_old, *,
+    kappa, gravity, mu0_half, rho_gas, rho_fluid, density_gas,
+    density_fluid, dx=1.0, dt=1.0, interpret=False,
+):
+    """One-pass gradients + force assembly + macro recovery.
+
+    Args (all [1, C, Z, Y, X] f32 unless noted):
+        lap: 19-point Laplacian of the post-contact-angle density
+            (stencil3d.laplacian_field output, zero boundary ring).
+        rho_pre / density_pre / pressure: PRE-contact-angle rho, density
+            and old pressure (fai / prho primitives).
+        rho_ca: post-contact-angle rho (assembly density).
+        H2, phi: Kelvin field and order parameter, or both None.
+        gravity: 3-tuple of floats (static).
+
+    Returns (vel, pressure, force, dfai, dprho) — the recovered macro
+    fields, matching hcz_capillary's composition modulo XLA
+    FMA-contraction differences.
+    """
+    _, _, Z, Y, X = lap.shape
+    has_h2 = H2 is not None
+    flags_i32 = flags[0].astype(jnp.int32)
+    f32 = jnp.float32
+    args = [lap[0].astype(f32), rho_pre[0].astype(f32),
+            density_pre[0].astype(f32), pressure[0].astype(f32),
+            rho_ca[0].astype(f32)]
+    if has_h2:
+        args += [H2[0].astype(f32), phi[0].astype(f32)]
+    args += [flags_i32, g_sum[0].astype(f32), g_mom[0].astype(f32),
+             vel_old[0].astype(f32)]
+    n_in = len(args)
+    chans = [1, 1, 1, 1, 1] + ([1, 1] if has_h2 else []) + [1, 1, 3, 3]
+    dts = [f32] * 5 + ([f32, f32] if has_h2 else []) + [
+        jnp.int32, f32, f32, f32]
+
+    out_shape = [
+        jax.ShapeDtypeStruct((3, Z, Y, X), f32),  # vel
+        jax.ShapeDtypeStruct((1, Z, Y, X), f32),  # pressure
+        jax.ShapeDtypeStruct((3, Z, Y, X), f32),  # force
+        jax.ShapeDtypeStruct((3, Z, Y, X), f32),  # dfai
+        jax.ShapeDtypeStruct((3, Z, Y, X), f32),  # dprho
+    ]
+    out_ch = [3, 1, 3, 3, 3]
+    n_drv = 5 if has_h2 else 3
+    scratch = (
+        [pltpu.VMEM((ch, 5, Y, X), dt_) for ch, dt_ in zip(chans, dts)]
+        + [pltpu.VMEM((ch, 2, Y, X), f32) for ch in out_ch]
+        + [pltpu.VMEM((1, 5, Y, X), f32) for _ in range(n_drv)]
+        + [pltpu.SemaphoreType.DMA((5,)) for _ in range(n_in)]
+        + [pltpu.SemaphoreType.DMA((2,)) for _ in range(5)]
+    )
+    vel, pres, force, dfai, dprho = pl.pallas_call(
+        functools.partial(
+            _kernel, kappa, tuple(gravity), mu0_half, rho_gas,
+            rho_fluid, density_gas, density_fluid, dx, dt, Z, has_h2,
+        ),
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    return vel[None], pres[None], force[None], dfai[None], dprho[None]
