@@ -166,6 +166,7 @@ def solve_H_int(
                 poisson_multisweep2,
                 poisson_multisweep_supported,
                 poisson_wavefront,
+                poisson_wavefront_hint_ok,
                 poisson_wavefront_supported,
             )
             from .pallas.stencil3d import grad_fields
@@ -175,6 +176,15 @@ def solve_H_int(
                 # with per-stage VMEM ring buffers — one HBM read+write of h
                 # per k sweeps at ~1.02x compute amplification (bit-identical
                 # to the one-sweep kernel; tests/test_pallas_poisson.py)
+                if poisson_wavefront_hint_ok(h.shape, h.dtype, n_iters):
+                    # the final pass's trailing stage emits H_int directly
+                    # (psi substitution + gradient in register — the psi
+                    # volume and its grad pass never touch HBM)
+                    h, H_int = poisson_wavefront(
+                        h, magnetic_flags, rhs_scaled, tau=tau,
+                        n_iters=n_iters, emit="hint", dx=dx,
+                    )
+                    return H_int, h
                 h, psi = poisson_wavefront(
                     h, magnetic_flags, rhs_scaled, tau=tau, n_iters=n_iters
                 )

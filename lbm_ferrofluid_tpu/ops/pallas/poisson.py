@@ -34,6 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...lattice import D3Q19, Lattice
 from ...utils.types import CellType
+from .stencil3d import _GRAD_TAPS, _ring_replicate_plane, _shift_replicate
 
 __all__ = [
     "poisson_sweeps",
@@ -852,20 +853,35 @@ def poisson_wavefront_supported(lat, h_shape, h_dtype, n_iters):
     return _wf_plan(h_shape, h_dtype, n_iters) >= 2
 
 
-def _wavefront_kernel(tau, k, Z, h_dtype, stage_dtype, emit_psi, *refs):
-    if emit_psi:
+def _wavefront_kernel(tau, k, Z, h_dtype, stage_dtype, emit, inv12dx,
+                      FR, *refs):
+    """``emit``: None (h only), "psi" (+psi volume), or "hint" (+H_int =
+    -grad(psi_sub), computed by a trailing pipeline stage — the psi volume
+    never touches HBM)."""
+    hint_ref = hint_store = psi4 = psirep4 = sem_hint = None
+    if emit == "psi":
         (h_ref, flags_ref, rhs_ref, out_ref, psi_ref, seam_ref,
          in_ring, f_ring, r_ring, store_ring, psi_ring,
          *stage_rings, sem_h, sem_f, sem_r, sem_o, sem_p, sem_s) = refs
+    elif emit == "hint":
+        (h_ref, flags_ref, rhs_ref, out_ref, hint_ref, seam_ref,
+         in_ring, f_ring, r_ring, store_ring, psi4, psirep4, hint_store,
+         *stage_rings, sem_h, sem_f, sem_r, sem_o, sem_hint, sem_s) = refs
+        psi_ref = psi_ring = sem_p = None
     else:
         (h_ref, flags_ref, rhs_ref, out_ref, seam_ref,
          in_ring, f_ring, r_ring, store_ring,
          *stage_rings, sem_h, sem_f, sem_r, sem_o, sem_s) = refs
         psi_ref = psi_ring = sem_p = None
+    emit_psi = emit == "psi"
     lat = D3Q19
     Y, X = h_ref.shape[2], h_ref.shape[3]
     P = Z + 2 * k
-    FR = k + 2  # flags/rhs ring size
+    # FR (flags/rhs ring size) is chosen by the wrapper: k+2 for the
+    # sweep stages alone; k+6 with the trailing H_int grad stage (lag 2
+    # behind the final sweep, which itself lags the input by 2k-1 — flags
+    # of global plane q are read as late as body q+2k+3, and the slot's
+    # overwriting DMA starts at body q+k+FR-2)
 
     def rem_(a, n):
         # constants stay python ints so they weakly promote to the loop
@@ -916,6 +932,13 @@ def _wavefront_kernel(tau, k, Z, h_dtype, stage_dtype, emit_psi, *refs):
             psi_ring.at[:, pl.ds(rem_(w, 2), 1)],
             psi_ref.at[:, pl.ds(w - k, 1)],
             sem_p.at[rem_(w, 2)],
+        )
+
+    def hint_copy(p):
+        return pltpu.make_async_copy(
+            hint_store.at[:, pl.ds(rem_(p, 2), 1)],
+            hint_ref.at[:, pl.ds(p, 1)],
+            sem_hint.at[rem_(p, 2)],
         )
 
     # ---- preamble: stash the seam planes, planes 0 and 1 in flight ------
@@ -1004,20 +1027,81 @@ def _wavefront_kernel(tau, k, Z, h_dtype, stage_dtype, emit_psi, *refs):
                         if emit_psi:
                             psi_ring[0, slot] = psi
                             psi_copy(w).start()
+                        if emit == "hint":
+                            # keep psi (+ its ring-replicated pad) in VMEM
+                            # for the trailing grad stage; 5 slots cover
+                            # its lag-2 window
+                            g5 = rem_(w - k, 5)
+                            psi4[0, g5] = psi
+                            psirep4[0, g5] = _ring_replicate_plane(
+                                psi, Y, X
+                            )
+
+        if emit == "hint":
+            # trailing stage: H_int plane p = -grad(psi_sub)(p), the
+            # OBSTACLE substitution and boundary-ring semantics of
+            # solve_H_int's grad_fields(ring_fix) done in register.
+            # psi of global plane G lands at body G+2k-1 (the final sweep
+            # lags the input window by 2k-1); the p=0 output needs psi
+            # plane 2, so the grad stage lags by a further 2
+            @pl.when((t >= 2 * k + 1) & (t <= Z + 2 * k))
+            def _():
+                p = t - 2 * k - 1
+                pc = jnp.clip(p, 1, Z - 2)
+                qs = [pc - 1, pc, pc + 1]
+                sub = []
+                for q in qs:
+                    cq = jnp.clip(q, 1, Z - 2)
+                    is_obs_q = f_ring[0, rem_(q + k, FR)] == _OBS
+                    sub.append(jnp.where(
+                        is_obs_q,
+                        psirep4[0, rem_(cq, 5)],
+                        psi4[0, rem_(q, 5)],
+                    ))
+                planes3 = {-1: sub[0], 0: sub[1], 1: sub[2]}
+
+                @pl.when(p - 2 >= 0)
+                def _():
+                    hint_copy(p - 2).wait()
+
+                slot2 = rem_(p, 2)
+                for d in range(3):
+                    acc = None
+                    for (oz, oy, ox), wgt in _GRAD_TAPS[d]:
+                        tp = _shift_replicate(
+                            planes3[oz], -oy, -ox, Y, X
+                        ) * wgt
+                        acc = tp if acc is None else acc + tp
+                    hint_store[d, slot2] = _ring_replicate_plane(
+                        acc * (-inv12dx), Y, X
+                    )
+                hint_copy(p).start()
 
         return 0
 
-    jax.lax.fori_loop(0, P, body, 0)
+    # hint mode runs one extra body: the last H_int plane (p = Z-1) is
+    # produced at t = Z+2k = P; every other pl.when gate excludes t >= P
+    jax.lax.fori_loop(0, P + (1 if emit == "hint" else 0), body, 0)
 
     # drain the last two stores
     for d in (2, 1):
         out_copy(k + Z - d).wait()
         if emit_psi:
             psi_copy(k + Z - d).wait()
+        if emit == "hint":
+            hint_copy(Z - d).wait()
+
+
+def poisson_wavefront_hint_ok(h_shape, h_dtype, n_iters) -> bool:
+    """True when the wavefront can emit H_int directly (the trailing grad
+    stage requires a remainder-free pass schedule and its lag-2 window)."""
+    _, _, Z, _, _ = h_shape
+    k = _wf_plan(h_shape, h_dtype, n_iters)
+    return k >= 2 and n_iters % k == 0 and Z >= 4
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "tau", "n_iters", "interpret", "stage_dtype"
+    "tau", "n_iters", "interpret", "stage_dtype", "emit", "dx"
 ))
 def poisson_wavefront(
     h: jnp.ndarray,
@@ -1028,20 +1112,26 @@ def poisson_wavefront(
     n_iters: int,
     interpret: bool = False,
     stage_dtype=None,
+    emit: str = "psi",
+    dx: float = 1.0,
 ):
     """Time-skewed wavefront variant of :func:`poisson_sweeps` (same
     contract, same per-sweep arithmetic, interior bit-identical when
     ``stage_dtype`` matches the storage dtype).
 
-    ``stage_dtype=None`` (auto) prefers f32 stage rings for bf16 storage:
-    intermediate sweeps within a pass then skip the bf16 round-trip (and
-    its ~2 convert ops/channel on the VPU-bound sweep).  That is CLOSER to
-    the f32 trajectory than bf16-rounded stages, but no longer bit-equal
-    to the one-sweep kernel — pass ``stage_dtype=h.dtype`` for the
-    bit-exact composition (tests do).
+    ``stage_dtype=None`` (auto) keeps stage rings at the storage dtype
+    (f32 stages were benched slower — see ``_wf_plan_full``).
+
+    ``emit="psi"`` returns (h, psi); ``emit="hint"`` (requires
+    :func:`poisson_wavefront_hint_ok`) returns (h, H_int) with
+    H_int = -grad(psi_sub) computed by a trailing in-kernel stage — the
+    psi volume never touches HBM and the caller skips its
+    substitution+grad_fields pass entirely (``dx`` scales the gradient).
     """
     _, _, Z, Y, X = h.shape
     k, stage_dt = _wf_plan_full(h.shape, h.dtype, n_iters, stage_dtype)
+    if emit == "hint" and not (k >= 2 and n_iters % k == 0 and Z >= 4):
+        raise ValueError("emit='hint' requires poisson_wavefront_hint_ok")
     if k < 2:  # no pipeline depth fits (tiny n_iters): plain sweeps
         return poisson_sweeps(
             h, magnetic_flags, rhs_scaled, tau=tau, n_iters=n_iters,
@@ -1052,17 +1142,28 @@ def poisson_wavefront(
 
     passes, rem = divmod(n_iters, k)
 
-    def make_call(emit_psi):
+    def make_call(emit_mode):
+        # hint: the trailing grad stage reads flags of global plane q as
+        # late as body q+2k+3; the slot's overwriting DMA starts at body
+        # q+k+FR-2, so retention needs FR >= k+6
+        FR = k + 6 if emit_mode == "hint" else k + 2
         scratch = [
             pltpu.VMEM((19, 4, Y, X), h.dtype),     # input ring
-            pltpu.VMEM((1, k + 2, Y, X), jnp.int32),   # flags ring
-            pltpu.VMEM((1, k + 2, Y, X), jnp.float32),  # rhs ring
+            pltpu.VMEM((1, FR, Y, X), jnp.int32),   # flags ring
+            pltpu.VMEM((1, FR, Y, X), jnp.float32),  # rhs ring
             pltpu.VMEM((19, 2, Y, X), h.dtype),     # store ring
         ]
         out_shape = [jax.ShapeDtypeStruct((19, Z, Y, X), h.dtype)]
-        if emit_psi:
+        if emit_mode == "psi":
             scratch.append(pltpu.VMEM((1, 2, Y, X), jnp.float32))
             out_shape.append(jax.ShapeDtypeStruct((1, Z, Y, X), jnp.float32))
+        elif emit_mode == "hint":
+            scratch += [
+                pltpu.VMEM((1, 5, Y, X), jnp.float32),  # psi ring
+                pltpu.VMEM((1, 5, Y, X), jnp.float32),  # psi pad ring
+                pltpu.VMEM((3, 2, Y, X), jnp.float32),  # H_int store
+            ]
+            out_shape.append(jax.ShapeDtypeStruct((3, Z, Y, X), jnp.float32))
         # HBM stash of the seam planes [0, k): h aliases the output (the
         # pass runs in place, saving a full 19-channel copy per pass), so
         # the wrap re-reads at window planes >= Z+k read this instead
@@ -1074,12 +1175,13 @@ def poisson_wavefront(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ]
-        if emit_psi:
+        if emit_mode in ("psi", "hint"):
             scratch.append(pltpu.SemaphoreType.DMA((2,)))
         scratch.append(pltpu.SemaphoreType.DMA(()))
         return pl.pallas_call(
             functools.partial(
-                _wavefront_kernel, tau, k, Z, h.dtype, stage_dt, emit_psi
+                _wavefront_kernel, tau, k, Z, h.dtype, stage_dt,
+                emit_mode, 1.0 / (12.0 * dx), FR,
             ),
             grid=(1,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
@@ -1093,27 +1195,27 @@ def poisson_wavefront(
             interpret=interpret,
         )
 
-    call_nopsi = make_call(False)
+    call_nopsi = make_call(None)
     n_nopsi = passes - (1 if rem == 0 else 0)
 
     def one_pass(_, hc):
         return call_nopsi(hc, flags_i32, rhs_k)[0]
 
     hc = jax.lax.fori_loop(0, n_nopsi, one_pass, h[0])
-    psi = jnp.zeros((1, Z, Y, X), jnp.float32)
     if rem == 0:
-        hc, psi, _ = make_call(True)(hc, flags_i32, rhs_k)
+        hc, aux, _ = make_call(emit)(hc, flags_i32, rhs_k)
+        return hc[None], aux[None]
 
-    if rem:
-        sweep = make_sweep_call(Z, Y, X, h.dtype, tau, interpret)
+    psi = jnp.zeros((1, Z, Y, X), jnp.float32)
+    sweep = make_sweep_call(Z, Y, X, h.dtype, tau, interpret)
 
-        def one_sweep(_, carry):
-            mid, up, dn, psi = carry
-            return tuple(sweep(mid, up, dn, flags_i32, rhs_k))
+    def one_sweep(_, carry):
+        mid, up, dn, psi = carry
+        return tuple(sweep(mid, up, dn, flags_i32, rhs_k))
 
-        mid, up, dn, psi = jax.lax.fori_loop(
-            0, rem, one_sweep, (hc[:9], hc[9:14], hc[14:19], psi)
-        )
-        hc = jnp.concatenate([mid, up, dn], axis=0)
+    mid, up, dn, psi = jax.lax.fori_loop(
+        0, rem, one_sweep, (hc[:9], hc[9:14], hc[14:19], psi)
+    )
+    hc = jnp.concatenate([mid, up, dn], axis=0)
 
     return hc[None], psi[None]

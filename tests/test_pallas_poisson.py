@@ -140,3 +140,39 @@ def test_wavefront_f32_stages_track_f32_solution():
     # and it is a genuine bf16-storage result: error dominated by storage
     # rounding, not divergence
     assert err_hi < 2e-3, err_hi
+
+
+def test_wavefront_hint_matches_psi_grad_composition():
+    """emit='hint' (trailing in-kernel grad stage) must reproduce the
+    psi-substitution + grad_fields(ring_fix) composition it replaces
+    (solve_H_int tail) to f32 tolerance."""
+    from lbm_ferrofluid_tpu.ops.pallas.poisson import (
+        poisson_wavefront,
+        poisson_wavefront_hint_ok,
+    )
+    from lbm_ferrofluid_tpu.ops.pallas.stencil3d import grad_fields
+
+    Z, Y, X = 16, 8, 16
+    DX = 0.5
+    rng = np.random.default_rng(11)
+    h = jnp.asarray(rng.uniform(-0.1, 0.1, (1, 19, Z, Y, X)), jnp.float32)
+    flags = np.full((1, 1, Z, Y, X), int(CellType.OBSTACLE), np.uint8)
+    flags[..., 1:-1, 1:-1, 1:-1] = int(CellType.FLUID)
+    flags = jnp.asarray(flags)
+    rhs = jnp.asarray(rng.uniform(-0.01, 0.01, (1, 1, Z, Y, X)), jnp.float32)
+
+    assert poisson_wavefront_hint_ok(h.shape, h.dtype, 12)
+    h_psi, psi = poisson_wavefront(h, flags, rhs, tau=0.8, n_iters=12,
+                                   interpret=True)
+    idx = (Ellipsis,) + (slice(1, -1),) * 3
+    pad = [(0, 0)] * 2 + [(1, 1)] * 3
+    psi_obs = jnp.pad(psi[idx], pad, mode="edge")
+    psi_sub = jnp.where(flags == int(CellType.OBSTACLE), psi_obs, psi)
+    want = -grad_fields(psi_sub, dx=DX, interpret=True)
+
+    h_hint, hint = poisson_wavefront(h, flags, rhs, tau=0.8, n_iters=12,
+                                     interpret=True, emit="hint", dx=DX)
+    np.testing.assert_array_equal(np.asarray(h_hint), np.asarray(h_psi))
+    np.testing.assert_allclose(
+        np.asarray(hint), np.asarray(want), rtol=2e-5, atol=1e-8
+    )
