@@ -62,17 +62,20 @@ def model_bytes_per_cell(n_iters=POISSON_ITERS, b_fg=4, b_h=4, res=(256,) * 3):
         passes = n_iters / k
         total += passes * (
             19 * b_h * (2 + 2 * k / Z) + (1 + 2 * k / Z) * (B4 + 4)
-        ) + B4  # psi written once
+        ) + 3 * B4  # emit="hint": H_int (3ch) written by the final pass;
+        # psi, its substitution pass, and the grad launch never hit HBM
     else:
         total += n_iters * ((19 * b_h + B4 + 4) + (19 * b_h + B4))
+        total += 4 * B4  # psi r1 + H_int w3 via the separate grad pass
     # rhs build (staggered chi etc.): ~r 4 + w 1 f32 passes
     total += 5 * B4
-    # H_int grad of psi: r 1 + w 3
-    total += 4 * B4
-    # capillary stencils: laplacian r1 w1; grads r4 w12; obstacle substitution r4 w4
-    total += (2 + 16 + 8) * B4
-    # capillary glue (phi, H2, force asm, vel/pressure recovery): ~r 14 w 8
-    total += 22 * B4
+    # contact angle + H2 glue: ~r 5 w 3
+    total += 8 * B4
+    # laplacian: r1 w1
+    total += 2 * B4
+    # fused capillary gradmac: r 13 f32 channels + flags; w 13 f32 channels
+    # (gradients, stencil fields, and recovery intermediates stay in VMEM)
+    total += (13 * B4 + 4) + 13 * B4
     # epilogue (re-stream + fused collide of f and g, in place): r 19f +
     # 19g + flags + 15 f32 macro channels DMA'd straight from their
     # producers (no concat staging); w 19f + 19g
