@@ -46,9 +46,10 @@ def model_bytes_per_cell(n_iters=POISSON_ITERS, b_fg=4, b_h=4, res=(256,) * 3):
     """
     B4 = 4
     total = 0.0
-    # prologue (ring-pipelined): r 19f + 19g + flags + rho + 3 vel;
-    # w 9 f32 macro channels only — post-stream f/g never hit HBM
-    total += (38 * b_fg + 4 + 4 * B4) + 9 * B4
+    # mac-carry (primed premac): NO prologue pass — the previous epilogue's
+    # trailing stage wrote the 9 f32 macro channels; this step reads them
+    # (the reads land inside the consuming XLA fusions / capmac)
+    total += 9 * B4
     # poisson: the time-skewed wavefront kernel does k sweeps per HBM pass:
     # per pass r 19h * (1 + 2k/Z) + flags(i32) + rhs; w 19h (+ psi, last pass)
     import jax.numpy as jnp
@@ -76,10 +77,11 @@ def model_bytes_per_cell(n_iters=POISSON_ITERS, b_fg=4, b_h=4, res=(256,) * 3):
     # fused capillary gradmac: r 13 f32 channels + flags; w 13 f32 channels
     # (gradients, stencil fields, and recovery intermediates stay in VMEM)
     total += (13 * B4 + 4) + 13 * B4
-    # epilogue (re-stream + fused collide of f and g, in place): r 19f +
-    # 19g + flags + 15 f32 macro channels DMA'd straight from their
-    # producers (no concat staging); w 19f + 19g
-    total += (38 * b_fg + 4 + 15 * B4) + 38 * b_fg
+    # epilogue (re-stream + fused collide of f and g, in place, + the
+    # trailing emit_mac prologue stage): r 19f + 19g + flags + 15 f32
+    # macro channels DMA'd straight from their producers (no concat
+    # staging); w 19f + 19g + 9 f32 next-step macro channels
+    total += (38 * b_fg + 4 + 15 * B4) + 38 * b_fg + 9 * B4
     return total
 
 
@@ -109,6 +111,7 @@ def run(res, n_steps=20, warmup=3, h_dtype="float32", fg_dtype="float32",
         SimulationParams,
         SimulationRunner,
         ferrofluid_step_impl,
+        prime_premac,
     )
 
     params = SimulationParams(
@@ -127,6 +130,7 @@ def run(res, n_steps=20, warmup=3, h_dtype="float32", fg_dtype="float32",
         fg_dtype=fg_dtype,
     )
     state = build_state(params, res)
+    state = prime_premac(params, state)  # mac-carry: no prologue pass/step
     runner = SimulationRunner(params, ferrofluid_step_impl)
     state, stats = runner.benchmark(
         state, n_steps=n_steps, warmup=warmup, repeats=repeats

@@ -5,6 +5,7 @@ from .ferrofluid import (
     ferrofluid_step,
     ferrofluid_step_impl,
     init_ferrofluid_state,
+    prime_premac,
     make_H_ext,
 )
 from .multiphase import (
@@ -43,5 +44,6 @@ __all__ = [
     "hcz_step",
     "init_ferrofluid_state",
     "ferrofluid_step",
+    "prime_premac",
     "make_H_ext",
 ]

@@ -37,7 +37,10 @@ from ..utils.types import CellType
 from .params import SimulationParams
 from .state import FerrofluidState
 
-__all__ = ["init_ferrofluid_state", "ferrofluid_step", "ferrofluid_step_impl", "make_H_ext"]
+__all__ = [
+    "init_ferrofluid_state", "ferrofluid_step", "ferrofluid_step_impl",
+    "make_H_ext", "prime_premac",
+]
 
 
 def make_H_ext(params: SimulationParams, res, batch=1, dtype=jnp.float32, axis=1):
@@ -117,20 +120,53 @@ def ferrofluid_step_impl(
         lbm_prologue,
     )
 
-    fastpath = (
-        params.use_pallas and lat.dim == 3 and mesh is None
-        and fused_step_supported(lat, state.f.shape, params.kbc_type)
-        and jax.default_backend() == "tpu"
+    pallas_on = (
+        params.use_pallas and lat.dim == 3
         and not os.environ.get("LBM_DISABLE_PALLAS")
     )
+    fastpath = (
+        pallas_on and mesh is None
+        and fused_step_supported(lat, state.f.shape, params.kbc_type)
+        and jax.default_backend() == "tpu"
+    )
+    fastpath_sharded = False
+    interp = False
+    if pallas_on and mesh is not None:
+        from ..parallel.step3d import default_interpret, fused_step_sharded_ok
+
+        interp = default_interpret()
+        fastpath_sharded = fused_step_sharded_ok(
+            mesh, state.f.shape, params.kbc_type, interp
+        )
+    fused = fastpath or fastpath_sharded
     if fastpath:
-        rho, vel, density, m0g, m1g = lbm_prologue(
-            state.f, state.g, state.flags, state.rho, state.vel,
+        if state.premac is not None:
+            # mac-carry: the previous epilogue already computed this
+            # step's streamed macros in its trailing stage (emit_mac) —
+            # the prologue's HBM re-read of f and g is skipped entirely
+            rho = state.premac[:, 0:1]
+            vel = state.premac[:, 1:4]
+            density = state.premac[:, 4:5]
+            m0g = state.premac[:, 5:6]
+            m1g = state.premac[:, 6:9]
+        else:
+            rho, vel, density, m0g, m1g = lbm_prologue(
+                state.f, state.g, state.flags, state.rho, state.vel,
+                c=c, rho_gas=params.rho_gas, rho_fluid=params.rho_fluid,
+                density_gas=params.density_gas,
+                density_fluid=params.density_fluid,
+            )
+        f = g = None  # post-stream distributions never materialize
+    elif fastpath_sharded:
+        from ..parallel.step3d import fused_prologue_sharded
+
+        rho, vel, density, m0g, m1g = fused_prologue_sharded(
+            state.f, state.g, state.flags, state.rho, state.vel, mesh,
             c=c, rho_gas=params.rho_gas, rho_fluid=params.rho_fluid,
             density_gas=params.density_gas,
-            density_fluid=params.density_fluid,
+            density_fluid=params.density_fluid, interpret=interp,
         )
-        f = g = None  # post-stream distributions never materialize
+        f = g = None
     else:
         f, rho, vel, density = stream_bounce_macro(
             lat, state.f, state.flags, state.rho, state.vel,
@@ -177,7 +213,7 @@ def ferrofluid_step_impl(
         rho,
         vel,
         state.flags,
-        state.g if fastpath else g,  # unused when g_sum/g_mom are given
+        state.g if fused else g,  # unused when g_sum/g_mom are given
         density,
         state.pressure,
         kappa=params.kappa,
@@ -199,11 +235,31 @@ def ferrofluid_step_impl(
             float(gv) for gv in params.gravity_vec().reshape(-1)
         ),
     )
+    premac = None
     if fastpath:
-        f, g = lbm_epilogue(
+        if state.premac is not None:
+            f, g, premac = lbm_epilogue(
+                state.f, state.g, state.flags, rho, vel, density, pressure,
+                force, dfai, dprho, tau_f=params.tau_f, tau_g=params.tau_g,
+                dx=dx, dt=dt, emit_mac=True,
+                mac_consts=(
+                    c, float(params.rho_gas), float(params.rho_fluid),
+                    float(params.density_gas), float(params.density_fluid),
+                ),
+            )
+        else:
+            f, g = lbm_epilogue(
+                state.f, state.g, state.flags, rho, vel, density, pressure,
+                force, dfai, dprho, tau_f=params.tau_f, tau_g=params.tau_g,
+                dx=dx, dt=dt,
+            )
+    elif fastpath_sharded:
+        from ..parallel.step3d import fused_epilogue_sharded
+
+        f, g = fused_epilogue_sharded(
             state.f, state.g, state.flags, rho, vel, density, pressure,
-            force, dfai, dprho, tau_f=params.tau_f, tau_g=params.tau_g,
-            dx=dx, dt=dt,
+            force, dfai, dprho, mesh, tau_f=params.tau_f,
+            tau_g=params.tau_g, dx=dx, dt=dt, interpret=interp,
         )
     else:
         f, g = hcz_collide(
@@ -241,7 +297,42 @@ def ferrofluid_step_impl(
         H_ext=state.H_ext,
         H_ext_mac=state.H_ext_mac,
         step=state.step + 1,
+        premac=premac,
     )
+
+
+def prime_premac(params: SimulationParams, state: FerrofluidState):
+    """Populate ``state.premac`` so subsequent fast-path steps skip their
+    prologue kernel (the mac-carry optimization: each epilogue's trailing
+    stage computes the next step's streamed macros in-kernel, so f and g
+    are read from HBM once per step instead of twice).
+
+    Run once before a scan/chunked run — lax.scan needs a structure-stable
+    carry, so premac must exist before the first scanned step.  No-op off
+    the single-device TPU fast path.
+    """
+    import dataclasses
+    import os
+
+    lat = params.lattice
+    from ..ops.pallas.fused_step import fused_step_supported, lbm_prologue
+
+    fastpath = (
+        params.use_pallas and lat.dim == 3
+        and fused_step_supported(lat, state.f.shape, params.kbc_type)
+        and jax.default_backend() == "tpu"
+        and not os.environ.get("LBM_DISABLE_PALLAS")
+    )
+    if not fastpath or state.premac is not None:
+        return state
+    rho, vel, density, m0g, m1g = lbm_prologue(
+        state.f, state.g, state.flags, state.rho, state.vel,
+        c=params.dx / params.dt, rho_gas=params.rho_gas,
+        rho_fluid=params.rho_fluid, density_gas=params.density_gas,
+        density_fluid=params.density_fluid,
+    )
+    premac = jnp.concatenate([rho, vel, density, m0g, m1g], axis=1)
+    return dataclasses.replace(state, premac=premac)
 
 
 ferrofluid_step = partial(

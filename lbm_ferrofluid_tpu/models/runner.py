@@ -53,6 +53,16 @@ class SimulationRunner:
     def step(self, state):
         return self._step(self.params, state)
 
+    def _prepare(self, state):
+        """Model-specific pre-scan priming: ferrofluid states get their
+        premac populated so the fast path runs mac-carried (the scan carry
+        must be structure-stable, so this happens before chunking)."""
+        if getattr(state, "premac", "no") is None:
+            from .ferrofluid import prime_premac
+
+            return prime_premac(self.params, state)
+        return state
+
     def _chunk(self, n: int):
         """A jitted function advancing the state n steps in one XLA call."""
         if n not in self._chunks:
@@ -76,6 +86,7 @@ class SimulationRunner:
         steps (host transfer happens only then).  With ``nan_guard`` the
         fields are finite-checked at every IO point (the exponential feq can
         pole at |u| -> c; reference LBM_collision_2d.py:127-145)."""
+        state = self._prepare(state)
         if io_interval and (io_fn or nan_guard):
             from ..utils.diagnostics import assert_finite
 
@@ -102,6 +113,7 @@ class SimulationRunner:
         ``repeats`` > 1 the timed chunk runs that many times; ``mlups`` is
         the median and per-repeat seconds are reported for variance.
         """
+        state = self._prepare(state)
         res = state.rho.shape[2:]
         sites = state.rho.shape[0] * int(np.prod(res))
 

@@ -72,6 +72,13 @@ class FerrofluidState:
     H_ext: jax.Array  # [B, dim, *res] constant external field
     H_ext_mac: tuple  # staggered components (x, y[, z])
     step: jax.Array
+    # mac-carry fast path (models/ferrofluid.py:prime_premac): the previous
+    # epilogue's in-kernel prologue output [B, 9, *res] f32
+    # [rho, vel(3), density, m0g, m1g(3)].  When present, the step skips
+    # its prologue kernel (no HBM re-read of f and g).  None by default so
+    # existing pytree structures (checkpoints, scans without priming) are
+    # unchanged.
+    premac: jax.Array | None = None
 
 
 def field_shapes(params: SimulationParams, res: tuple[int, ...], batch: int = 1):

@@ -598,7 +598,7 @@ def hcz_capillary(
     # (the gradients never hit HBM) — requires the precomputed g moments
     # and a statically-known gravity vector.
     if (
-        fuse_stencils and not sharded
+        fuse_stencils
         and g_sum is not None and g_mom is not None
         and (H2 is None) == (phi is None)
     ):
@@ -615,16 +615,28 @@ def hcz_capillary(
                 )
             except Exception:
                 grav = None
-        if grav is not None and len(grav) == 3 and capmac_supported(density.shape):
+        kw = dict(
+            kappa=float(kappa), mu0_half=0.5 * MU0, rho_gas=float(rho_gas),
+            rho_fluid=float(rho_fluid), density_gas=float(density_gas),
+            density_fluid=float(density_fluid), dx=float(dx), dt=float(dt),
+        )
+        if grav is not None and len(grav) == 3 and sharded:
+            from ..parallel.step3d import capmac_sharded, capmac_sharded_ok
+
+            if capmac_sharded_ok(mesh, density.shape, interp):
+                lap_density = laplacian_field(density, dx=dx)
+                vel, pressure, force, dfai, dprho = capmac_sharded(
+                    lap_density, rho_pre, density_pre, pressure, rho,
+                    H2, phi, flags, g_sum, g_mom, vel, mesh,
+                    gravity=grav, interpret=interp, **kw,
+                )
+                return rho, vel, density, pressure, force, dfai, dprho
+        elif (grav is not None and len(grav) == 3
+              and capmac_supported(density.shape)):
             lap_density = laplacian_field(density, dx=dx)
             vel, pressure, force, dfai, dprho = hcz_capillary_gradmac(
                 lap_density, rho_pre, density_pre, pressure, rho,
-                H2, phi, flags, g_sum, g_mom, vel,
-                kappa=float(kappa), gravity=grav,
-                mu0_half=0.5 * MU0, rho_gas=float(rho_gas),
-                rho_fluid=float(rho_fluid), density_gas=float(density_gas),
-                density_fluid=float(density_fluid), dx=float(dx),
-                dt=float(dt),
+                H2, phi, flags, g_sum, g_mom, vel, gravity=grav, **kw,
             )
             return rho, vel, density, pressure, force, dfai, dprho
 

@@ -23,6 +23,13 @@ Semantic notes (mirroring hcz_capillary, reference HCZ_3d.py:21-263):
 * z boundaries: pad/clamp semantics (NOT periodic) — the grad ring fix
   clamps the source plane to [1, Z-2] exactly like
   stencil3d.grad_fields(ring_fix=True).
+
+Multi-chip slab mode (``ghosts``/``clamp``): the six fields entering the
+3-plane stencil window (lap, rho_pre, density_pre, pressure, phi, flags)
+additionally take one neighbor ghost plane per side, and the z-clamp
+bounds arrive as a 2-element SMEM scalar so the same SPMD program clamps
+only at the true domain edges — interior slabs stencil straight through
+their ghost planes.  See parallel/step3d.py:capmac_sharded.
 """
 
 from __future__ import annotations
@@ -57,13 +64,22 @@ def capmac_supported(shape) -> bool:
 
 
 def _kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
-            density_gas, density_fluid, dx, dt, Z, has_h2,
+            density_gas, density_fluid, dx, dt, Z, has_h2, slab,
             *refs):
     n_in = 11 if has_h2 else 9
     n_drv = 5 if has_h2 else 3
+    n_gh = 6 if has_h2 else 5
+    if slab:
+        clamp_ref = refs[0]
+        refs = refs[1:]
     ins = refs[:n_in]
-    outs = refs[n_in:n_in + 5]
-    scratch = refs[n_in + 5:]
+    off = n_in
+    if slab:
+        gh_lo = refs[off:off + n_gh]
+        gh_hi = refs[off + n_gh:off + 2 * n_gh]
+        off += 2 * n_gh
+    outs = refs[off:off + 5]
+    scratch = refs[off + 5:]
     rings = scratch[:n_in]
     stores = scratch[n_in:n_in + 5]
     drv = scratch[n_in + 5:n_in + 5 + n_drv]
@@ -79,14 +95,33 @@ def _kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
         a = jnp.asarray(a)
         return jax.lax.rem(a, jnp.asarray(n, a.dtype))
 
+    def slot_(q):
+        # (q+5)%5 == q%5 for q >= 0, and maps the slab ghost planes
+        # q = -1 -> 4 and q = Z -> Z%5 consistently
+        return rem_(q + 5, 5)
+
     def in_copies(q):
-        slot = rem_(q, 5)
+        slot = slot_(q)
         return [
             pltpu.make_async_copy(
                 ref.at[:, pl.ds(q, 1)], ring.at[:, pl.ds(slot, 1)],
                 sem.at[slot],
             )
             for ref, ring, sem in zip(ins, rings, sems_in)
+        ]
+
+    # slab mode: ghost planes of the six stencil-window streams
+    gh_idx = [0, 1, 2, 3] + ([6] if has_h2 else []) + [5 + 2 * has_h2]
+
+    def ghost_copies(which):
+        refs_g, q = (gh_lo, -1) if which == "lo" else (gh_hi, Z)
+        slot = slot_(q)
+        return [
+            pltpu.make_async_copy(
+                refs_g[j], rings[i].at[:, pl.ds(slot, 1)],
+                sems_in[i].at[slot],
+            )
+            for j, i in enumerate(gh_idx)
         ]
 
     def out_copies(p):
@@ -106,7 +141,7 @@ def _kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
     )}
 
     def plane(name, q, ch=0):
-        return rings[ring_idx[name]][ch, rem_(q, 5)]
+        return rings[ring_idx[name]][ch, slot_(q)]
 
     # derived per-plane fields (all f32 in register) -------------------
     def density_of(rho):
@@ -127,7 +162,7 @@ def _kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
     def compute_derived(q):
         """Once per landed input plane: the ring-replicated pad fields
         (consumed up to 3x by the sliding grad window)."""
-        slot = rem_(q, 5)
+        slot = slot_(q)
         drv[0][0, slot] = _ring_replicate_plane(raw_fai(q), Y, X)
         drv[1][0, slot] = _ring_replicate_plane(raw_prho(q), Y, X)
         drv[2][0, slot] = _ring_replicate_plane(plane("lap", q), Y, X)
@@ -143,8 +178,21 @@ def _kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
                 cp.wait()
             compute_derived(t + 1)
 
+        if slab:
+            @pl.when(t + 1 == Z)
+            def _():
+                # hi ghost plane lands: wait + derive (window of the last
+                # output plane reaches pc+1 == Z on interior slabs)
+                for cp in ghost_copies("hi"):
+                    cp.wait()
+                compute_derived(Z)
+
         p = t - 1  # output plane (lag 1: the ring-fix clamp needs +2 planes)
-        pc = jnp.clip(p, 1, Z - 2)
+        if slab:
+            z_lo, z_hi = clamp_ref[0], clamp_ref[1]
+        else:
+            z_lo, z_hi = 1, Z - 2
+        pc = jnp.clip(p, z_lo, z_hi)
 
         # window planes and their clamped pad sources
         qs = [pc - 1, pc, pc + 1]
@@ -155,10 +203,10 @@ def _kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
         #   fai/prho: interior-padded already => substitution is identity
         #   lap/chi:  where(OBS, ring_rep(field at clamped plane), field)
         def clampq(q):
-            return jnp.clip(q, 1, Z - 2)
+            return jnp.clip(q, z_lo, z_hi)
 
         def d(i, q):
-            return drv[i][0, rem_(q, 5)]
+            return drv[i][0, slot_(q)]
 
         sub = {}
         sub["fai"] = [d(0, clampq(q)) for q in qs]
@@ -240,12 +288,26 @@ def _kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
         def _():
             for cp in in_copies(t + 2):
                 cp.start()
+        if slab:
+            @pl.when(t + 2 == Z)
+            def _():
+                for cp in ghost_copies("hi"):
+                    cp.start()
         return 0
 
-    # preamble: planes 0, 1, 2 in flight; 0 and 1 landed + derived
+    # preamble: planes (-1,) 0, 1, 2 in flight; (-1,) 0 (, 1) landed +
+    # derived.  Slab mode needs plane 1 up front too: the first output's
+    # interior window is [-1, 1], not the clamped [0, 2].
+    if slab:
+        for cp in ghost_copies("lo"):
+            cp.start()
     for q in (0, 1, 2):
         for cp in in_copies(q):
             cp.start()
+    if slab:
+        for cp in ghost_copies("lo"):
+            cp.wait()
+        compute_derived(-1)
     for q in (0, 1):
         for cp in in_copies(q):
             cp.wait()
@@ -263,7 +325,7 @@ def _kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
 ))
 def hcz_capillary_gradmac(
     lap, rho_pre, density_pre, pressure, rho_ca, H2, phi, flags, g_sum,
-    g_mom, vel_old, *,
+    g_mom, vel_old, ghosts=None, clamp=None, *,
     kappa, gravity, mu0_half, rho_gas, rho_fluid, density_gas,
     density_fluid, dx=1.0, dt=1.0, interpret=False,
 ):
@@ -277,6 +339,11 @@ def hcz_capillary_gradmac(
         rho_ca: post-contact-angle rho (assembly density).
         H2, phi: Kelvin field and order parameter, or both None.
         gravity: 3-tuple of floats (static).
+        ghosts / clamp: slab mode (parallel/step3d.py:capmac_sharded) —
+            ``ghosts=(lo_tuple, hi_tuple)`` neighbor planes of
+            [lap, rho_pre, density_pre, pressure, (phi,) flags] each
+            [1, 1, 1, Y, X], and ``clamp`` an int32 [2] array with the
+            local z-clamp bounds (edge devices clamp, interior don't).
 
     Returns (vel, pressure, force, dfai, dprho) — the recovered macro
     fields, matching hcz_capillary's composition modulo XLA
@@ -284,6 +351,7 @@ def hcz_capillary_gradmac(
     """
     _, _, Z, Y, X = lap.shape
     has_h2 = H2 is not None
+    slab = ghosts is not None
     flags_i32 = flags[0].astype(jnp.int32)
     f32 = jnp.float32
     args = [lap[0].astype(f32), rho_pre[0].astype(f32),
@@ -297,6 +365,25 @@ def hcz_capillary_gradmac(
     chans = [1, 1, 1, 1, 1] + ([1, 1] if has_h2 else []) + [1, 1, 3, 3]
     dts = [f32] * 5 + ([f32, f32] if has_h2 else []) + [
         jnp.int32, f32, f32, f32]
+
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_in
+    if slab:
+        n_gh = 6 if has_h2 else 5
+        lo_t, hi_t = ghosts
+        assert len(lo_t) == n_gh and len(hi_t) == n_gh
+
+        def _gh(x, j):
+            # flags ghost travels as int32, the rest as f32
+            flagpos = n_gh - 1
+            return x[0].astype(jnp.int32 if j == flagpos else f32)
+
+        gh_args = [_gh(x, j) for j, x in enumerate(lo_t)] + [
+            _gh(x, j) for j, x in enumerate(hi_t)]
+        args = [jnp.asarray(clamp, jnp.int32)] + args + gh_args
+        in_specs = (
+            [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+            + [pl.BlockSpec(memory_space=pl.ANY)] * (2 * n_gh)
+        )
 
     out_shape = [
         jax.ShapeDtypeStruct((3, Z, Y, X), f32),  # vel
@@ -318,9 +405,10 @@ def hcz_capillary_gradmac(
         functools.partial(
             _kernel, kappa, tuple(gravity), mu0_half, rho_gas,
             rho_fluid, density_gas, density_fluid, dx, dt, Z, has_h2,
+            slab,
         ),
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
+        in_specs=in_specs,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
         out_shape=out_shape,
         scratch_shapes=scratch,

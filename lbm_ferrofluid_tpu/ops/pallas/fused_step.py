@@ -23,6 +23,13 @@ the same choreography as the wavefront Poisson kernel
 (ops/pallas/poisson.py:poisson_wavefront).  Periodic z-wrap comes from the
 modular source index of the ring DMA.
 
+Multi-chip slab mode: with ``ghosts=(f_lo, f_hi, g_lo, g_hi)`` the two
+wrap reads (plane -1 at the preamble, plane Z at t=Z-2) are redirected
+to neighbor ghost planes exchanged over ICI by the shard_map wrappers in
+parallel/step3d.py — the kernel then computes an exact slab of a larger
+periodic domain.  Ghost copies have the same [19,1,Y,X] shape as the wrap
+copies they replace, so the in-body semaphore waits are unchanged.
+
 Reference semantics reproduced: propagation + full-way bounce back
 (LBM_propagation_3d.py:18-111), macro recovery with the OBSTACLE freeze
 (demo drivers), HCZ LBGK collision (HCZ_3d.py:213-263).
@@ -115,11 +122,28 @@ def _moments(post):
     return m0, m1
 
 
+def _ghost_copies(slot, pairs):
+    """Copies of the [19,1,Y,X] ghost refs into ring slot ``slot`` — the
+    slab-mode replacement for a wrap copy (identical shape, so the generic
+    in-body waits still consume exactly the signaled bytes)."""
+    return [
+        pltpu.make_async_copy(src, ring.at[:, pl.ds(slot, 1)], sem.at[slot])
+        for src, ring, sem in pairs
+    ]
+
+
 def _prologue_kernel(c, rho_gas, rho_fluid, density_gas, density_fluid, Z,
-                     f_ref, g_ref, flags_ref, rho_ref, vel_ref,
-                     out_ref,
-                     f_ring, g_ring, fl_ring, ro_ring, ve_ring, store,
-                     sem_f, sem_g, sem_fl, sem_ro, sem_ve, sem_o):
+                     has_ghosts, *refs):
+    if has_ghosts:
+        (f_ref, g_ref, flags_ref, rho_ref, vel_ref,
+         flo_ref, fhi_ref, glo_ref, ghi_ref) = refs[:9]
+        rest = refs[9:]
+    else:
+        f_ref, g_ref, flags_ref, rho_ref, vel_ref = refs[:5]
+        flo_ref = fhi_ref = glo_ref = ghi_ref = None
+        rest = refs[5:]
+    (out_ref, f_ring, g_ring, fl_ring, ro_ring, ve_ring, store,
+     sem_f, sem_g, sem_fl, sem_ro, sem_ve, sem_o) = rest
     Y, X = f_ref.shape[2], f_ref.shape[3]
     streams = [
         (f_ref, f_ring, sem_f),
@@ -129,7 +153,18 @@ def _prologue_kernel(c, rho_gas, rho_fluid, density_gas, density_fluid, Z,
         (vel_ref, ve_ring, sem_ve),
     ]
 
-    for w in (-1, 0, 1):
+    if has_ghosts:
+        # plane -1 of f/g comes from the z-prev neighbor's last plane;
+        # flags/rho/vel keep their (unread) wrap copies for sem accounting
+        for cp in _ghost_copies(0, [(flo_ref, f_ring, sem_f),
+                                    (glo_ref, g_ring, sem_g)]):
+            cp.start()
+        for cp in _in_copies(streams[2:], -1, Z):
+            cp.start()
+    else:
+        for cp in _in_copies(streams, -1, Z):
+            cp.start()
+    for w in (0, 1):
         for cp in _in_copies(streams, w, Z):
             cp.start()
     for w in (-1, 0):
@@ -150,10 +185,26 @@ def _prologue_kernel(c, rho_gas, rho_fluid, density_gas, density_fluid, Z,
         for cp in _in_copies(streams, t + 1, Z):
             cp.wait()
 
-        @pl.when(t + 2 <= Z)
-        def _():
-            for cp in _in_copies(streams, t + 2, Z):
-                cp.start()
+        if has_ghosts:
+            @pl.when(t + 2 <= Z - 1)
+            def _():
+                for cp in _in_copies(streams, t + 2, Z):
+                    cp.start()
+
+            @pl.when(t + 2 == Z)
+            def _():
+                # plane Z of f/g = the z-next neighbor's first plane
+                slot = _rem(t + 3, 4)
+                for cp in _ghost_copies(slot, [(fhi_ref, f_ring, sem_f),
+                                               (ghi_ref, g_ring, sem_g)]):
+                    cp.start()
+                for cp in _in_copies(streams[2:], Z, Z):
+                    cp.start()
+        else:
+            @pl.when(t + 2 <= Z)
+            def _():
+                for cp in _in_copies(streams, t + 2, Z):
+                    cp.start()
 
         s0 = _rem(t + 1, 4)
         sm = _rem(t, 4)
@@ -193,14 +244,38 @@ def _prologue_kernel(c, rho_gas, rho_fluid, density_gas, density_fluid, Z,
         out_copy(Z - d).wait()
 
 
-def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype,
-                     f_ref, g_ref, flags_ref,
-                     rho_ref, vel_ref, den_ref, pres_ref,
-                     force_ref, dfai_ref, dprho_ref,
-                     fout_ref, gout_ref,
-                     f_ring, g_ring, fl_ring, mc_ring,
-                     f_store, g_store, f_seam, g_seam,
-                     sem_f, sem_g, sem_fl, sem_mc, sem_fo, sem_go, sem_s):
+def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype, has_ghosts,
+                     emit_mac, mac_consts, *refs):
+    if has_ghosts:
+        (f_ref, g_ref, flags_ref,
+         rho_ref, vel_ref, den_ref, pres_ref,
+         force_ref, dfai_ref, dprho_ref,
+         flo_ref, fhi_ref, glo_ref, ghi_ref,
+         fout_ref, gout_ref,
+         f_ring, g_ring, fl_ring, mc_ring,
+         f_store, g_store,
+         sem_f, sem_g, sem_fl, sem_mc, sem_fo, sem_go) = refs
+        f_seam = g_seam = sem_s = None
+    elif emit_mac:
+        (f_ref, g_ref, flags_ref,
+         rho_ref, vel_ref, den_ref, pres_ref,
+         force_ref, dfai_ref, dprho_ref,
+         fout_ref, gout_ref, macout_ref,
+         f_ring, g_ring, fl_ring, mc_ring,
+         f_store, g_store, f_seam, g_seam, mac_store, flpost, mcpost,
+         sem_f, sem_g, sem_fl, sem_mc, sem_fo, sem_go, sem_s,
+         sem_mo, sem_post) = refs
+        flo_ref = fhi_ref = glo_ref = ghi_ref = None
+    else:
+        (f_ref, g_ref, flags_ref,
+         rho_ref, vel_ref, den_ref, pres_ref,
+         force_ref, dfai_ref, dprho_ref,
+         fout_ref, gout_ref,
+         f_ring, g_ring, fl_ring, mc_ring,
+         f_store, g_store, f_seam, g_seam,
+         sem_f, sem_g, sem_fl, sem_mc, sem_fo, sem_go, sem_s) = refs
+        flo_ref = fhi_ref = glo_ref = ghi_ref = None
+    NS = 3 if emit_mac else 2  # collided-store ring slots
     lat = D3Q19
     Y, X = f_ref.shape[2], f_ref.shape[3]
     c = dx / dt
@@ -234,14 +309,26 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype,
     # write starts at the end of body p — ordered.  The ONLY late re-read
     # is the z-wrap plane 0 at w=Z (body Z-2), long after plane 0 was
     # overwritten at body 0, so plane 0 is stashed pristine at preamble.
-    seam_cps = [
-        pltpu.make_async_copy(f_ref.at[:, pl.ds(0, 1)], f_seam, sem_s.at[0]),
-        pltpu.make_async_copy(g_ref.at[:, pl.ds(0, 1)], g_seam, sem_s.at[1]),
-    ]
-    for cp in seam_cps:
-        cp.start()
+    if has_ghosts:
+        # slab mode: the two wrap reads come from neighbor ghost refs, so
+        # no pristine-plane stash is needed despite the in-place aliasing
+        seam_cps = []
+        for cp in _ghost_copies(0, [(flo_ref, f_ring, sem_f),
+                                    (glo_ref, g_ring, sem_g)]):
+            cp.start()
+        for cp in _in_copies(streams[2:], -1, Z) + mac_copies(-1):
+            cp.start()
+    else:
+        seam_cps = [
+            pltpu.make_async_copy(f_ref.at[:, pl.ds(0, 1)], f_seam, sem_s.at[0]),
+            pltpu.make_async_copy(g_ref.at[:, pl.ds(0, 1)], g_seam, sem_s.at[1]),
+        ]
+        for cp in seam_cps:
+            cp.start()
+        for cp in _in_copies(streams, -1, Z) + mac_copies(-1):
+            cp.start()
 
-    for w in (-1, 0, 1):
+    for w in (0, 1):
         for cp in _in_copies(streams, w, Z) + mac_copies(w):
             cp.start()
     for cp in seam_cps:  # must land before plane 0's in-place write (t=0)
@@ -251,7 +338,7 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype,
             cp.wait()
 
     def out_copies(t):
-        slot = _rem(t, 2)
+        slot = _rem(t, NS)
         return (
             pltpu.make_async_copy(
                 f_store.at[:, pl.ds(slot, 1)], fout_ref.at[:, pl.ds(t, 1)],
@@ -262,6 +349,47 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype,
                 sem_go.at[slot],
             ),
         )
+
+    def mac_copy(j, p):
+        """Emission j (sequence index -> store slot) of mac plane p."""
+        slot = _rem(j, 2)
+        return pltpu.make_async_copy(
+            mac_store.at[:, pl.ds(slot, 1)], macout_ref.at[:, pl.ds(p, 1)],
+            sem_mo.at[slot],
+        )
+
+    def emit_mac_plane(j, p, s0, sm, sp, flags_row, rho_old, vel_old):
+        """Next step's prologue for plane p, from the collided planes
+        already in the VMEM store ring: pull-stream + bounce-back +
+        moments + macro recovery (bit-identical to _prologue_kernel
+        reading the written-back f'/g' from HBM — the store rings hold
+        the storage-dtype values the output planes contain)."""
+        c_, rho_gas, rho_fluid, density_gas, density_fluid = mac_consts
+        post_f, is_obs = _stream_plane(f_store, (s0, sm, sp), flags_row, Y, X)
+        post_g, _ = _stream_plane(g_store, (s0, sm, sp), flags_row, Y, X)
+        m0f, m1f = _moments(post_f)
+        m0g, m1g = _moments(post_g)
+        rho_n = jnp.where(is_obs, rho_old, m0f)
+        density_n = density_gas + (density_fluid - density_gas) * (
+            (rho_n - rho_gas) / (rho_fluid - rho_gas)
+        )
+        inv_rho = c_ / rho_n
+
+        @pl.when(j - 2 >= 0)
+        def _():
+            mac_copy(j - 2, 0).wait()  # plane index irrelevant to the wait
+
+        slot = _rem(j, 2)
+        mac_store[0, slot] = rho_n
+        for d in range(3):
+            mac_store[1 + d, slot] = jnp.where(
+                is_obs, vel_old[d], m1f[d] * inv_rho
+            )
+        mac_store[4, slot] = density_n
+        mac_store[5, slot] = m0g
+        for d in range(3):
+            mac_store[6 + d, slot] = m1g[d]
+        mac_copy(j, p).start()
 
     def body(t, _):
         # every plane in [1, Z] is waited exactly once (plane Z is the
@@ -278,15 +406,21 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype,
         @pl.when(t + 2 == Z)
         def _():
             # z-wrap plane: f/g from the pristine seam stash (their HBM
-            # plane 0 was overwritten in place at body 0); flags/mac are
+            # plane 0 was overwritten in place at body 0) — or, in slab
+            # mode, from the z-next neighbor's ghost planes; flags/mac are
             # not aliased, so they re-read normally
             slot = _rem(Z + 1, 4)
-            pltpu.make_async_copy(
-                f_seam, f_ring.at[:, pl.ds(slot, 1)], sem_f.at[slot]
-            ).start()
-            pltpu.make_async_copy(
-                g_seam, g_ring.at[:, pl.ds(slot, 1)], sem_g.at[slot]
-            ).start()
+            if has_ghosts:
+                for cp in _ghost_copies(slot, [(fhi_ref, f_ring, sem_f),
+                                               (ghi_ref, g_ring, sem_g)]):
+                    cp.start()
+            else:
+                pltpu.make_async_copy(
+                    f_seam, f_ring.at[:, pl.ds(slot, 1)], sem_f.at[slot]
+                ).start()
+                pltpu.make_async_copy(
+                    g_seam, g_ring.at[:, pl.ds(slot, 1)], sem_g.at[slot]
+                ).start()
             for cp in _in_copies(streams[2:], Z, Z) + mac_copies(Z):
                 cp.start()
 
@@ -328,7 +462,7 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype,
             for cp in out_copies(t - 2):
                 cp.wait()
 
-        slot = _rem(t, 2)
+        slot = _rem(t, NS)
         for q in range(19):
             wq = float(lat.weights[q])
             ex, ey, ez = (float(lat.e[q][d]) for d in range(3))
@@ -359,6 +493,21 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype,
 
         for cp in out_copies(t):
             cp.start()
+
+        if emit_mac:
+            # trailing prologue stage at lag 1: collided planes t-2..t are
+            # resident in the NS=3-slot store rings; flags / old rho+vel of
+            # plane t-1 still live in their 4-slot input rings
+            @pl.when(t >= 2)
+            def _():
+                s_in = _rem(t, 4)  # input-ring slot of plane t-1
+                emit_mac_plane(
+                    t - 2, t - 1,
+                    _rem(t - 1, NS), _rem(t - 2, NS), _rem(t, NS),
+                    fl_ring[0, s_in],
+                    mc_ring[0, s_in],
+                    [mc_ring[1 + d, s_in] for d in range(3)],
+                )
         return 0
 
     jax.lax.fori_loop(0, Z, body, 0)
@@ -366,13 +515,77 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype,
         for cp in out_copies(Z - d):
             cp.wait()
 
+    if emit_mac:
+        # Wrap emissions: mac planes Z-1 (window Z-2, Z-1, 0) and 0
+        # (window Z-1, 0, 1).  The collided wrap planes 0 and 1 are
+        # re-read from the just-written (aliased) output — their drains
+        # completed above — into the store-ring slots of the no-longer-
+        # needed planes Z-3 and Z-2; flags/rho/vel of plane 0 are re-read
+        # from their (un-aliased) HBM inputs.
+        slot_a = _rem(Z, NS)       # receives collided plane 0
+        slot_b = _rem(Z + 1, NS)   # receives collided plane 1 (after p=Z-1)
+        post0 = [
+            pltpu.make_async_copy(
+                fout_ref.at[:, pl.ds(0, 1)], f_store.at[:, pl.ds(slot_a, 1)],
+                sem_post.at[0],
+            ),
+            pltpu.make_async_copy(
+                gout_ref.at[:, pl.ds(0, 1)], g_store.at[:, pl.ds(slot_a, 1)],
+                sem_post.at[1],
+            ),
+            pltpu.make_async_copy(
+                flags_ref.at[:, pl.ds(0, 1)], flpost, sem_post.at[2],
+            ),
+            pltpu.make_async_copy(
+                rho_ref.at[:, pl.ds(0, 1)], mcpost.at[0:1], sem_post.at[3],
+            ),
+            pltpu.make_async_copy(
+                vel_ref.at[:, pl.ds(0, 1)], mcpost.at[1:4], sem_post.at[4],
+            ),
+        ]
+        for cp in post0:
+            cp.start()
+        for cp in post0:
+            cp.wait()
+        s_in = _rem(Z, 4)  # input-ring slot of plane Z-1
+        emit_mac_plane(
+            Z - 2, Z - 1,
+            _rem(Z - 1, NS), _rem(Z - 2, NS), slot_a,
+            fl_ring[0, s_in],
+            mc_ring[0, s_in],
+            [mc_ring[1 + d, s_in] for d in range(3)],
+        )
+        post1 = [
+            pltpu.make_async_copy(
+                fout_ref.at[:, pl.ds(1, 1)], f_store.at[:, pl.ds(slot_b, 1)],
+                sem_post.at[5],
+            ),
+            pltpu.make_async_copy(
+                gout_ref.at[:, pl.ds(1, 1)], g_store.at[:, pl.ds(slot_b, 1)],
+                sem_post.at[6],
+            ),
+        ]
+        for cp in post1:
+            cp.start()
+        for cp in post1:
+            cp.wait()
+        emit_mac_plane(
+            Z - 1, 0,
+            slot_a, _rem(Z - 1, NS), slot_b,
+            flpost[0, 0],
+            mcpost[0, 0],
+            [mcpost[1 + d, 0] for d in range(3)],
+        )
+        for j in (Z - 2, Z - 1):
+            mac_copy(j, 0).wait()
+
 
 @functools.partial(jax.jit, static_argnames=(
     "c", "rho_gas", "rho_fluid", "density_gas", "density_fluid", "interpret",
 ))
 def lbm_prologue(
-    f, g, flags, rho_old, vel_old, *, c, rho_gas, rho_fluid, density_gas,
-    density_fluid, interpret=False,
+    f, g, flags, rho_old, vel_old, ghosts=None, *, c, rho_gas, rho_fluid,
+    density_gas, density_fluid, interpret=False,
 ):
     """Stream f and g in register; emit only the macro fields.
 
@@ -380,17 +593,23 @@ def lbm_prologue(
     m1g [1,3]), all f32 — exactly the quantities
     ops/pallas/stream3d.py:stream_bounce_macro + stream_bounce_moments
     produce, without writing the post-stream distributions back to HBM.
+
+    ``ghosts=(f_lo, f_hi, g_lo, g_hi)`` ([1,19,1,Y,X] each, f/g dtype)
+    switches the periodic z-wrap to neighbor ghost planes (slab mode for
+    the shard_map multi-chip path, parallel/step3d.py).
     """
     _, _, Z, Y, X = f.shape
     flags_i32 = flags[0].astype(jnp.int32)
+    has_ghosts = ghosts is not None
+    extra = [gh[0] for gh in ghosts] if has_ghosts else []
 
     out = pl.pallas_call(
         functools.partial(
             _prologue_kernel, c, rho_gas, rho_fluid, density_gas,
-            density_fluid, Z,
+            density_fluid, Z, has_ghosts,
         ),
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (5 + len(extra)),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((9, Z, Y, X), jnp.float32),
         scratch_shapes=[
@@ -411,7 +630,7 @@ def lbm_prologue(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(f[0], g[0], flags_i32, rho_old[0], vel_old[0])
+    )(f[0], g[0], flags_i32, rho_old[0], vel_old[0], *extra)
     return (
         out[None, 0:1], out[None, 1:4], out[None, 4:5], out[None, 5:6],
         out[None, 6:9],
@@ -419,17 +638,32 @@ def lbm_prologue(
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "tau_f", "tau_g", "dx", "dt", "interpret",
+    "tau_f", "tau_g", "dx", "dt", "emit_mac", "mac_consts", "interpret",
 ))
 def lbm_epilogue(
-    f, g, flags, rho, vel, density, pressure, force, dfai, dprho, *,
-    tau_f, tau_g, dx=1.0, dt=1.0, interpret=False,
+    f, g, flags, rho, vel, density, pressure, force, dfai, dprho,
+    ghosts=None, *, tau_f, tau_g, dx=1.0, dt=1.0, emit_mac=False,
+    mac_consts=None, interpret=False,
 ):
     """Re-stream f and g and apply the fused HCZ collision in one pass.
 
     Semantics: stream + bounce-back (rounded through the storage dtype,
     matching the classic writeback) followed by
     ops/pallas/hcz3d.py:hcz_collide_fused.  Returns (f', g').
+
+    ``ghosts=(f_lo, f_hi, g_lo, g_hi)`` ([1,19,1,Y,X] each, f/g dtype,
+    PRE-stream neighbor planes) switches the periodic z-wrap to slab mode
+    for the shard_map multi-chip path (parallel/step3d.py).
+
+    ``emit_mac=True`` (single-device only) appends a trailing in-kernel
+    stage that computes the NEXT step's prologue — stream + bounce-back +
+    moments + macro recovery of the just-collided f'/g' straight from the
+    VMEM store rings — and returns (f', g', mac) with mac a [1,9,Z,Y,X]
+    f32 array laid out [rho, vel(3), density, m0g, m1g(3)], bit-identical
+    to what ``lbm_prologue(f', g', ...)`` would read back from HBM.  The
+    following step can then skip its prologue entirely (the mac-carry fast
+    path, models/ferrofluid.py).  ``mac_consts=(c, rho_gas, rho_fluid,
+    density_gas, density_fluid)`` must be given with it.
     """
     _, _, Z, Y, X = f.shape
     flags_i32 = flags[0].astype(jnp.int32)
@@ -437,39 +671,71 @@ def lbm_epilogue(
         x[0].astype(jnp.float32)
         for x in (rho, vel, density, pressure, force, dfai, dprho)
     ]
+    has_ghosts = ghosts is not None
+    assert not (has_ghosts and emit_mac), "emit_mac is single-device only"
+    extra = [gh[0] for gh in ghosts] if has_ghosts else []
+    NS = 3 if emit_mac else 2
 
-    f_new, g_new = pl.pallas_call(
-        functools.partial(
-            _epilogue_kernel, tau_f, tau_g, dx, dt, Z, f.dtype,
-        ),
-        grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 10,
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
-        out_shape=[
-            jax.ShapeDtypeStruct((19, Z, Y, X), f.dtype),
-            jax.ShapeDtypeStruct((19, Z, Y, X), g.dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((19, 4, Y, X), f.dtype),
-            pltpu.VMEM((19, 4, Y, X), g.dtype),
-            pltpu.VMEM((1, 4, Y, X), jnp.int32),
-            pltpu.VMEM((15, 4, Y, X), jnp.float32),
-            pltpu.VMEM((19, 2, Y, X), f.dtype),
-            pltpu.VMEM((19, 2, Y, X), g.dtype),
+    scratch = [
+        pltpu.VMEM((19, 4, Y, X), f.dtype),
+        pltpu.VMEM((19, 4, Y, X), g.dtype),
+        pltpu.VMEM((1, 4, Y, X), jnp.int32),
+        pltpu.VMEM((15, 4, Y, X), jnp.float32),
+        pltpu.VMEM((19, NS, Y, X), f.dtype),
+        pltpu.VMEM((19, NS, Y, X), g.dtype),
+    ]
+    if not has_ghosts:
+        scratch += [
             pltpu.VMEM((19, 1, Y, X), f.dtype),
             pltpu.VMEM((19, 1, Y, X), g.dtype),
-            pltpu.SemaphoreType.DMA((4,)),
-            pltpu.SemaphoreType.DMA((4,)),
-            pltpu.SemaphoreType.DMA((4,)),
-            pltpu.SemaphoreType.DMA((4,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ]
+    if emit_mac:
+        scratch += [
+            pltpu.VMEM((9, 2, Y, X), jnp.float32),   # mac store ring
+            pltpu.VMEM((1, 1, Y, X), jnp.int32),     # flags plane 0 (wrap)
+            pltpu.VMEM((4, 1, Y, X), jnp.float32),   # rho+vel plane 0 (wrap)
+        ]
+    scratch += [
+        pltpu.SemaphoreType.DMA((4,)),
+        pltpu.SemaphoreType.DMA((4,)),
+        pltpu.SemaphoreType.DMA((4,)),
+        pltpu.SemaphoreType.DMA((4,)),
+        pltpu.SemaphoreType.DMA((NS,)),
+        pltpu.SemaphoreType.DMA((NS,)),
+    ]
+    if not has_ghosts:
+        scratch += [pltpu.SemaphoreType.DMA((2,))]
+    if emit_mac:
+        scratch += [
+            pltpu.SemaphoreType.DMA((2,)),   # mac out ring
+            pltpu.SemaphoreType.DMA((8,)),   # post-loop wrap re-reads
+        ]
+
+    out_shape = [
+        jax.ShapeDtypeStruct((19, Z, Y, X), f.dtype),
+        jax.ShapeDtypeStruct((19, Z, Y, X), g.dtype),
+    ]
+    if emit_mac:
+        out_shape += [jax.ShapeDtypeStruct((9, Z, Y, X), jnp.float32)]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _epilogue_kernel, tau_f, tau_g, dx, dt, Z, f.dtype, has_ghosts,
+            emit_mac, tuple(mac_consts) if mac_consts else None,
+        ),
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (10 + len(extra)),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(out_shape),
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         input_output_aliases={0: 0, 1: 1},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(f[0], g[0], flags_i32, *macs)
+    )(f[0], g[0], flags_i32, *macs, *extra)
+    if emit_mac:
+        f_new, g_new, mac = out
+        return f_new[None], g_new[None], mac[None]
+    f_new, g_new = out
     return f_new[None], g_new[None]

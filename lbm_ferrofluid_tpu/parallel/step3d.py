@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..ops.pallas.fused_step import lbm_epilogue, lbm_prologue
 from ..ops.pallas.hcz3d import hcz_collide_fused
 from ..ops.pallas.poisson import make_sweep_call
 from ..ops.pallas.stencil3d import grad_fields, laplacian_field
@@ -40,9 +41,14 @@ from .halo import ring_halo
 
 __all__ = [
     "sharded3d_ok",
+    "fused_step_sharded_ok",
     "default_interpret",
     "stream_bounce_moments_sharded",
     "stream_bounce_macro_sharded",
+    "fused_prologue_sharded",
+    "fused_epilogue_sharded",
+    "capmac_sharded",
+    "capmac_sharded_ok",
     "poisson_sweeps_sharded",
     "grad_fields_sharded",
     "laplacian_field_sharded",
@@ -135,6 +141,145 @@ def stream_bounce_macro_sharded(
         check_vma=False,
     )
     return fn(f, flags, rho_old, vel_old)
+
+
+# ----------------------------------------------------------------------
+# Ring-pipelined fused prologue/epilogue (slab-mode ghost wrap)
+# ----------------------------------------------------------------------
+def fused_step_sharded_ok(mesh, shape, kbc_type, interpret) -> bool:
+    """Can the fused prologue/epilogue kernels run this global [B,19,Z,Y,X]
+    shape as z-slabs on ``mesh``?  Local slabs need >=4 planes (the 4-slot
+    input ring must hold a full 3-plane stream window per iteration)."""
+    if kbc_type is not None or len(shape) != 5 or shape[1] != 19:
+        return False
+    if not sharded3d_ok(mesh, shape, interpret):
+        return False
+    _, nz = _mesh_sizes(mesh)
+    return shape[2] // nz >= 4
+
+
+def _fg_ghosts(f, g):
+    """Neighbor boundary planes of the PRE-stream distributions: plane -1
+    from z-prev, plane Z from z-next (full 19 channels — the extra bytes
+    over the 5 z-moving channels keep the kernels' DMA byte-accounting
+    identical to the wrap copies they replace)."""
+    return (
+        ring_halo(f[:, :, -1:], _Z, +1),
+        ring_halo(f[:, :, :1], _Z, -1),
+        ring_halo(g[:, :, -1:], _Z, +1),
+        ring_halo(g[:, :, :1], _Z, -1),
+    )
+
+
+def fused_prologue_sharded(
+    f, g, flags, rho_old, vel_old, mesh, *, c, rho_gas, rho_fluid,
+    density_gas, density_fluid, interpret=False,
+):
+    """shard_map slab version of ops.pallas.fused_step.lbm_prologue."""
+    spec = _spec(mesh)
+
+    def body(f, g, flags, rho, vel):
+        return lbm_prologue(
+            f, g, flags, rho, vel, _fg_ghosts(f, g), c=c, rho_gas=rho_gas,
+            rho_fluid=rho_fluid, density_gas=density_gas,
+            density_fluid=density_fluid, interpret=interpret,
+        )
+
+    fn = shard_map(
+        body, mesh=mesh, in_specs=(spec,) * 5, out_specs=(spec,) * 5,
+        check_vma=False,
+    )
+    return fn(f, g, flags, rho_old, vel_old)
+
+
+def fused_epilogue_sharded(
+    f, g, flags, rho, vel, density, pressure, force, dfai, dprho, mesh, *,
+    tau_f, tau_g, dx=1.0, dt=1.0, interpret=False,
+):
+    """shard_map slab version of ops.pallas.fused_step.lbm_epilogue."""
+    spec = _spec(mesh)
+
+    def body(f, g, flags, rho, vel, density, pressure, force, dfai, dprho):
+        return lbm_epilogue(
+            f, g, flags, rho, vel, density, pressure, force, dfai, dprho,
+            _fg_ghosts(f, g), tau_f=tau_f, tau_g=tau_g, dx=dx, dt=dt,
+            interpret=interpret,
+        )
+
+    fn = shard_map(
+        body, mesh=mesh, in_specs=(spec,) * 10, out_specs=(spec, spec),
+        check_vma=False,
+    )
+    return fn(f, g, flags, rho, vel, density, pressure, force, dfai, dprho)
+
+
+# ----------------------------------------------------------------------
+# Fused capillary gradmac (slab-mode ghosts + edge-only z-clamp)
+# ----------------------------------------------------------------------
+def capmac_sharded_ok(mesh, shape, interpret) -> bool:
+    """Local slabs need >=4 planes (5-slot ring: planes [-1, 2] in flight
+    at the preamble)."""
+    if len(shape) != 5:
+        return False
+    if not sharded3d_ok(mesh, shape, interpret):
+        return False
+    _, nz = _mesh_sizes(mesh)
+    return shape[2] // nz >= 4
+
+
+def capmac_sharded(
+    lap, rho_pre, density_pre, pressure, rho_ca, H2, phi, flags, g_sum,
+    g_mom, vel_old, mesh, *, kappa, gravity, mu0_half, rho_gas, rho_fluid,
+    density_gas, density_fluid, dx=1.0, dt=1.0, interpret=False,
+):
+    """shard_map slab version of ops.pallas.capmac.hcz_capillary_gradmac.
+
+    One neighbor ghost plane per side for the six stencil-window fields;
+    the z-clamp bounds are computed per-device from the mesh position so
+    only the true domain edges reproduce the reference's pad/clamp
+    z-boundary (ops/pallas/capmac.py slab mode).
+    """
+    from ..ops.pallas.capmac import hcz_capillary_gradmac
+
+    spec = _spec(mesh)
+    has_h2 = H2 is not None
+    args = [lap, rho_pre, density_pre, pressure, rho_ca]
+    args += [H2, phi] if has_h2 else []
+    args += [flags, g_sum, g_mom, vel_old]
+
+    def body(*a):
+        if has_h2:
+            (lap, rho_pre, density_pre, pressure, rho_ca, H2, phi, flags,
+             g_sum, g_mom, vel_old) = a
+        else:
+            (lap, rho_pre, density_pre, pressure, rho_ca, flags,
+             g_sum, g_mom, vel_old) = a
+            H2 = phi = None
+        Zl = lap.shape[2]
+        gh_fields = [lap, rho_pre, density_pre, pressure]
+        gh_fields += [phi] if has_h2 else []
+        gh_fields += [flags]
+        lo_t = tuple(ring_halo(x[:, :1, -1:], _Z, +1) for x in gh_fields)
+        hi_t = tuple(ring_halo(x[:, :1, :1], _Z, -1) for x in gh_fields)
+        iz = jax.lax.axis_index(_Z)
+        nz = jax.lax.psum(1, _Z)
+        clamp = jnp.stack([
+            jnp.where(iz == 0, 1, -1),
+            jnp.where(iz == nz - 1, Zl - 2, Zl),
+        ]).astype(jnp.int32)
+        return hcz_capillary_gradmac(
+            lap, rho_pre, density_pre, pressure, rho_ca, H2, phi, flags,
+            g_sum, g_mom, vel_old, (lo_t, hi_t), clamp,
+            kappa=kappa, gravity=gravity, mu0_half=mu0_half,
+            rho_gas=rho_gas, rho_fluid=rho_fluid, density_gas=density_gas,
+            density_fluid=density_fluid, dx=dx, dt=dt, interpret=interpret,
+        )
+
+    fn = shard_map(
+        body, mesh=mesh, in_specs=(spec,) * len(args),
+        out_specs=(spec,) * 5, check_vma=False,
+    )
+    return fn(*args)
 
 
 # ----------------------------------------------------------------------

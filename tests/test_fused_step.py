@@ -110,3 +110,51 @@ def test_epilogue_matches_classic(dtype):
         np.testing.assert_allclose(
             np.asarray(g_new), np.asarray(g_ref), rtol=1e-4, atol=5e-7
         )
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+@pytest.mark.parametrize("Z", [4, 7])
+def test_epilogue_emit_mac_matches_prologue(dtype, Z):
+    """The emit_mac trailing stage == running the classic prologue on the
+    epilogue's written-back f', g' (mac-carry correctness), and it leaves
+    f'/g' themselves bit-identical to the plain epilogue."""
+    import jax.numpy as jnp
+
+    from lbm_ferrofluid_tpu.ops.pallas.fused_step import (
+        lbm_epilogue as _epi,
+        lbm_prologue as _pro,
+    )
+
+    rng = np.random.default_rng(11)
+    Y, X = 8, 128
+    dt_ = jnp.dtype(dtype)
+    f = jnp.asarray(rng.uniform(0.0, 1.0, (1, 19, Z, Y, X)), jnp.float32).astype(dt_)
+    g = jnp.asarray(rng.uniform(0.0, 1.0, (1, 19, Z, Y, X)), jnp.float32).astype(dt_)
+    flags = np.full((1, 1, Z, Y, X), int(CellType.OBSTACLE), np.uint8)
+    flags[..., 1:-1, 1:-1, 1:-1] = int(CellType.FLUID)
+    flags = jnp.asarray(flags)
+    sh1, sh3 = (1, 1, Z, Y, X), (1, 3, Z, Y, X)
+    rho = jnp.asarray(rng.uniform(0.1, 1.0, sh1), jnp.float32)
+    vel = jnp.asarray(rng.uniform(-0.1, 0.1, sh3), jnp.float32)
+    den = jnp.asarray(rng.uniform(0.1, 0.3, sh1), jnp.float32)
+    pres = jnp.asarray(rng.uniform(0.0, 0.1, sh1), jnp.float32)
+    force = jnp.asarray(rng.uniform(-1e-3, 1e-3, sh3), jnp.float32)
+    dfai = jnp.asarray(rng.uniform(-1e-3, 1e-3, sh3), jnp.float32)
+    dprho = jnp.asarray(rng.uniform(-1e-3, 1e-3, sh3), jnp.float32)
+    kw = dict(tau_f=0.68, tau_g=0.68, dx=1.0, dt=1.0, interpret=True)
+    mk = dict(c=C, rho_gas=RHO_GAS, rho_fluid=RHO_FLUID,
+              density_gas=RHO_GAS, density_fluid=RHO_FLUID)
+
+    f1, g1 = _epi(f, g, flags, rho, vel, den, pres, force, dfai, dprho, **kw)
+    f2, g2, mac = _epi(
+        f, g, flags, rho, vel, den, pres, force, dfai, dprho,
+        emit_mac=True, mac_consts=tuple(mk.values()), **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+    r_rho, r_vel, r_den, r_m0g, r_m1g = _pro(
+        f1, g1, flags, rho, vel, interpret=True, **mk
+    )
+    ref = jnp.concatenate([r_rho, r_vel, r_den, r_m0g, r_m1g], axis=1)
+    np.testing.assert_array_equal(np.asarray(mac), np.asarray(ref))

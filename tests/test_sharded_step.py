@@ -87,6 +87,94 @@ def test_poisson_sharded_depth_k_bitexact(fields, rng, k):
     np.testing.assert_array_equal(np.asarray(psi_s), np.asarray(psi_ref))
 
 
+def test_fused_prologue_epilogue_sharded_match(fields, rng):
+    """Slab-mode ghost wrap of the ring-pipelined fused kernels == the
+    single-device periodic kernels (bit-identical plane maths)."""
+    from lbm_ferrofluid_tpu.ops.pallas.fused_step import (
+        lbm_epilogue,
+        lbm_prologue,
+    )
+
+    f, flags = fields
+    Z, Y, X = 8, 8, 16
+    g = jnp.asarray(rng.uniform(0.2, 1.0, (1, 19, Z, Y, X)), jnp.float32)
+    rho_old = jnp.asarray(rng.uniform(0.1, 1.0, (1, 1, Z, Y, X)), jnp.float32)
+    vel_old = jnp.asarray(rng.uniform(-0.1, 0.1, (1, 3, Z, Y, X)), jnp.float32)
+    kw = dict(c=1.0, rho_gas=0.02381, rho_fluid=0.2508,
+              density_gas=0.02381, density_fluid=0.2508)
+    mesh = _mesh_z()
+
+    ref = lbm_prologue(f, g, flags, rho_old, vel_old, interpret=True, **kw)
+    got = step3d.fused_prologue_sharded(
+        f, g, flags, rho_old, vel_old, mesh, interpret=True, **kw
+    )
+    for r, s, name in zip(ref, got, ("rho", "vel", "density", "m0g", "m1g")):
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(r), rtol=1e-6, atol=1e-7, err_msg=name
+        )
+
+    rho, vel, den = ref[0], ref[1], ref[2]
+    pres = jnp.asarray(rng.uniform(0.0, 0.1, (1, 1, Z, Y, X)), jnp.float32)
+    force = jnp.asarray(rng.uniform(-1e-3, 1e-3, (1, 3, Z, Y, X)), jnp.float32)
+    dfai = jnp.asarray(rng.uniform(-1e-3, 1e-3, (1, 3, Z, Y, X)), jnp.float32)
+    dprho = jnp.asarray(rng.uniform(-1e-3, 1e-3, (1, 3, Z, Y, X)), jnp.float32)
+    ekw = dict(tau_f=0.68, tau_g=0.68, dx=1.0, dt=1.0)
+    f_ref, g_ref = lbm_epilogue(
+        f, g, flags, rho, vel, den, pres, force, dfai, dprho,
+        interpret=True, **ekw
+    )
+    f_s, g_s = step3d.fused_epilogue_sharded(
+        f, g, flags, rho, vel, den, pres, force, dfai, dprho, mesh,
+        interpret=True, **ekw
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_s), np.asarray(f_ref), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_s), np.asarray(g_ref), rtol=1e-6, atol=1e-7
+    )
+
+
+def test_capmac_sharded_matches(fields, rng):
+    """Slab-mode capmac (ghost planes + edge-only z-clamp) == the
+    single-device fused gradmac kernel."""
+    from lbm_ferrofluid_tpu.ops.pallas.capmac import hcz_capillary_gradmac
+
+    _, flags = fields
+    Z, Y, X = 8, 8, 16
+    sh1 = (1, 1, Z, Y, X)
+    lap = jnp.asarray(rng.uniform(-0.05, 0.05, sh1), jnp.float32)
+    rho_pre = jnp.asarray(rng.uniform(0.05, 0.25, sh1), jnp.float32)
+    den_pre = jnp.asarray(rng.uniform(0.05, 0.25, sh1), jnp.float32)
+    pres = jnp.asarray(rng.uniform(0.0, 0.05, sh1), jnp.float32)
+    rho_ca = jnp.asarray(rng.uniform(0.05, 0.25, sh1), jnp.float32)
+    h2 = jnp.asarray(rng.uniform(0.0, 10.0, sh1), jnp.float32)
+    phi = jnp.asarray(rng.uniform(-1.0, 1.0, sh1), jnp.float32)
+    gsum = jnp.asarray(rng.uniform(0.0, 0.05, sh1), jnp.float32)
+    gmom = jnp.asarray(rng.uniform(-0.01, 0.01, (1, 3, Z, Y, X)), jnp.float32)
+    vel = jnp.asarray(rng.uniform(-0.05, 0.05, (1, 3, Z, Y, X)), jnp.float32)
+    kw = dict(kappa=0.01, gravity=(0.0, -1e-4, 0.0), mu0_half=0.5,
+              rho_gas=0.02381, rho_fluid=0.2508,
+              density_gas=0.02381, density_fluid=0.2508)
+
+    for H2a, phia in ((h2, phi), (None, None)):
+        ref = hcz_capillary_gradmac(
+            lap, rho_pre, den_pre, pres, rho_ca, H2a, phia, flags,
+            gsum, gmom, vel, interpret=True, **kw,
+        )
+        # 2-device mesh: local slabs of 4 planes (capmac_sharded_ok floor)
+        got = step3d.capmac_sharded(
+            lap, rho_pre, den_pre, pres, rho_ca, H2a, phia, flags,
+            gsum, gmom, vel, _mesh_z(2), interpret=True, **kw,
+        )
+        names = ("vel", "pressure", "force", "dfai", "dprho")
+        for r, s, name in zip(ref, got, names):
+            np.testing.assert_allclose(
+                np.asarray(s), np.asarray(r), rtol=1e-6, atol=1e-7,
+                err_msg=f"{name} h2={H2a is not None}",
+            )
+
+
 def _flagship(res, batch=1, poisson_iters=3):
     params = SimulationParams(
         dim=3, density_gas=0.02381, density_fluid=0.2508,
