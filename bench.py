@@ -46,10 +46,20 @@ def model_bytes_per_cell(n_iters=POISSON_ITERS, b_fg=4, b_h=4, res=(256,) * 3):
     """
     B4 = 4
     total = 0.0
-    # mac-carry (primed premac): NO prologue pass — the previous epilogue's
-    # trailing stage wrote the 9 f32 macro channels; this step reads them
-    # (the reads land inside the consuming XLA fusions / capmac)
-    total += 9 * B4
+    import jax.numpy as jnp
+
+    from lbm_ferrofluid_tpu.ops.pallas.fused_step import emit_mac_fits
+
+    fg_dtype = jnp.bfloat16 if b_fg == 2 else jnp.float32
+    if emit_mac_fits((1, 19, *res), fg_dtype):
+        # mac-carry (primed premac): NO prologue pass — the previous
+        # epilogue's trailing stage wrote the 9 f32 macro channels; this
+        # step only reads them (inside the consuming fusions / capmac)
+        total += 9 * B4
+    else:
+        # VMEM-gated (f32 storage at 256^2 planes): separate ring-pipelined
+        # prologue — r 19f + 19g + flags + rho + 3 vel; w 9 f32 macro
+        total += (38 * b_fg + 4 + 4 * B4) + 9 * B4
     # poisson: the time-skewed wavefront kernel does k sweeps per HBM pass:
     # per pass r 19h * (1 + 2k/Z) + flags(i32) + rhs; w 19h (+ psi, last pass)
     import jax.numpy as jnp
@@ -63,25 +73,28 @@ def model_bytes_per_cell(n_iters=POISSON_ITERS, b_fg=4, b_h=4, res=(256,) * 3):
         passes = n_iters / k
         total += passes * (
             19 * b_h * (2 + 2 * k / Z) + (1 + 2 * k / Z) * (B4 + 4)
-        ) + 3 * B4  # emit="hint": H_int (3ch) written by the final pass;
-        # psi, its substitution pass, and the grad launch never hit HBM
+        ) + 1 * B4  # emit="h2": the 1-channel Kelvin H2 written by the
+        # final pass — psi, the substitution pass, the grad launch AND the
+        # 3-channel H_int all stay in VMEM (H_ext folded as a constant)
     else:
         total += n_iters * ((19 * b_h + B4 + 4) + (19 * b_h + B4))
         total += 4 * B4  # psi r1 + H_int w3 via the separate grad pass
     # rhs build (staggered chi etc.): ~r 4 + w 1 f32 passes
     total += 5 * B4
-    # contact angle + H2 glue: ~r 5 w 3
-    total += 8 * B4
+    # phi + contact-angle glue: ~r 2 w 2 (H2 assembly is gone)
+    total += 4 * B4
     # laplacian: r1 w1
     total += 2 * B4
     # fused capillary gradmac: r 13 f32 channels + flags; w 13 f32 channels
     # (gradients, stencil fields, and recovery intermediates stay in VMEM)
     total += (13 * B4 + 4) + 13 * B4
     # epilogue (re-stream + fused collide of f and g, in place, + the
-    # trailing emit_mac prologue stage): r 19f + 19g + flags + 15 f32
-    # macro channels DMA'd straight from their producers (no concat
-    # staging); w 19f + 19g + 9 f32 next-step macro channels
-    total += (38 * b_fg + 4 + 15 * B4) + 38 * b_fg + 9 * B4
+    # trailing emit_mac prologue stage when it fits): r 19f + 19g + flags
+    # + 15 f32 macro channels DMA'd straight from their producers (no
+    # concat staging); w 19f + 19g (+ 9 f32 next-step macro channels)
+    total += (38 * b_fg + 4 + 15 * B4) + 38 * b_fg
+    if emit_mac_fits((1, 19, *res), fg_dtype):
+        total += 9 * B4
     return total
 
 

@@ -58,7 +58,7 @@ def init_ferrofluid_state(
     vel,
     flags,
     magnetic_flags,
-    H_ext_axis: int = 1,
+    H_ext_axis: int | None = None,
 ) -> FerrofluidState:
     lat = params.lattice
     rho = jnp.array(rho)
@@ -73,6 +73,17 @@ def init_ferrofluid_state(
     h = jnp.zeros(f.shape, dtype=jnp.dtype(params.h_dtype))
     phi = jnp.zeros_like(rho)
     res = rho.shape[2:]
+    if H_ext_axis is None:
+        H_ext_axis = params.h_ext_axis
+    elif H_ext_axis != params.h_ext_axis:
+        # the step folds H_ext statically from params.h_ext_axis
+        # (solve_H_int h2_ext) — a mismatched state would silently apply
+        # the wrong Kelvin field
+        raise ValueError(
+            f"H_ext_axis={H_ext_axis} conflicts with params.h_ext_axis="
+            f"{params.h_ext_axis}; set SimulationParams(h_ext_axis=...) "
+            "instead"
+        )
     H_ext, H_ext_mac = make_H_ext(
         params, res, batch=rho.shape[0], dtype=rho.dtype, axis=H_ext_axis
     )
@@ -191,7 +202,16 @@ def ferrofluid_step_impl(
         - 1.0
     )
 
-    H_int, h = solve_H_int(
+    # H_ext is mag_strength * e_axis by construction (make_H_ext from
+    # params.h_ext_axis), so it folds as a compile-time constant: the
+    # fused wavefront emits the 1-channel H2 directly and the 3-channel
+    # H_int never reaches HBM (every other path computes the identical
+    # H2 against the broadcast constant inside solve_H_int).
+    hext_static = tuple(
+        float(params.mag_strength) if d == params.h_ext_axis else 0.0
+        for d in range(lat.dim)
+    )
+    H2, h = solve_H_int(
         lat,
         state.h,
         phi,
@@ -204,9 +224,8 @@ def ferrofluid_step_impl(
         use_pallas=params.use_pallas,
         mesh=mesh,
         halo_depth=params.poisson_halo_depth,
+        h2_ext=hext_static,
     )
-    H_tot = state.H_ext + H_int
-    H2 = jnp.sum(H_tot * H_tot, axis=1, keepdims=True)
 
     rho, vel, density, pressure, force, dfai, dprho = hcz_capillary(
         lat,
@@ -315,11 +334,16 @@ def prime_premac(params: SimulationParams, state: FerrofluidState):
     import os
 
     lat = params.lattice
-    from ..ops.pallas.fused_step import fused_step_supported, lbm_prologue
+    from ..ops.pallas.fused_step import (
+        emit_mac_fits,
+        fused_step_supported,
+        lbm_prologue,
+    )
 
     fastpath = (
         params.use_pallas and lat.dim == 3
         and fused_step_supported(lat, state.f.shape, params.kbc_type)
+        and emit_mac_fits(state.f.shape, state.f.dtype)
         and jax.default_backend() == "tpu"
         and not os.environ.get("LBM_DISABLE_PALLAS")
     )

@@ -45,6 +45,12 @@ class SimulationParams:
 
     kbc_type: int | None = None  # None/LBGK or a KBCType value
     mag_strength: float = 0.0
+    # axis of the constant external field H_ext = mag_strength * e_axis
+    # (channel order x=0, y=1, z=2; the Rosensweig demos drive along y).
+    # init_ferrofluid_state builds state.H_ext from this, which lets the
+    # step fold H_ext as a compile-time constant (the fused Poisson
+    # kernel emits H2 = |H_ext - grad(psi)|^2 directly, ops/magnetic.py).
+    h_ext_axis: int = 1
     poisson_iters: int = 30
     # Ghost-zone depth for the multi-chip Poisson loop: exchange k planes
     # every k sweeps instead of 1 plane per sweep (30 ring rounds/step ->

@@ -48,7 +48,35 @@ from ...lattice import D3Q19, Lattice
 from ...utils.types import CellType
 from .hcz3d import _feq_rows, _gamma_rows
 
-__all__ = ["lbm_prologue", "lbm_epilogue", "fused_step_supported"]
+__all__ = [
+    "lbm_prologue", "lbm_epilogue", "fused_step_supported", "emit_mac_fits",
+]
+
+
+def emit_mac_fits(shape, fg_dtype) -> bool:
+    """Will the emit_mac epilogue's VMEM footprint fit on a v5e chip?
+
+    The trailing prologue stage costs a third store-ring slot per
+    distribution plus the mac store/stash buffers; at f32 storage on
+    256^2 planes the fixed rings alone reach ~102 MB and Mosaic's scoped
+    temporaries (the 38 re-streamed f32 planes of the emission live
+    simultaneously with the collision's) push past the 120 MB budget —
+    measured OOM.  Empirical threshold: fixed rings <= 88 MB (bf16 256^2
+    ~61 MB passes, f32 256^2 fails -> those configs keep the separate
+    prologue kernel, which is the round-2 status quo).
+    """
+    _, _, Z, Y, X = shape
+    bpp = jnp.dtype(fg_dtype).itemsize * Y * X
+    f32p = 4 * Y * X
+    fixed = (
+        2 * 19 * 4 * bpp          # f/g input rings
+        + 4 * 4 * Y * X           # flags ring (int32)
+        + 15 * 4 * f32p           # mac input ring
+        + 2 * 19 * 3 * bpp        # collided store rings (NS=3)
+        + 2 * 19 * bpp            # seam stashes
+        + (9 * 2 + 5) * f32p      # mac store ring + wrap flags/rho/vel
+    )
+    return fixed <= 88 * 1024 * 1024
 
 _OBS = int(CellType.OBSTACLE)
 _FLUID = int(CellType.FLUID)

@@ -854,16 +854,19 @@ def poisson_wavefront_supported(lat, h_shape, h_dtype, n_iters):
 
 
 def _wavefront_kernel(tau, k, Z, h_dtype, stage_dtype, emit, inv12dx,
-                      FR, *refs):
-    """``emit``: None (h only), "psi" (+psi volume), or "hint" (+H_int =
+                      h_ext, FR, *refs):
+    """``emit``: None (h only), "psi" (+psi volume), "hint" (+H_int =
     -grad(psi_sub), computed by a trailing pipeline stage — the psi volume
-    never touches HBM)."""
+    never touches HBM), or "h2" (the same trailing stage combines the
+    gradient with the static constant external field ``h_ext`` and emits
+    the 1-channel Kelvin magnitude H2 = |h_ext - grad(psi_sub)|^2 —
+    neither psi nor the 3-channel H_int ever touch HBM)."""
     hint_ref = hint_store = psi4 = psirep4 = sem_hint = None
     if emit == "psi":
         (h_ref, flags_ref, rhs_ref, out_ref, psi_ref, seam_ref,
          in_ring, f_ring, r_ring, store_ring, psi_ring,
          *stage_rings, sem_h, sem_f, sem_r, sem_o, sem_p, sem_s) = refs
-    elif emit == "hint":
+    elif emit in ("hint", "h2"):
         (h_ref, flags_ref, rhs_ref, out_ref, hint_ref, seam_ref,
          in_ring, f_ring, r_ring, store_ring, psi4, psirep4, hint_store,
          *stage_rings, sem_h, sem_f, sem_r, sem_o, sem_hint, sem_s) = refs
@@ -1027,7 +1030,7 @@ def _wavefront_kernel(tau, k, Z, h_dtype, stage_dtype, emit, inv12dx,
                         if emit_psi:
                             psi_ring[0, slot] = psi
                             psi_copy(w).start()
-                        if emit == "hint":
+                        if emit in ("hint", "h2"):
                             # keep psi (+ its ring-replicated pad) in VMEM
                             # for the trailing grad stage; 5 slots cover
                             # its lag-2 window
@@ -1037,7 +1040,7 @@ def _wavefront_kernel(tau, k, Z, h_dtype, stage_dtype, emit, inv12dx,
                                 psi, Y, X
                             )
 
-        if emit == "hint":
+        if emit in ("hint", "h2"):
             # trailing stage: H_int plane p = -grad(psi_sub)(p), the
             # OBSTACLE substitution and boundary-ring semantics of
             # solve_H_int's grad_fields(ring_fix) done in register.
@@ -1065,6 +1068,7 @@ def _wavefront_kernel(tau, k, Z, h_dtype, stage_dtype, emit, inv12dx,
                     hint_copy(p - 2).wait()
 
                 slot2 = rem_(p, 2)
+                comps = []
                 for d in range(3):
                     acc = None
                     for (oz, oy, ox), wgt in _GRAD_TAPS[d]:
@@ -1072,23 +1076,36 @@ def _wavefront_kernel(tau, k, Z, h_dtype, stage_dtype, emit, inv12dx,
                             planes3[oz], -oy, -ox, Y, X
                         ) * wgt
                         acc = tp if acc is None else acc + tp
-                    hint_store[d, slot2] = _ring_replicate_plane(
-                        acc * (-inv12dx), Y, X
-                    )
+                    comps.append(acc * (-inv12dx))
+                if emit == "hint":
+                    for d in range(3):
+                        hint_store[d, slot2] = _ring_replicate_plane(
+                            comps[d], Y, X
+                        )
+                else:
+                    # H2 = sum_d (H_ext_d + H_int_d)^2, channel order as
+                    # the jnp composition; the boundary-ring replicate
+                    # commutes with the pointwise square-sum
+                    h2 = None
+                    for d in range(3):
+                        tot = comps[d] + h_ext[d] if h_ext[d] else comps[d]
+                        sq = tot * tot
+                        h2 = sq if h2 is None else h2 + sq
+                    hint_store[0, slot2] = _ring_replicate_plane(h2, Y, X)
                 hint_copy(p).start()
 
         return 0
 
-    # hint mode runs one extra body: the last H_int plane (p = Z-1) is
-    # produced at t = Z+2k = P; every other pl.when gate excludes t >= P
-    jax.lax.fori_loop(0, P + (1 if emit == "hint" else 0), body, 0)
+    # hint/h2 mode runs one extra body: the last output plane (p = Z-1)
+    # is produced at t = Z+2k = P; other pl.when gates exclude t >= P
+    jax.lax.fori_loop(0, P + (1 if emit in ("hint", "h2") else 0), body, 0)
 
     # drain the last two stores
     for d in (2, 1):
         out_copy(k + Z - d).wait()
         if emit_psi:
             psi_copy(k + Z - d).wait()
-        if emit == "hint":
+        if emit in ("hint", "h2"):
             hint_copy(Z - d).wait()
 
 
@@ -1101,7 +1118,7 @@ def poisson_wavefront_hint_ok(h_shape, h_dtype, n_iters) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "tau", "n_iters", "interpret", "stage_dtype", "emit", "dx"
+    "tau", "n_iters", "interpret", "stage_dtype", "emit", "dx", "h_ext"
 ))
 def poisson_wavefront(
     h: jnp.ndarray,
@@ -1114,6 +1131,7 @@ def poisson_wavefront(
     stage_dtype=None,
     emit: str = "psi",
     dx: float = 1.0,
+    h_ext: tuple | None = None,
 ):
     """Time-skewed wavefront variant of :func:`poisson_sweeps` (same
     contract, same per-sweep arithmetic, interior bit-identical when
@@ -1127,11 +1145,19 @@ def poisson_wavefront(
     H_int = -grad(psi_sub) computed by a trailing in-kernel stage — the
     psi volume never touches HBM and the caller skips its
     substitution+grad_fields pass entirely (``dx`` scales the gradient).
+    ``emit="h2"`` (same gate; requires the static 3-tuple ``h_ext``)
+    additionally folds the constant external field in-register and
+    returns (h, H2) with H2 = |h_ext + H_int|^2 as ONE channel — the
+    3-channel H_int never touches HBM either.
     """
     _, _, Z, Y, X = h.shape
     k, stage_dt = _wf_plan_full(h.shape, h.dtype, n_iters, stage_dtype)
-    if emit == "hint" and not (k >= 2 and n_iters % k == 0 and Z >= 4):
-        raise ValueError("emit='hint' requires poisson_wavefront_hint_ok")
+    if emit in ("hint", "h2") and not (
+        k >= 2 and n_iters % k == 0 and Z >= 4
+    ):
+        raise ValueError(f"emit={emit!r} requires poisson_wavefront_hint_ok")
+    if emit == "h2" and (h_ext is None or len(h_ext) != 3):
+        raise ValueError("emit='h2' requires a static 3-tuple h_ext")
     if k < 2:  # no pipeline depth fits (tiny n_iters): plain sweeps
         return poisson_sweeps(
             h, magnetic_flags, rhs_scaled, tau=tau, n_iters=n_iters,
@@ -1143,10 +1169,10 @@ def poisson_wavefront(
     passes, rem = divmod(n_iters, k)
 
     def make_call(emit_mode):
-        # hint: the trailing grad stage reads flags of global plane q as
-        # late as body q+2k+3; the slot's overwriting DMA starts at body
-        # q+k+FR-2, so retention needs FR >= k+6
-        FR = k + 6 if emit_mode == "hint" else k + 2
+        # hint/h2: the trailing grad stage reads flags of global plane q
+        # as late as body q+2k+3; the slot's overwriting DMA starts at
+        # body q+k+FR-2, so retention needs FR >= k+6
+        FR = k + 6 if emit_mode in ("hint", "h2") else k + 2
         scratch = [
             pltpu.VMEM((19, 4, Y, X), h.dtype),     # input ring
             pltpu.VMEM((1, FR, Y, X), jnp.int32),   # flags ring
@@ -1157,13 +1183,16 @@ def poisson_wavefront(
         if emit_mode == "psi":
             scratch.append(pltpu.VMEM((1, 2, Y, X), jnp.float32))
             out_shape.append(jax.ShapeDtypeStruct((1, Z, Y, X), jnp.float32))
-        elif emit_mode == "hint":
+        elif emit_mode in ("hint", "h2"):
+            nc = 3 if emit_mode == "hint" else 1
             scratch += [
                 pltpu.VMEM((1, 5, Y, X), jnp.float32),  # psi ring
                 pltpu.VMEM((1, 5, Y, X), jnp.float32),  # psi pad ring
-                pltpu.VMEM((3, 2, Y, X), jnp.float32),  # H_int store
+                pltpu.VMEM((nc, 2, Y, X), jnp.float32),  # H_int/H2 store
             ]
-            out_shape.append(jax.ShapeDtypeStruct((3, Z, Y, X), jnp.float32))
+            out_shape.append(
+                jax.ShapeDtypeStruct((nc, Z, Y, X), jnp.float32)
+            )
         # HBM stash of the seam planes [0, k): h aliases the output (the
         # pass runs in place, saving a full 19-channel copy per pass), so
         # the wrap re-reads at window planes >= Z+k read this instead
@@ -1175,13 +1204,14 @@ def poisson_wavefront(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ]
-        if emit_mode in ("psi", "hint"):
+        if emit_mode in ("psi", "hint", "h2"):
             scratch.append(pltpu.SemaphoreType.DMA((2,)))
         scratch.append(pltpu.SemaphoreType.DMA(()))
         return pl.pallas_call(
             functools.partial(
                 _wavefront_kernel, tau, k, Z, h.dtype, stage_dt,
-                emit_mode, 1.0 / (12.0 * dx), FR,
+                emit_mode, 1.0 / (12.0 * dx),
+                tuple(float(v) for v in h_ext) if h_ext else None, FR,
             ),
             grid=(1,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,

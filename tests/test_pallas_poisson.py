@@ -176,3 +176,65 @@ def test_wavefront_hint_matches_psi_grad_composition():
     np.testing.assert_allclose(
         np.asarray(hint), np.asarray(want), rtol=2e-5, atol=1e-8
     )
+
+
+def test_wavefront_h2_matches_hint_composition():
+    """emit='h2' must equal |h_ext + H_int|^2 of the emit='hint' output
+    (the in-register fold of the constant external field)."""
+    from lbm_ferrofluid_tpu.ops.pallas.poisson import (
+        poisson_wavefront,
+        poisson_wavefront_hint_ok,
+    )
+
+    Z, Y, X = 16, 8, 16
+    DX = 0.5
+    HEXT = (0.0, 85.0, 0.0)
+    rng = np.random.default_rng(12)
+    h = jnp.asarray(rng.uniform(-0.1, 0.1, (1, 19, Z, Y, X)), jnp.float32)
+    flags = np.full((1, 1, Z, Y, X), int(CellType.OBSTACLE), np.uint8)
+    flags[..., 1:-1, 1:-1, 1:-1] = int(CellType.FLUID)
+    flags = jnp.asarray(flags)
+    rhs = jnp.asarray(rng.uniform(-0.01, 0.01, (1, 1, Z, Y, X)), jnp.float32)
+
+    assert poisson_wavefront_hint_ok(h.shape, h.dtype, 12)
+    h_hint, hint = poisson_wavefront(h, flags, rhs, tau=0.8, n_iters=12,
+                                     interpret=True, emit="hint", dx=DX)
+    hext = jnp.asarray(HEXT, jnp.float32).reshape(1, 3, 1, 1, 1)
+    want = jnp.sum((hint + hext) ** 2, axis=1, keepdims=True)
+
+    h_h2, h2 = poisson_wavefront(h, flags, rhs, tau=0.8, n_iters=12,
+                                 interpret=True, emit="h2", dx=DX,
+                                 h_ext=HEXT)
+    np.testing.assert_array_equal(np.asarray(h_h2), np.asarray(h_hint))
+    assert h2.shape == (1, 1, Z, Y, X)
+    np.testing.assert_allclose(
+        np.asarray(h2), np.asarray(want), rtol=2e-5, atol=1e-6
+    )
+
+
+def test_solve_H_int_h2_ext_consistency():
+    """solve_H_int(h2_ext=...) == |h_ext + solve_H_int()|^2 on the jnp
+    fallback path (the exact composition ferrofluid_step used to open-code
+    against the stored constant H_ext array)."""
+    from lbm_ferrofluid_tpu.ops import solve_H_int
+    from lbm_ferrofluid_tpu.ops.stencils import staggered
+
+    Z, Y, X = 8, 8, 16
+    HEXT = (0.0, 85.0, 0.0)
+    rng = np.random.default_rng(13)
+    h = jnp.asarray(rng.uniform(-0.1, 0.1, (1, 19, Z, Y, X)), jnp.float32)
+    phi = jnp.asarray(rng.uniform(-1, 1, (1, 1, Z, Y, X)), jnp.float32)
+    flags = np.full((1, 1, Z, Y, X), int(CellType.OBSTACLE), np.uint8)
+    flags[..., 1:-1, :, 1:-1] = int(CellType.FLUID)
+    flags = jnp.asarray(flags)
+    H = jnp.zeros((1, 3, Z, Y, X), jnp.float32).at[:, 1].set(85.0)
+    H_mac = list(staggered(H, mode="replicate"))
+
+    H_int, h1 = solve_H_int(D3Q19, h, phi, flags, H_mac, tau=1.0, n_iters=5)
+    want = jnp.sum((H + H_int) ** 2, axis=1, keepdims=True)
+    H2, h2 = solve_H_int(D3Q19, h, phi, flags, H_mac, tau=1.0, n_iters=5,
+                         h2_ext=HEXT)
+    np.testing.assert_array_equal(np.asarray(h2), np.asarray(h1))
+    np.testing.assert_allclose(
+        np.asarray(H2), np.asarray(want), rtol=1e-6, atol=1e-6
+    )
