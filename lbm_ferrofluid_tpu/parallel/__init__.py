@@ -1,3 +1,5 @@
 """Device meshes, sharding specs and halo-exchange utilities."""
 
-__all__ = []
+from .mesh import auto_mesh_shape, initialize_distributed, make_mesh
+
+__all__ = ["auto_mesh_shape", "initialize_distributed", "make_mesh"]

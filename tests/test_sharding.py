@@ -129,3 +129,17 @@ def test_ferrofluid_3d_sharded_matches():
     _close(b.density, a.density, "density")
     # staggered constants were replicated, not sharded
     assert b.H_ext_mac[1].sharding.is_fully_replicated or True
+
+
+def test_initialize_distributed_single_process_noop(monkeypatch):
+    """No coordinator configured -> returns 1 without touching
+    jax.distributed (multi-host entry, SURVEY.md §2.4 multi-node row).
+    A single-host TPU_WORKER_HOSTNAMES (the tunneled dev chip exports one)
+    must NOT trigger initialization."""
+    from lbm_ferrofluid_tpu.parallel.mesh import initialize_distributed
+
+    for v in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+              "JAX_PROCESS_ID", "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(v, raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert initialize_distributed() == 1
