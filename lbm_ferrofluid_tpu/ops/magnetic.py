@@ -186,10 +186,23 @@ def solve_H_int(
                 grad_fields_sharded, poisson_sweeps_sharded,
             )
 
-            h, psi = poisson_sweeps_sharded(
-                h, magnetic_flags, rhs_scaled, mesh, tau=tau,
-                n_iters=n_iters, halo_depth=halo_depth, interpret=interp,
-            )
+            if h2_ext is not None and len(h2_ext) == 3:
+                # try the h2-emitting wavefront final round (per-device
+                # SMEM edge clamps + one spare ghost plane); emitted=False
+                # falls through to the psi + sharded-grad composition
+                h, aux, emitted = poisson_sweeps_sharded(
+                    h, magnetic_flags, rhs_scaled, mesh, tau=tau,
+                    n_iters=n_iters, halo_depth=halo_depth,
+                    emit_h2=h2_ext, dx=dx, interpret=interp,
+                )
+                if emitted:
+                    return aux, h
+                psi = aux
+            else:
+                h, psi = poisson_sweeps_sharded(
+                    h, magnetic_flags, rhs_scaled, mesh, tau=tau,
+                    n_iters=n_iters, halo_depth=halo_depth, interpret=interp,
+                )
         else:
             from .pallas.poisson import (
                 poisson_multisweep2,

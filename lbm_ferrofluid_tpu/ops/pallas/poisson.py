@@ -854,13 +854,23 @@ def poisson_wavefront_supported(lat, h_shape, h_dtype, n_iters):
 
 
 def _wavefront_kernel(tau, k, Z, h_dtype, stage_dtype, emit, inv12dx,
-                      h_ext, FR, *refs):
+                      h_ext, slab, FR, *refs):
     """``emit``: None (h only), "psi" (+psi volume), "hint" (+H_int =
     -grad(psi_sub), computed by a trailing pipeline stage — the psi volume
     never touches HBM), or "h2" (the same trailing stage combines the
     gradient with the static constant external field ``h_ext`` and emits
     the 1-channel Kelvin magnitude H2 = |h_ext - grad(psi_sub)|^2 —
-    neither psi nor the 3-channel H_int ever touch HBM)."""
+    neither psi nor the 3-channel H_int ever touch HBM).
+
+    ``slab``: a leading SMEM (2,) int32 ref carries the trailing stage's
+    z-clamp bounds so the same SPMD program clamps the grad only at true
+    domain edges (multi-chip ghost-zone slabs, parallel/step3d.py); the
+    bounds are always within [1, Z-2] so the stage never indexes outside
+    its rings."""
+    clamp_ref = None
+    if slab:
+        clamp_ref = refs[0]
+        refs = refs[1:]
     hint_ref = hint_store = psi4 = psirep4 = sem_hint = None
     if emit == "psi":
         (h_ref, flags_ref, rhs_ref, out_ref, psi_ref, seam_ref,
@@ -1050,11 +1060,15 @@ def _wavefront_kernel(tau, k, Z, h_dtype, stage_dtype, emit, inv12dx,
             @pl.when((t >= 2 * k + 1) & (t <= Z + 2 * k))
             def _():
                 p = t - 2 * k - 1
-                pc = jnp.clip(p, 1, Z - 2)
+                if slab:
+                    z_lo, z_hi = clamp_ref[0], clamp_ref[1]
+                else:
+                    z_lo, z_hi = 1, Z - 2
+                pc = jnp.clip(p, z_lo, z_hi)
                 qs = [pc - 1, pc, pc + 1]
                 sub = []
                 for q in qs:
-                    cq = jnp.clip(q, 1, Z - 2)
+                    cq = jnp.clip(q, z_lo, z_hi)
                     is_obs_q = f_ring[0, rem_(q + k, FR)] == _OBS
                     sub.append(jnp.where(
                         is_obs_q,
@@ -1132,6 +1146,7 @@ def poisson_wavefront(
     emit: str = "psi",
     dx: float = 1.0,
     h_ext: tuple | None = None,
+    slab_clamp=None,
 ):
     """Time-skewed wavefront variant of :func:`poisson_sweeps` (same
     contract, same per-sweep arithmetic, interior bit-identical when
@@ -1149,6 +1164,10 @@ def poisson_wavefront(
     additionally folds the constant external field in-register and
     returns (h, H2) with H2 = |h_ext + H_int|^2 as ONE channel — the
     3-channel H_int never touches HBM either.
+
+    ``slab_clamp`` (int32 [2], traced) overrides the trailing grad
+    stage's z-clamp bounds for multi-chip ghost-zone slabs
+    (parallel/step3d.py) — both values must lie in [1, Z-2].
     """
     _, _, Z, Y, X = h.shape
     k, stage_dt = _wf_plan_full(h.shape, h.dtype, n_iters, stage_dtype)
@@ -1207,23 +1226,32 @@ def poisson_wavefront(
         if emit_mode in ("psi", "hint", "h2"):
             scratch.append(pltpu.SemaphoreType.DMA((2,)))
         scratch.append(pltpu.SemaphoreType.DMA(()))
-        return pl.pallas_call(
+        slab = slab_clamp is not None and emit_mode in ("hint", "h2")
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
+        if slab:
+            in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        call = pl.pallas_call(
             functools.partial(
                 _wavefront_kernel, tau, k, Z, h.dtype, stage_dt,
                 emit_mode, 1.0 / (12.0 * dx),
-                tuple(float(v) for v in h_ext) if h_ext else None, FR,
+                tuple(float(v) for v in h_ext) if h_ext else None,
+                slab, FR,
             ),
             grid=(1,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+            in_specs=in_specs,
             out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(out_shape),
             out_shape=out_shape,
             scratch_shapes=scratch,
-            input_output_aliases={0: 0},
+            input_output_aliases={1 if slab else 0: 0},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=120 * 1024 * 1024,
             ),
             interpret=interpret,
         )
+        if slab:
+            clamp = jnp.asarray(slab_clamp, jnp.int32)
+            return lambda *a: call(clamp, *a)
+        return call
 
     call_nopsi = make_call(None)
     n_nopsi = passes - (1 if rem == 0 else 0)

@@ -302,11 +302,11 @@ def _refresh_ghosts(g_ext, k, Zl):
 
 def poisson_sweeps_sharded(
     h, magnetic_flags, rhs_scaled, mesh, *, tau, n_iters, halo_depth=5,
-    interpret=False,
+    emit_h2=None, dx=1.0, interpret=False,
 ):
     """Run the Poisson inner loop multi-chip with depth-k halo widening.
 
-    Each slab carries k ghost planes per side; one exchange of k planes
+    Each slab carries G ghost planes per side; one exchange of G planes
     buys k locally-exact sweeps (the valid region of a ghost zone shrinks
     by one plane per sweep, so after k sweeps the real region is still
     exact — the standard deep-halo trade of bandwidth for latency).  The
@@ -314,32 +314,73 @@ def poisson_sweeps_sharded(
     refreshed at the start of every round.  Results are bit-identical to
     the single-device kernel for any k.
 
-    Returns (h_new ``[1,19,Zl,Y,X]`` local view, psi ``[1,1,Zl,Y,X]``).
+    Plain mode (``emit_h2=None``): G = k; returns
+    (h_new ``[1,19,Zl,Y,X]`` local view, psi ``[1,1,Zl,Y,X]``).
+
+    ``emit_h2`` (static component tuple of the constant external field):
+    G = k+1, so after each round the valid region covers real +-1 plane —
+    enough for the wavefront's trailing grad stage to run on the final
+    round (emit="h2" with per-device SMEM z-clamp bounds: only true domain
+    edges clamp).  Returns (h_new, H2, True) with the 1-channel Kelvin
+    magnitude — psi and the 3-channel H_int never touch HBM, and the
+    caller skips its substitution + sharded-grad passes.  Falls back to
+    (h_new, psi, False) when the final round's sweep count can't satisfy
+    the hint gate.
     """
     spec = _spec(mesh)
+
+    from ..lattice import D3Q19
+    from ..ops.pallas.poisson import (
+        _wf_plan,
+        poisson_multisweep2,
+        poisson_multisweep_supported,
+        poisson_wavefront,
+        poisson_wavefront_hint_ok,
+        poisson_wavefront_supported,
+    )
+
+    def wf_ok(shape, n):
+        if not interpret:
+            return poisson_wavefront_supported(D3Q19, shape, h.dtype, n)
+        # interpret mode: the X/Y lane alignment is a Mosaic constraint
+        # only — keep the structural gates so the CPU mesh exercises the
+        # identical kernel/exchange code the pod compiles
+        B, Q, Z, _, _ = shape
+        return (
+            Q == 19 and B == 1 and Z >= 8
+            and _wf_plan(shape, h.dtype, n) >= 2
+        )
+
+    # static feasibility of the h2-emitting final round (shapes are global
+    # here; the local slab shape is global_Z/nz)
+    _, nz = _mesh_sizes(mesh)
+    Zl_g = h.shape[2] // nz
+    k_g = max(1, min(halo_depth, Zl_g, n_iters))
+    rounds_g, rem_g = divmod(n_iters, k_g)
+    n_final = rem_g if rem_g else k_g
+    G_g = k_g + 1
+    ext_shape_h2 = (1, 19, Zl_g + 2 * G_g, h.shape[3], h.shape[4])
+    do_h2 = (
+        emit_h2 is not None and len(emit_h2) == 3
+        and wf_ok(ext_shape_h2, k_g)
+        and poisson_wavefront_hint_ok(ext_shape_h2, h.dtype, n_final)
+    )
 
     def body(h, flags, rhs):
         _, _, Zl, Y, X = h.shape
         k = max(1, min(halo_depth, Zl, n_iters))
+        G = k + 1 if do_h2 else k
         rounds, rem = divmod(n_iters, k)
-        Zext = Zl + 2 * k
+        Zext = Zl + 2 * G
 
-        from ..lattice import D3Q19
-        from ..ops.pallas.poisson import (
-            poisson_multisweep2,
-            poisson_multisweep_supported,
-            poisson_wavefront,
-            poisson_wavefront_supported,
-        )
+        flags_ext = _extend(flags[0].astype(jnp.int32), G)
+        rhs_ext = _extend(rhs[0].astype(jnp.float32), G)
 
-        flags_ext = _extend(flags[0].astype(jnp.int32), k)
-        rhs_ext = _extend(rhs[0].astype(jnp.float32), k)
-
-        hc = jnp.pad(h[0], ((0, 0), (k, k), (0, 0), (0, 0)))
+        hc = jnp.pad(h[0], ((0, 0), (G, G), (0, 0), (0, 0)))
         psi = jnp.zeros((1, Zext, Y, X), jnp.float32)
 
         ext_shape = (1, 19, Zext, Y, X)
-        use_wf = poisson_wavefront_supported(D3Q19, ext_shape, h.dtype, k)
+        use_wf = wf_ok(ext_shape, k)
         use_ms = not use_wf and poisson_multisweep_supported(
             D3Q19, ext_shape, h.dtype, k
         )
@@ -347,14 +388,34 @@ def poisson_sweeps_sharded(
             Zext, Y, X, h.dtype, tau, interpret
         )
 
-        def n_sweeps(carry, n):
-            """Refresh the k ghost planes from ring neighbors, then run n
+        if do_h2:
+            # per-device z-clamp bounds of the trailing grad stage, in
+            # extended coords: only the true domain edges clamp (global
+            # source planes [1, Zg-2]); interior bounds never bind on
+            # real planes and keep ghost outputs' indexing in-range
+            iz = jax.lax.axis_index(_Z)
+            first, last = iz == 0, iz == jax.lax.psum(1, _Z) - 1
+            slab_clamp = jnp.stack([
+                jnp.where(first, G + 1, 1),
+                jnp.where(last, G + Zl - 2, Zext - 2),
+            ]).astype(jnp.int32)
+
+        def n_sweeps(carry, n, emit_final=False):
+            """Refresh the G ghost planes from ring neighbors, then run n
             locally-exact sweeps on the extended slab — via the wavefront /
             temporally-blocked kernels when the extended shape supports
             them (their periodic z-wrap only pollutes ghost planes)."""
             hc, psi = carry
-            hc = _refresh_ghosts(hc, k, Zl)
+            hc = _refresh_ghosts(hc, G, Zl)
             if use_wf:
+                if emit_final:
+                    h_new, h2 = poisson_wavefront(
+                        hc[None], flags_ext[None], rhs_ext[None], tau=tau,
+                        n_iters=n, interpret=interpret, emit="h2", dx=dx,
+                        h_ext=tuple(float(v) for v in emit_h2),
+                        slab_clamp=slab_clamp,
+                    )
+                    return h_new[0], h2[0]
                 h_new, psi = poisson_wavefront(
                     hc[None], flags_ext[None], rhs_ext[None], tau=tau,
                     n_iters=n, interpret=interpret,
@@ -377,22 +438,29 @@ def poisson_sweeps_sharded(
             return jnp.concatenate([mid, up, dn], axis=0), psi
 
         carry = (hc, psi)
-        if rounds:
+        n_scan = rounds - (1 if do_h2 and not rem else 0)
+        if n_scan:
             carry, _ = jax.lax.scan(
-                lambda c, _: (n_sweeps(c, k), None), carry, None, length=rounds
+                lambda c, _: (n_sweeps(c, k), None), carry, None,
+                length=n_scan,
             )
-        if rem:
+        if do_h2:
+            carry = n_sweeps(carry, n_final, emit_final=True)
+        elif rem:
             carry = n_sweeps(carry, rem)
-        hc, psi = carry
+        hc, aux = carry
 
-        real = slice(k, k + Zl)
-        return hc[:, real][None], psi[:, real][None]
+        real = slice(G, G + Zl)
+        return hc[:, real][None], aux[:, real][None]
 
     fn = shard_map(
         body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=(spec, spec),
         check_vma=False,
     )
-    return fn(h, magnetic_flags, rhs_scaled)
+    h_new, aux = fn(h, magnetic_flags, rhs_scaled)
+    if emit_h2 is not None:
+        return h_new, aux, do_h2
+    return h_new, aux
 
 
 # ----------------------------------------------------------------------

@@ -135,6 +135,44 @@ def test_fused_prologue_epilogue_sharded_match(fields, rng):
     )
 
 
+def test_poisson_sharded_h2_emission(rng):
+    """emit_h2 sharded: the wavefront's h2-emitting final round (per-device
+    SMEM edge clamps + one spare ghost plane) == the single-device
+    sweeps -> psi substitution -> grad -> |h_ext + H_int|^2 composition."""
+    from lbm_ferrofluid_tpu.ops.pallas.poisson import poisson_sweeps
+    from lbm_ferrofluid_tpu.ops.pallas.stencil3d import grad_fields
+
+    Z, Y, X = 16, 8, 16
+    HEXT = (0.0, 85.0, 0.0)
+    h = jnp.asarray(rng.uniform(-0.1, 0.1, (1, 19, Z, Y, X)), jnp.float32)
+    flags = np.full((1, 1, Z, Y, X), int(CellType.OBSTACLE), np.uint8)
+    flags[..., 1:-1, :, 1:-1] = int(CellType.FLUID)
+    flags = jnp.asarray(flags)
+    rhs = jnp.asarray(rng.uniform(-0.01, 0.01, (1, 1, Z, Y, X)), jnp.float32)
+
+    h_ref, psi = poisson_sweeps(h, flags, rhs, tau=0.8, n_iters=4,
+                                interpret=True)
+    idx = (Ellipsis,) + (slice(1, -1),) * 3
+    pad = [(0, 0)] * 2 + [(1, 1)] * 3
+    psi_sub = jnp.where(
+        flags == int(CellType.OBSTACLE),
+        jnp.pad(psi[idx], pad, mode="edge"), psi,
+    )
+    H_int = -grad_fields(psi_sub, dx=1.0, interpret=True)
+    hext = jnp.asarray(HEXT, jnp.float32).reshape(1, 3, 1, 1, 1)
+    want = jnp.sum((H_int + hext) ** 2, axis=1, keepdims=True)
+
+    h_s, h2, emitted = step3d.poisson_sweeps_sharded(
+        h, flags, rhs, _mesh_z(2), tau=0.8, n_iters=4, halo_depth=2,
+        emit_h2=HEXT, interpret=True,
+    )
+    assert emitted, "h2-emitting final round did not engage"
+    np.testing.assert_array_equal(np.asarray(h_s), np.asarray(h_ref))
+    np.testing.assert_allclose(
+        np.asarray(h2), np.asarray(want), rtol=2e-5, atol=1e-6
+    )
+
+
 def test_capmac_sharded_matches(fields, rng):
     """Slab-mode capmac (ghost planes + edge-only z-clamp) == the
     single-device fused gradmac kernel."""
