@@ -169,14 +169,24 @@ def ferrofluid_step_impl(
             )
         f = g = None  # post-stream distributions never materialize
     elif fastpath_sharded:
-        from ..parallel.step3d import fused_prologue_sharded
+        if state.premac is not None:
+            # mac-carry, sharded: the previous sharded epilogue emitted
+            # this step's streamed macros (interior planes in-kernel,
+            # boundary planes via the post-kernel ring fix-up)
+            rho = state.premac[:, 0:1]
+            vel = state.premac[:, 1:4]
+            density = state.premac[:, 4:5]
+            m0g = state.premac[:, 5:6]
+            m1g = state.premac[:, 6:9]
+        else:
+            from ..parallel.step3d import fused_prologue_sharded
 
-        rho, vel, density, m0g, m1g = fused_prologue_sharded(
-            state.f, state.g, state.flags, state.rho, state.vel, mesh,
-            c=c, rho_gas=params.rho_gas, rho_fluid=params.rho_fluid,
-            density_gas=params.density_gas,
-            density_fluid=params.density_fluid, interpret=interp,
-        )
+            rho, vel, density, m0g, m1g = fused_prologue_sharded(
+                state.f, state.g, state.flags, state.rho, state.vel, mesh,
+                c=c, rho_gas=params.rho_gas, rho_fluid=params.rho_fluid,
+                density_gas=params.density_gas,
+                density_fluid=params.density_fluid, interpret=interp,
+            )
         f = g = None
     else:
         f, rho, vel, density = stream_bounce_macro(
@@ -275,11 +285,22 @@ def ferrofluid_step_impl(
     elif fastpath_sharded:
         from ..parallel.step3d import fused_epilogue_sharded
 
-        f, g = fused_epilogue_sharded(
-            state.f, state.g, state.flags, rho, vel, density, pressure,
-            force, dfai, dprho, mesh, tau_f=params.tau_f,
-            tau_g=params.tau_g, dx=dx, dt=dt, interpret=interp,
-        )
+        if state.premac is not None:
+            f, g, premac = fused_epilogue_sharded(
+                state.f, state.g, state.flags, rho, vel, density, pressure,
+                force, dfai, dprho, mesh, tau_f=params.tau_f,
+                tau_g=params.tau_g, dx=dx, dt=dt, emit_mac=True,
+                mac_consts=(
+                    c, float(params.rho_gas), float(params.rho_fluid),
+                    float(params.density_gas), float(params.density_fluid),
+                ), interpret=interp,
+            )
+        else:
+            f, g = fused_epilogue_sharded(
+                state.f, state.g, state.flags, rho, vel, density, pressure,
+                force, dfai, dprho, mesh, tau_f=params.tau_f,
+                tau_g=params.tau_g, dx=dx, dt=dt, interpret=interp,
+            )
     else:
         f, g = hcz_collide(
             lat,
@@ -320,15 +341,19 @@ def ferrofluid_step_impl(
     )
 
 
-def prime_premac(params: SimulationParams, state: FerrofluidState):
+def prime_premac(
+    params: SimulationParams, state: FerrofluidState, mesh=None
+):
     """Populate ``state.premac`` so subsequent fast-path steps skip their
     prologue kernel (the mac-carry optimization: each epilogue's trailing
     stage computes the next step's streamed macros in-kernel, so f and g
     are read from HBM once per step instead of twice).
 
     Run once before a scan/chunked run — lax.scan needs a structure-stable
-    carry, so premac must exist before the first scanned step.  No-op off
-    the single-device TPU fast path.
+    carry, so premac must exist before the first scanned step.  With
+    ``mesh`` the sharded fast path is primed instead (slab-mode prologue;
+    subsequent ``ferrofluid_step(..., mesh=mesh)`` calls run mac-carried).
+    No-op when the corresponding fast path cannot engage.
     """
     import dataclasses
     import os
@@ -340,14 +365,41 @@ def prime_premac(params: SimulationParams, state: FerrofluidState):
         lbm_prologue,
     )
 
-    fastpath = (
+    if os.environ.get("LBM_DISABLE_PALLAS") or not (
         params.use_pallas and lat.dim == 3
-        and fused_step_supported(lat, state.f.shape, params.kbc_type)
+    ):
+        return state
+    if state.premac is not None:
+        return state
+
+    if mesh is not None:
+        from ..parallel.step3d import (
+            default_interpret,
+            fused_prologue_sharded,
+            fused_step_sharded_ok,
+        )
+
+        interp = default_interpret()
+        if not (
+            fused_step_sharded_ok(mesh, state.f.shape, params.kbc_type, interp)
+            and emit_mac_fits(state.f.shape, state.f.dtype)
+        ):
+            return state
+        rho, vel, density, m0g, m1g = fused_prologue_sharded(
+            state.f, state.g, state.flags, state.rho, state.vel, mesh,
+            c=params.dx / params.dt, rho_gas=params.rho_gas,
+            rho_fluid=params.rho_fluid, density_gas=params.density_gas,
+            density_fluid=params.density_fluid, interpret=interp,
+        )
+        premac = jnp.concatenate([rho, vel, density, m0g, m1g], axis=1)
+        return dataclasses.replace(state, premac=premac)
+
+    fastpath = (
+        fused_step_supported(lat, state.f.shape, params.kbc_type)
         and emit_mac_fits(state.f.shape, state.f.dtype)
         and jax.default_backend() == "tpu"
-        and not os.environ.get("LBM_DISABLE_PALLAS")
     )
-    if not fastpath or state.premac is not None:
+    if not fastpath:
         return state
     rho, vel, density, m0g, m1g = lbm_prologue(
         state.f, state.g, state.flags, state.rho, state.vel,

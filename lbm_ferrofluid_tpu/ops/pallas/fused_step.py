@@ -274,7 +274,21 @@ def _prologue_kernel(c, rho_gas, rho_fluid, density_gas, density_fluid, Z,
 
 def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype, has_ghosts,
                      emit_mac, mac_consts, *refs):
-    if has_ghosts:
+    if has_ghosts and emit_mac:
+        # slab mode + mac emission: interior mac planes [1, Z-2] only —
+        # the two boundary planes need NEIGHBOR collided planes, which
+        # the shard_map wrapper exchanges and fixes up post-kernel
+        (f_ref, g_ref, flags_ref,
+         rho_ref, vel_ref, den_ref, pres_ref,
+         force_ref, dfai_ref, dprho_ref,
+         flo_ref, fhi_ref, glo_ref, ghi_ref,
+         fout_ref, gout_ref, macout_ref,
+         f_ring, g_ring, fl_ring, mc_ring,
+         f_store, g_store, mac_store,
+         sem_f, sem_g, sem_fl, sem_mc, sem_fo, sem_go, sem_mo) = refs
+        f_seam = g_seam = sem_s = None
+        flpost = mcpost = sem_post = None
+    elif has_ghosts:
         (f_ref, g_ref, flags_ref,
          rho_ref, vel_ref, den_ref, pres_ref,
          force_ref, dfai_ref, dprho_ref,
@@ -543,7 +557,17 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype, has_ghosts,
         for cp in out_copies(Z - d):
             cp.wait()
 
-    if emit_mac:
+    if emit_mac and has_ghosts:
+        # Slab mode: only the interior mac planes [1, Z-2] were emitted
+        # in-body (their stream windows touch local collided planes only);
+        # the two boundary planes need NEIGHBOR collided planes, which the
+        # shard_map wrapper exchanges over ICI and fixes up post-kernel
+        # (parallel/step3d.py:fused_epilogue_sharded).  Drain the last two
+        # in-flight mac emissions (j = Z-4, Z-3; every earlier j was waited
+        # by emission j+2).
+        for j in (Z - 4, Z - 3):
+            mac_copy(j, 0).wait()
+    elif emit_mac:
         # Wrap emissions: mac planes Z-1 (window Z-2, Z-1, 0) and 0
         # (window Z-1, 0, 1).  The collided wrap planes 0 and 1 are
         # re-read from the just-written (aliased) output — their drains
@@ -683,15 +707,21 @@ def lbm_epilogue(
     PRE-stream neighbor planes) switches the periodic z-wrap to slab mode
     for the shard_map multi-chip path (parallel/step3d.py).
 
-    ``emit_mac=True`` (single-device only) appends a trailing in-kernel
-    stage that computes the NEXT step's prologue — stream + bounce-back +
-    moments + macro recovery of the just-collided f'/g' straight from the
-    VMEM store rings — and returns (f', g', mac) with mac a [1,9,Z,Y,X]
-    f32 array laid out [rho, vel(3), density, m0g, m1g(3)], bit-identical
-    to what ``lbm_prologue(f', g', ...)`` would read back from HBM.  The
-    following step can then skip its prologue entirely (the mac-carry fast
-    path, models/ferrofluid.py).  ``mac_consts=(c, rho_gas, rho_fluid,
+    ``emit_mac=True`` appends a trailing in-kernel stage that computes the
+    NEXT step's prologue — stream + bounce-back + moments + macro recovery
+    of the just-collided f'/g' straight from the VMEM store rings — and
+    returns (f', g', mac) with mac a [1,9,Z,Y,X] f32 array laid out
+    [rho, vel(3), density, m0g, m1g(3)], bit-identical to what
+    ``lbm_prologue(f', g', ...)`` would read back from HBM.  The following
+    step can then skip its prologue entirely (the mac-carry fast path,
+    models/ferrofluid.py).  ``mac_consts=(c, rho_gas, rho_fluid,
     density_gas, density_fluid)`` must be given with it.
+
+    Combined with ``ghosts`` (slab mode) the kernel emits only the
+    interior mac planes [1, Z-2]: the two boundary planes' stream windows
+    need NEIGHBOR collided planes, so the shard_map wrapper exchanges
+    those post-kernel and overwrites mac planes 0 and Z-1 with an exact
+    jnp replica of the emission (parallel/step3d.py:fused_epilogue_sharded).
     """
     _, _, Z, Y, X = f.shape
     flags_i32 = flags[0].astype(jnp.int32)
@@ -700,7 +730,9 @@ def lbm_epilogue(
         for x in (rho, vel, density, pressure, force, dfai, dprho)
     ]
     has_ghosts = ghosts is not None
-    assert not (has_ghosts and emit_mac), "emit_mac is single-device only"
+    assert not (has_ghosts and emit_mac) or Z >= 4, (
+        "slab-mode emit_mac needs local slabs of >= 4 planes"
+    )
     extra = [gh[0] for gh in ghosts] if has_ghosts else []
     NS = 3 if emit_mac else 2
 
@@ -718,11 +750,12 @@ def lbm_epilogue(
             pltpu.VMEM((19, 1, Y, X), g.dtype),
         ]
     if emit_mac:
-        scratch += [
-            pltpu.VMEM((9, 2, Y, X), jnp.float32),   # mac store ring
-            pltpu.VMEM((1, 1, Y, X), jnp.int32),     # flags plane 0 (wrap)
-            pltpu.VMEM((4, 1, Y, X), jnp.float32),   # rho+vel plane 0 (wrap)
-        ]
+        scratch += [pltpu.VMEM((9, 2, Y, X), jnp.float32)]  # mac store ring
+        if not has_ghosts:
+            scratch += [
+                pltpu.VMEM((1, 1, Y, X), jnp.int32),    # flags plane 0 (wrap)
+                pltpu.VMEM((4, 1, Y, X), jnp.float32),  # rho+vel plane 0 (wrap)
+            ]
     scratch += [
         pltpu.SemaphoreType.DMA((4,)),
         pltpu.SemaphoreType.DMA((4,)),
@@ -734,10 +767,9 @@ def lbm_epilogue(
     if not has_ghosts:
         scratch += [pltpu.SemaphoreType.DMA((2,))]
     if emit_mac:
-        scratch += [
-            pltpu.SemaphoreType.DMA((2,)),   # mac out ring
-            pltpu.SemaphoreType.DMA((8,)),   # post-loop wrap re-reads
-        ]
+        scratch += [pltpu.SemaphoreType.DMA((2,))]       # mac out ring
+        if not has_ghosts:
+            scratch += [pltpu.SemaphoreType.DMA((8,))]   # post-loop wrap re-reads
 
     out_shape = [
         jax.ShapeDtypeStruct((19, Z, Y, X), f.dtype),

@@ -192,22 +192,124 @@ def fused_prologue_sharded(
     return fn(f, g, flags, rho_old, vel_old)
 
 
+def _mac_plane_jnp(fw, gw, flags_p, rho_old, vel_old, mac_consts):
+    """One mac plane from collided 3-plane windows — an exact jnp replica
+    of the epilogue kernel's ``emit_mac_plane`` (same per-q stream order,
+    the same sequential moment accumulation), used to fix up the two slab
+    boundary planes the in-kernel emission cannot cover.
+
+    ``fw``/``gw``: (plane z-1, plane z, plane z+1) of the collided
+    distributions, each [1, 19, Y, X] in the storage dtype; ``flags_p``
+    [1, 1, Y, X]; ``rho_old`` [1, 1, Y, X]; ``vel_old`` [1, 3, Y, X].
+    Returns the [1, 9, Y, X] f32 mac plane.
+    """
+    from ..lattice import D3Q19
+    from ..utils.types import CellType
+
+    lat = D3Q19
+    c, rho_gas, rho_fluid, density_gas, density_fluid = mac_consts
+    is_obs = flags_p[:, 0].astype(jnp.int32) == int(CellType.OBSTACLE)
+
+    def stream19(win):
+        pm, p0, pp = win
+        streamed = []
+        for q in range(19):
+            src = p0 if q < 9 else (pm if q < 14 else pp)
+            v = src[:, q].astype(jnp.float32)
+            ex, ey = int(lat.e[q][0]), int(lat.e[q][1])
+            if ey:
+                v = jnp.roll(v, ey, axis=-2)
+            if ex:
+                v = jnp.roll(v, ex, axis=-1)
+            streamed.append(v)
+        return [
+            jnp.where(is_obs, streamed[int(lat.opposite[q])], streamed[q])
+            for q in range(19)
+        ]
+
+    def moments(post):
+        m0 = post[0]
+        for q in range(1, 19):
+            m0 = m0 + post[q]
+        m1 = []
+        for d in range(3):
+            md = None
+            for q in range(19):
+                ev = int(lat.e[q][d])
+                if ev == 0:
+                    continue
+                term = post[q] if ev == 1 else -post[q]
+                md = term if md is None else md + term
+            m1.append(md)
+        return m0, m1
+
+    post_f = stream19(fw)
+    post_g = stream19(gw)
+    m0f, m1f = moments(post_f)
+    m0g, m1g = moments(post_g)
+    rho_n = jnp.where(is_obs, rho_old[:, 0].astype(jnp.float32), m0f)
+    density_n = density_gas + (density_fluid - density_gas) * (
+        (rho_n - rho_gas) / (rho_fluid - rho_gas)
+    )
+    inv_rho = c / rho_n
+    vel_n = [
+        jnp.where(is_obs, vel_old[:, d].astype(jnp.float32), m1f[d] * inv_rho)
+        for d in range(3)
+    ]
+    return jnp.stack(
+        [rho_n, *vel_n, density_n, m0g, *m1g], axis=1
+    )
+
+
 def fused_epilogue_sharded(
     f, g, flags, rho, vel, density, pressure, force, dfai, dprho, mesh, *,
-    tau_f, tau_g, dx=1.0, dt=1.0, interpret=False,
+    tau_f, tau_g, dx=1.0, dt=1.0, emit_mac=False, mac_consts=None,
+    interpret=False,
 ):
-    """shard_map slab version of ops.pallas.fused_step.lbm_epilogue."""
+    """shard_map slab version of ops.pallas.fused_step.lbm_epilogue.
+
+    ``emit_mac=True`` returns (f', g', mac) with mac the next step's
+    prologue fields (the mac-carry fast path): the kernel's trailing stage
+    emits the interior planes of each slab, then the two boundary planes —
+    whose stream windows need NEIGHBOR collided planes — are fixed up here
+    from one extra ring exchange of the just-collided f'/g' edge planes.
+    """
     spec = _spec(mesh)
 
     def body(f, g, flags, rho, vel, density, pressure, force, dfai, dprho):
-        return lbm_epilogue(
+        if not emit_mac:
+            return lbm_epilogue(
+                f, g, flags, rho, vel, density, pressure, force, dfai, dprho,
+                _fg_ghosts(f, g), tau_f=tau_f, tau_g=tau_g, dx=dx, dt=dt,
+                interpret=interpret,
+            )
+        f_n, g_n, mac = lbm_epilogue(
             f, g, flags, rho, vel, density, pressure, force, dfai, dprho,
             _fg_ghosts(f, g), tau_f=tau_f, tau_g=tau_g, dx=dx, dt=dt,
-            interpret=interpret,
+            emit_mac=True, mac_consts=mac_consts, interpret=interpret,
         )
+        # collided boundary planes from the ring neighbors (one more
+        # exchange over ICI — 2x19 planes each way)
+        f_lo = ring_halo(f_n[:, :, -1], _Z, +1)   # z-prev's last plane
+        f_hi = ring_halo(f_n[:, :, 0], _Z, -1)    # z-next's first plane
+        g_lo = ring_halo(g_n[:, :, -1], _Z, +1)
+        g_hi = ring_halo(g_n[:, :, 0], _Z, -1)
+        mac0 = _mac_plane_jnp(
+            (f_lo, f_n[:, :, 0], f_n[:, :, 1]),
+            (g_lo, g_n[:, :, 0], g_n[:, :, 1]),
+            flags[:, :, 0], rho[:, :, 0], vel[:, :, 0], mac_consts,
+        )
+        macZ = _mac_plane_jnp(
+            (f_n[:, :, -2], f_n[:, :, -1], f_hi),
+            (g_n[:, :, -2], g_n[:, :, -1], g_hi),
+            flags[:, :, -1], rho[:, :, -1], vel[:, :, -1], mac_consts,
+        )
+        mac = mac.at[:, :, 0].set(mac0).at[:, :, -1].set(macZ)
+        return f_n, g_n, mac
 
+    n_out = 3 if emit_mac else 2
     fn = shard_map(
-        body, mesh=mesh, in_specs=(spec,) * 10, out_specs=(spec, spec),
+        body, mesh=mesh, in_specs=(spec,) * 10, out_specs=(spec,) * n_out,
         check_vma=False,
     )
     return fn(f, g, flags, rho, vel, density, pressure, force, dfai, dprho)

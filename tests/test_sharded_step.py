@@ -135,6 +135,45 @@ def test_fused_prologue_epilogue_sharded_match(fields, rng):
     )
 
 
+def test_fused_epilogue_sharded_emit_mac(fields, rng):
+    """Sharded mac-carry: the slab-mode epilogue's in-kernel interior
+    emissions + the post-kernel ring fix-up of the two boundary planes ==
+    the single-device emit_mac kernel."""
+    from lbm_ferrofluid_tpu.ops.pallas.fused_step import lbm_epilogue
+
+    f, flags = fields
+    Z, Y, X = 8, 8, 16
+    g = jnp.asarray(rng.uniform(0.2, 1.0, (1, 19, Z, Y, X)), jnp.float32)
+    rho = jnp.asarray(rng.uniform(0.1, 1.0, (1, 1, Z, Y, X)), jnp.float32)
+    vel = jnp.asarray(rng.uniform(-0.1, 0.1, (1, 3, Z, Y, X)), jnp.float32)
+    den = jnp.asarray(rng.uniform(0.1, 0.3, (1, 1, Z, Y, X)), jnp.float32)
+    pres = jnp.asarray(rng.uniform(0.0, 0.1, (1, 1, Z, Y, X)), jnp.float32)
+    force = jnp.asarray(rng.uniform(-1e-3, 1e-3, (1, 3, Z, Y, X)), jnp.float32)
+    dfai = jnp.asarray(rng.uniform(-1e-3, 1e-3, (1, 3, Z, Y, X)), jnp.float32)
+    dprho = jnp.asarray(rng.uniform(-1e-3, 1e-3, (1, 3, Z, Y, X)), jnp.float32)
+    kw = dict(tau_f=0.68, tau_g=0.68, dx=1.0, dt=1.0)
+    mk = (1.0, 0.02381, 0.2508, 0.02381, 0.2508)
+
+    f_ref, g_ref, mac_ref = lbm_epilogue(
+        f, g, flags, rho, vel, den, pres, force, dfai, dprho,
+        emit_mac=True, mac_consts=mk, interpret=True, **kw,
+    )
+    # 2-device mesh: local slabs of 4 planes (the slab emit_mac floor)
+    f_s, g_s, mac_s = step3d.fused_epilogue_sharded(
+        f, g, flags, rho, vel, den, pres, force, dfai, dprho, _mesh_z(2),
+        emit_mac=True, mac_consts=mk, interpret=True, **kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_s), np.asarray(f_ref), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_s), np.asarray(g_ref), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(mac_s), np.asarray(mac_ref), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_poisson_sharded_h2_emission(rng):
     """emit_h2 sharded: the wavefront's h2-emitting final round (per-device
     SMEM edge clamps + one spare ghost plane) == the single-device
@@ -259,3 +298,32 @@ def test_ferrofluid_step_sharded_pallas_matches():
                 err_msg=f"{name}[batch={bi}]",
             )
     assert "z" in str(b.f.sharding.spec)
+
+
+def test_ferrofluid_step_sharded_mac_carry_matches():
+    """Full flagship step on the sharded mac-carry path (premac primed,
+    every scanned step skips its prologue) == single-device jnp steps."""
+    from lbm_ferrofluid_tpu.models import prime_premac
+
+    res = (16, 8, 16)
+    params, a = _flagship(res)
+    for _ in range(3):
+        a = ferrofluid_step(params.replace(use_pallas=False), a)
+
+    mesh = make_mesh(("batch", "z"), (2, 4))
+    params_b, b = _flagship(res, batch=2)
+    b = shard_state(b, mesh)
+    b = prime_premac(params_b, b, mesh=mesh)
+    assert b.premac is not None, "sharded mac-carry priming did not engage"
+    for _ in range(3):
+        b = ferrofluid_step(params_b, b, mesh=mesh)
+    assert b.premac is not None
+
+    for name in ("f", "g", "h", "vel", "density", "pressure"):
+        got = np.asarray(getattr(b, name))
+        want = np.asarray(getattr(a, name))
+        for bi in range(2):
+            np.testing.assert_allclose(
+                got[bi : bi + 1], want, rtol=2e-5, atol=1e-6,
+                err_msg=f"{name}[batch={bi}]",
+            )

@@ -97,6 +97,8 @@ def main():
     # while fitting the profile's accumulated intermediates in 16 GB HBM
     res = (128, 256, 256)
     state = build_state(params, res)
+    from lbm_ferrofluid_tpu.models import prime_premac
+    state = prime_premac(params, state)  # profile the mac-carry fast path
     lat = params.lattice
     print(f"mode={mode} res={res}", flush=True)
 
