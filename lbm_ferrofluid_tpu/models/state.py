@@ -73,12 +73,14 @@ class FerrofluidState:
     H_ext_mac: tuple  # staggered components (x, y[, z])
     step: jax.Array
     # mac-carry fast path (models/ferrofluid.py:prime_premac): the previous
-    # epilogue's in-kernel prologue output [B, 9, *res] f32
-    # [rho, vel(3), density, m0g, m1g(3)].  When present, the step skips
-    # its prologue kernel (no HBM re-read of f and g).  None by default so
-    # existing pytree structures (checkpoints, scans without priming) are
-    # unchanged.
-    premac: jax.Array | None = None
+    # epilogue's in-kernel prologue output as a 5-tuple of SEPARATE f32
+    # arrays (rho [B,1,*res], vel [B,3], density [B,1], m0g [B,1],
+    # m1g [B,3]) — separate so consumers never slice a packed array (XLA
+    # materializes such slices around Pallas custom calls).  When present,
+    # the step skips its prologue kernel (no HBM re-read of f and g).
+    # None by default so existing pytree structures (checkpoints, scans
+    # without priming) are unchanged.
+    premac: tuple | None = None
 
 
 def field_shapes(params: SimulationParams, res: tuple[int, ...], batch: int = 1):

@@ -282,7 +282,8 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype, has_ghosts,
          rho_ref, vel_ref, den_ref, pres_ref,
          force_ref, dfai_ref, dprho_ref,
          flo_ref, fhi_ref, glo_ref, ghi_ref,
-         fout_ref, gout_ref, macout_ref,
+         fout_ref, gout_ref,
+         mo_rho, mo_vel, mo_den, mo_m0g, mo_m1g,
          f_ring, g_ring, fl_ring, mc_ring,
          f_store, g_store, mac_store,
          sem_f, sem_g, sem_fl, sem_mc, sem_fo, sem_go, sem_mo) = refs
@@ -302,7 +303,8 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype, has_ghosts,
         (f_ref, g_ref, flags_ref,
          rho_ref, vel_ref, den_ref, pres_ref,
          force_ref, dfai_ref, dprho_ref,
-         fout_ref, gout_ref, macout_ref,
+         fout_ref, gout_ref,
+         mo_rho, mo_vel, mo_den, mo_m0g, mo_m1g,
          f_ring, g_ring, fl_ring, mc_ring,
          f_store, g_store, f_seam, g_seam, mac_store, flpost, mcpost,
          sem_f, sem_g, sem_fl, sem_mc, sem_fo, sem_go, sem_s,
@@ -393,12 +395,25 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype, has_ghosts,
         )
 
     def mac_copy(j, p):
-        """Emission j (sequence index -> store slot) of mac plane p."""
+        """Emission j (sequence index -> store slot) of mac plane p, as
+        5 per-field DMAs into the SEPARATE output refs (carrying premac
+        as 5 arrays keeps XLA from materializing 12 channel-volumes of
+        slice fusions in the consuming step — measured ~1.1 ms/step at
+        128x256^2).  All 5 share sem_mo[slot]: waiting each copy object
+        in turn consumes exactly the signaled bytes."""
         slot = _rem(j, 2)
-        return pltpu.make_async_copy(
-            mac_store.at[:, pl.ds(slot, 1)], macout_ref.at[:, pl.ds(p, 1)],
-            sem_mo.at[slot],
+        parts = (
+            (mo_rho, 0, 1), (mo_vel, 1, 3), (mo_den, 4, 1),
+            (mo_m0g, 5, 1), (mo_m1g, 6, 3),
         )
+        return [
+            pltpu.make_async_copy(
+                mac_store.at[pl.ds(off, nc), pl.ds(slot, 1)],
+                ref.at[:, pl.ds(p, 1)],
+                sem_mo.at[slot],
+            )
+            for ref, off, nc in parts
+        ]
 
     def emit_mac_plane(j, p, s0, sm, sp, flags_row, rho_old, vel_old):
         """Next step's prologue for plane p, from the collided planes
@@ -419,7 +434,8 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype, has_ghosts,
 
         @pl.when(j - 2 >= 0)
         def _():
-            mac_copy(j - 2, 0).wait()  # plane index irrelevant to the wait
+            for cp in mac_copy(j - 2, 0):  # plane index irrelevant to the wait
+                cp.wait()
 
         slot = _rem(j, 2)
         mac_store[0, slot] = rho_n
@@ -431,7 +447,8 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype, has_ghosts,
         mac_store[5, slot] = m0g
         for d in range(3):
             mac_store[6 + d, slot] = m1g[d]
-        mac_copy(j, p).start()
+        for cp in mac_copy(j, p):
+            cp.start()
 
     def body(t, _):
         # every plane in [1, Z] is waited exactly once (plane Z is the
@@ -566,7 +583,8 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype, has_ghosts,
         # in-flight mac emissions (j = Z-4, Z-3; every earlier j was waited
         # by emission j+2).
         for j in (Z - 4, Z - 3):
-            mac_copy(j, 0).wait()
+            for cp in mac_copy(j, 0):
+                cp.wait()
     elif emit_mac:
         # Wrap emissions: mac planes Z-1 (window Z-2, Z-1, 0) and 0
         # (window Z-1, 0, 1).  The collided wrap planes 0 and 1 are
@@ -629,7 +647,8 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype, has_ghosts,
             [mcpost[1 + d, 0] for d in range(3)],
         )
         for j in (Z - 2, Z - 1):
-            mac_copy(j, 0).wait()
+            for cp in mac_copy(j, 0):
+                cp.wait()
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -710,8 +729,8 @@ def lbm_epilogue(
     ``emit_mac=True`` appends a trailing in-kernel stage that computes the
     NEXT step's prologue — stream + bounce-back + moments + macro recovery
     of the just-collided f'/g' straight from the VMEM store rings — and
-    returns (f', g', mac) with mac a [1,9,Z,Y,X] f32 array laid out
-    [rho, vel(3), density, m0g, m1g(3)], bit-identical to what
+    returns (f', g', mac) with mac the 5-tuple (rho, vel, density, m0g,
+    m1g) of f32 arrays ([1,1|3,Z,Y,X]), bit-identical to what
     ``lbm_prologue(f', g', ...)`` would read back from HBM.  The following
     step can then skip its prologue entirely (the mac-carry fast path,
     models/ferrofluid.py).  ``mac_consts=(c, rho_gas, rho_fluid,
@@ -776,7 +795,16 @@ def lbm_epilogue(
         jax.ShapeDtypeStruct((19, Z, Y, X), g.dtype),
     ]
     if emit_mac:
-        out_shape += [jax.ShapeDtypeStruct((9, Z, Y, X), jnp.float32)]
+        # 5 SEPARATE mac outputs (rho, vel, density, m0g, m1g): carrying
+        # premac as one 9-channel array made every consumer slice it, and
+        # XLA materializes those slices around the Pallas custom calls
+        out_shape += [
+            jax.ShapeDtypeStruct((1, Z, Y, X), jnp.float32),
+            jax.ShapeDtypeStruct((3, Z, Y, X), jnp.float32),
+            jax.ShapeDtypeStruct((1, Z, Y, X), jnp.float32),
+            jax.ShapeDtypeStruct((1, Z, Y, X), jnp.float32),
+            jax.ShapeDtypeStruct((3, Z, Y, X), jnp.float32),
+        ]
 
     out = pl.pallas_call(
         functools.partial(
@@ -795,7 +823,7 @@ def lbm_epilogue(
         interpret=interpret,
     )(f[0], g[0], flags_i32, *macs, *extra)
     if emit_mac:
-        f_new, g_new, mac = out
-        return f_new[None], g_new[None], mac[None]
+        f_new, g_new = out[0], out[1]
+        return f_new[None], g_new[None], tuple(m[None] for m in out[2:])
     f_new, g_new = out
     return f_new[None], g_new[None]

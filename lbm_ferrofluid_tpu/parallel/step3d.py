@@ -201,7 +201,8 @@ def _mac_plane_jnp(fw, gw, flags_p, rho_old, vel_old, mac_consts):
     ``fw``/``gw``: (plane z-1, plane z, plane z+1) of the collided
     distributions, each [1, 19, Y, X] in the storage dtype; ``flags_p``
     [1, 1, Y, X]; ``rho_old`` [1, 1, Y, X]; ``vel_old`` [1, 3, Y, X].
-    Returns the [1, 9, Y, X] f32 mac plane.
+    Returns the f32 mac plane as the 5-tuple (rho, vel, density, m0g,
+    m1g), matching the kernel's separate-array emission.
     """
     from ..lattice import D3Q19
     from ..utils.types import CellType
@@ -256,8 +257,12 @@ def _mac_plane_jnp(fw, gw, flags_p, rho_old, vel_old, mac_consts):
         jnp.where(is_obs, vel_old[:, d].astype(jnp.float32), m1f[d] * inv_rho)
         for d in range(3)
     ]
-    return jnp.stack(
-        [rho_n, *vel_n, density_n, m0g, *m1g], axis=1
+    return (
+        rho_n[:, None],
+        jnp.stack(vel_n, axis=1),
+        density_n[:, None],
+        m0g[:, None],
+        jnp.stack(m1g, axis=1),
     )
 
 
@@ -304,12 +309,15 @@ def fused_epilogue_sharded(
             (g_n[:, :, -2], g_n[:, :, -1], g_hi),
             flags[:, :, -1], rho[:, :, -1], vel[:, :, -1], mac_consts,
         )
-        mac = mac.at[:, :, 0].set(mac0).at[:, :, -1].set(macZ)
+        mac = tuple(
+            m.at[:, :, 0].set(m0).at[:, :, -1].set(mZ)
+            for m, m0, mZ in zip(mac, mac0, macZ)
+        )
         return f_n, g_n, mac
 
-    n_out = 3 if emit_mac else 2
+    out_specs = (spec, spec, (spec,) * 5) if emit_mac else (spec, spec)
     fn = shard_map(
-        body, mesh=mesh, in_specs=(spec,) * 10, out_specs=(spec,) * n_out,
+        body, mesh=mesh, in_specs=(spec,) * 10, out_specs=out_specs,
         check_vma=False,
     )
     return fn(f, g, flags, rho, vel, density, pressure, force, dfai, dprho)

@@ -153,8 +153,11 @@ def test_epilogue_emit_mac_matches_prologue(dtype, Z):
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
 
-    r_rho, r_vel, r_den, r_m0g, r_m1g = _pro(
-        f1, g1, flags, rho, vel, interpret=True, **mk
-    )
-    ref = jnp.concatenate([r_rho, r_vel, r_den, r_m0g, r_m1g], axis=1)
-    np.testing.assert_array_equal(np.asarray(mac), np.asarray(ref))
+    refs = _pro(f1, g1, flags, rho, vel, interpret=True, **mk)
+    assert isinstance(mac, tuple) and len(mac) == 5
+    for name, got, want in zip(
+        ("rho", "vel", "density", "m0g", "m1g"), mac, refs
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want), err_msg=name
+        )

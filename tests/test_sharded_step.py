@@ -169,9 +169,14 @@ def test_fused_epilogue_sharded_emit_mac(fields, rng):
     np.testing.assert_allclose(
         np.asarray(g_s), np.asarray(g_ref), rtol=1e-6, atol=1e-7
     )
-    np.testing.assert_allclose(
-        np.asarray(mac_s), np.asarray(mac_ref), rtol=1e-5, atol=1e-6
-    )
+    assert isinstance(mac_s, tuple) and len(mac_s) == 5
+    for name, got, want in zip(
+        ("rho", "vel", "density", "m0g", "m1g"), mac_s, mac_ref
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6,
+            err_msg=name,
+        )
 
 
 def test_poisson_sharded_h2_emission(rng):
