@@ -323,6 +323,7 @@ def contact_angle_boundary(
     flags: jnp.ndarray,
     contact_angle: float,
     dim: int,
+    spmd: bool = True,
 ) -> jnp.ndarray:
     """Rewrite the boundary ring of rho to impose the wetting contact angle.
 
@@ -334,12 +335,14 @@ def contact_angle_boundary(
     The ``optimization_barrier`` calls between update groups are required for
     SPMD correctness: XLA's GSPMD partitioner miscompiles two directly-chained
     scatters whose integer indices land on *different sharded axes* (updates
-    get applied at shard-local instead of global offsets).  The barrier blocks
-    that fusion; it costs nothing on a single device.
+    get applied at shard-local instead of global offsets).  ``spmd=False``
+    (single-device callers) drops them: on one chip they are semantically
+    free but they block XLA's in-place dynamic-update-slice chaining, which
+    costs ~0.35 ms/step of whole-volume copies at 128x256^2.
     """
     t = math.tan(math.pi / 2.0 - contact_angle)
     OBS = int(CellType.OBSTACLE)
-    barrier = jax.lax.optimization_barrier
+    barrier = jax.lax.optimization_barrier if spmd else (lambda x: x)
 
     if dim == 2:
         # faces
@@ -553,7 +556,12 @@ def hcz_capillary(
     prho = _rep_pad_interior(pressure - RT * density)
     fai = _rep_pad_interior(eos_pressure(rho, dx=dx, dt=dt) - rho * RT)
 
-    rho = contact_angle_boundary(rho, flags, contact_angle, dim)
+    # the GSPMD-auto path shards arrays without a mesh argument, so only a
+    # provably single-device process may drop the scatter barriers
+    rho = contact_angle_boundary(
+        rho, flags, contact_angle, dim,
+        spmd=mesh is not None or len(jax.devices()) > 1,
+    )
     density = rho_to_density(
         rho,
         rho_gas=rho_gas,
@@ -633,9 +641,11 @@ def hcz_capillary(
                 return rho, vel, density, pressure, force, dfai, dprho
         elif (grav is not None and len(grav) == 3
               and capmac_supported(density.shape)):
-            lap_density = laplacian_field(density, dx=dx)
+            # lap=None: the Laplacian of density(rho_ca) is computed
+            # inside the gradmac kernel — no separate pass, no volume
+            # round-trip
             vel, pressure, force, dfai, dprho = hcz_capillary_gradmac(
-                lap_density, rho_pre, density_pre, pressure, rho,
+                None, rho_pre, density_pre, pressure, rho,
                 H2, phi, flags, g_sum, g_mom, vel, gravity=grav, **kw,
             )
             return rho, vel, density, pressure, force, dfai, dprho

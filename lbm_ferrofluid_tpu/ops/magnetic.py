@@ -30,6 +30,34 @@ from .stream import bounce_back, stream
 __all__ = ["magnetic_sweep", "solve_H_int"]
 
 
+def _stag_diff_times(x, axis, hm):
+    """``d[j] = stag[j+1]*hm - stag[j]*hm`` of the replicate-staggered ``x``
+    along ``axis`` — bit-identical to differencing ``_stagger(x)*hm`` but
+    without materializing the (N+1)-padded staggered volume (whose odd
+    minor-2 extent defeats XLA loop fusion; the padded form cost
+    ~0.5 ms/step at 128x256^2).  The replicate padding makes both edge
+    cells' differences exactly +0.0, which the mask reproduces.
+    """
+    N = x.shape[axis]
+    sl = [slice(None)] * x.ndim
+
+    def shift(lo, hi, edge):
+        s = list(sl)
+        s[axis] = slice(lo, hi)
+        e = list(sl)
+        e[axis] = edge
+        return jnp.concatenate(
+            [x[tuple(s)], x[tuple(e)]][:: 1 if edge == slice(-1, None) else -1],
+            axis=axis,
+        )
+
+    x_p = shift(1, None, slice(-1, None))   # x[j+1], clamped at the top
+    x_m = shift(None, -1, slice(None, 1))   # x[j-1], clamped at the bottom
+    d = (0.5 * (x + x_p)) * hm - (0.5 * (x_m + x)) * hm
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim + axis if axis < 0 else axis)
+    return jnp.where((idx == 0) | (idx == N - 1), jnp.zeros((), x.dtype), d)
+
+
 def _maybe_h2(H_int, h2_ext):
     """H2 = |h2_ext + H_int|^2 when the static field is given, else H_int.
 
@@ -147,12 +175,30 @@ def solve_H_int(
         # loop-invariant source term (callers that already hold the scaled
         # rhs — e.g. the sharded slab path — may pass it in directly)
         chi = CHI_K * (1.0 - smooth_phi(phi, 0.1 * dx))
-        chx = staggered_x(chi) * H_ext_mac[0]
-        chy = staggered_y(chi) * H_ext_mac[1]
-        rhs = (chx[..., 1:] - chx[..., :-1]) + (chy[..., 1:, :] - chy[..., :-1, :])
-        if dim == 3:
-            chz = staggered_z(chi) * H_ext_mac[2]
-            rhs = rhs + (chz[..., 1:, :, :] - chz[..., :-1, :, :])
+        if h2_ext is not None:
+            # H_ext is mag_strength * e_axis and staggered replicate-
+            # padding of a constant field is that same constant, so the
+            # H_ext_mac arrays equal these scalars everywhere: scalar
+            # multiply is bit-identical, the zero components fold away,
+            # and the un-padded staggered-difference form lets XLA fuse
+            # the whole rhs build into one pass (~0.7 ms/step saved at
+            # 128x256^2 in the device trace)
+            hms = [float(v) for v in h2_ext] + [0.0] * (3 - len(h2_ext))
+            rhs = None
+            for axis, hm in zip((-1, -2, -3)[:dim], hms):
+                if hm == 0.0:
+                    continue
+                term = _stag_diff_times(chi, axis, hm)
+                rhs = term if rhs is None else rhs + term
+            if rhs is None:
+                rhs = jnp.zeros_like(chi)
+        else:
+            chx = staggered_x(chi) * H_ext_mac[0]
+            chy = staggered_y(chi) * H_ext_mac[1]
+            rhs = (chx[..., 1:] - chx[..., :-1]) + (chy[..., 1:, :] - chy[..., :-1, :])
+            if dim == 3:
+                chz = staggered_z(chi) * H_ext_mac[2]
+                rhs = rhs + (chz[..., 1:, :, :] - chz[..., :-1, :, :])
         rhs = rhs * dx / (1.0 + chi)
         rhs = jnp.where(
             magnetic_flags == int(CellType.FLUID), rhs, jnp.zeros_like(rhs)

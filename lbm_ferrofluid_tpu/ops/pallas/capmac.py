@@ -45,6 +45,7 @@ from ...utils.types import CellType
 from ..moments import eos_pressure
 from .stencil3d import (
     _GRAD_TAPS,
+    _LAP_TAPS,
     _ring_replicate_plane,
     _shift_replicate,
 )
@@ -65,8 +66,8 @@ def capmac_supported(shape) -> bool:
 
 def _kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
             density_gas, density_fluid, dx, dt, Z, has_h2, slab,
-            *refs):
-    n_in = 11 if has_h2 else 9
+            compute_lap, *refs):
+    n_in = (11 if has_h2 else 9) - (1 if compute_lap else 0)
     n_drv = 5 if has_h2 else 3
     n_gh = 6 if has_h2 else 5
     if slab:
@@ -84,7 +85,8 @@ def _kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
     stores = scratch[n_in:n_in + 5]
     drv = scratch[n_in + 5:n_in + 5 + n_drv]
     sems_in = scratch[n_in + 5 + n_drv:2 * n_in + 5 + n_drv]
-    sems_out = scratch[2 * n_in + 5 + n_drv:]
+    sems_out = scratch[2 * n_in + 5 + n_drv:2 * n_in + 10 + n_drv]
+    lap_ring = scratch[-1] if compute_lap else None
     Y, X = ins[0].shape[2], ins[0].shape[3]
     c = dx / dt
     cs2 = c * c / 3.0
@@ -135,13 +137,19 @@ def _kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
         ]
 
     ring_idx = {name: i for i, name in enumerate(
-        ["lap", "rho", "den", "pres", "rhoca"]
+        ([] if compute_lap else ["lap"])
+        + ["rho", "den", "pres", "rhoca"]
         + (["h2", "phi"] if has_h2 else [])
         + ["flags", "gsum", "gmom", "vel"]
     )}
 
     def plane(name, q, ch=0):
         return rings[ring_idx[name]][ch, slot_(q)]
+
+    def lap_plane(q):
+        # compute_lap: the 19-point Laplacian of density(rho_ca) is built
+        # in-kernel (fill_lap below) instead of arriving as an input
+        return lap_ring[0, slot_(q)] if compute_lap else plane("lap", q)
 
     # derived per-plane fields (all f32 in register) -------------------
     def density_of(rho):
@@ -165,11 +173,42 @@ def _kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
         slot = slot_(q)
         drv[0][0, slot] = _ring_replicate_plane(raw_fai(q), Y, X)
         drv[1][0, slot] = _ring_replicate_plane(raw_prho(q), Y, X)
-        drv[2][0, slot] = _ring_replicate_plane(plane("lap", q), Y, X)
+        if not compute_lap:
+            drv[2][0, slot] = _ring_replicate_plane(plane("lap", q), Y, X)
         if has_h2:
             cr = chi_of(q)
             drv[3][0, slot] = cr
             drv[4][0, slot] = _ring_replicate_plane(cr, Y, X)
+
+    inv6dx2 = 1.0 / (6.0 * dx * dx)
+
+    def fill_lap(q):
+        """Laplacian plane q in [1, Z-2] from the rho_ca ring (windows
+        q-1..q+1 landed), matching stencil3d._lap_kernel bit-for-bit:
+        density(rho_ca) in register, 19 taps, zero x/y ring.  Runs at
+        body t = q, one body AFTER plane q+1 lands — hence the lag-2
+        output cadence of the compute_lap pipeline."""
+        win = {oz: density_of(plane("rhoca", q + oz)) for oz in (-1, 0, 1)}
+        acc = None
+        for (oz, oy, ox), wgt in _LAP_TAPS:
+            tp = _shift_replicate(win[oz], -oy, -ox, Y, X) * wgt
+            acc = tp if acc is None else acc + tp
+        res = acc * inv6dx2
+        col = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0)
+        edge = (col == 0) | (col == X - 1) | (row == 0) | (row == Y - 1)
+        res = jnp.where(edge, jnp.zeros((), res.dtype), res)
+        slot = slot_(q)
+        lap_ring[0, slot] = res
+        drv[2][0, slot] = _ring_replicate_plane(res, Y, X)
+
+    def fill_lap_zero(q):
+        # the z-edge Laplacian planes are identically zero (the separate
+        # kernel's zero boundary ring); drv[2] at these planes is never
+        # read — the grad window clamps to [1, Z-2]
+        lap_ring[0, slot_(q)] = jnp.zeros((Y, X), jnp.float32)
+
+    lag = 2 if compute_lap else 1
 
     def body(t, _):
         @pl.when(t + 1 <= Z - 1)
@@ -187,7 +226,19 @@ def _kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
                     cp.wait()
                 compute_derived(Z)
 
-        p = t - 1  # output plane (lag 1: the ring-fix clamp needs +2 planes)
+        if compute_lap:
+            # lap at plane t needs rho_ca t-1..t+1 (t+1 just landed); the
+            # top z-edge plane is the zero plane
+            @pl.when(t <= Z - 2)
+            def _():
+                fill_lap(t)
+
+            @pl.when(t == Z - 1)
+            def _():
+                fill_lap_zero(Z - 1)
+
+        p = t - lag  # output plane (the ring-fix clamp needs +2 planes;
+        #              compute_lap adds one more body of lap latency)
         if slab:
             z_lo, z_hi = clamp_ref[0], clamp_ref[1]
         else:
@@ -212,7 +263,7 @@ def _kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
         sub["fai"] = [d(0, clampq(q)) for q in qs]
         sub["prho"] = [d(1, clampq(q)) for q in qs]
         sub["lap"] = [
-            jnp.where(o, d(2, clampq(q)), plane("lap", q))
+            jnp.where(o, d(2, clampq(q)), lap_plane(q))
             for o, q in zip(obs_q, qs)
         ]
         if has_h2:
@@ -301,19 +352,25 @@ def _kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
     if slab:
         for cp in ghost_copies("lo"):
             cp.start()
-    for q in (0, 1, 2):
-        for cp in in_copies(q):
-            cp.start()
+    for q in (0, 1, 2, 3)[:3 + (lag - 1)]:
+        if q <= Z - 1:
+            for cp in in_copies(q):
+                cp.start()
     if slab:
         for cp in ghost_copies("lo"):
             cp.wait()
         compute_derived(-1)
-    for q in (0, 1):
+    for q in (0, 1, 2)[:1 + lag]:
         for cp in in_copies(q):
             cp.wait()
         compute_derived(q)
+    if compute_lap:
+        # the low z-edge zero plane + lap at 1 (rho_ca 0..2 just landed);
+        # the first body (t = 2) then fills lap at 2 after plane 3 lands
+        fill_lap_zero(0)
+        fill_lap(1)
 
-    jax.lax.fori_loop(1, Z + 1, body, 0)
+    jax.lax.fori_loop(lag, Z + lag, body, 0)
     for d in (2, 1):
         for cp in out_copies(Z - d):
             cp.wait()
@@ -333,7 +390,13 @@ def hcz_capillary_gradmac(
 
     Args (all [1, C, Z, Y, X] f32 unless noted):
         lap: 19-point Laplacian of the post-contact-angle density
-            (stencil3d.laplacian_field output, zero boundary ring).
+            (stencil3d.laplacian_field output, zero boundary ring), or
+            ``None`` (single-device path) to compute it IN-KERNEL from
+            ``rho_ca``'s ring windows — the separate laplacian pass and
+            its volume round-trip disappear (same density map, taps and
+            zero ring; agreement is modulo XLA FMA contraction, one
+            extra body of output lag).  Slab mode requires an explicit
+            ``lap``.
         rho_pre / density_pre / pressure: PRE-contact-angle rho, density
             and old pressure (fai / prho primitives).
         rho_ca: post-contact-angle rho (assembly density).
@@ -349,21 +412,25 @@ def hcz_capillary_gradmac(
     fields, matching hcz_capillary's composition modulo XLA
     FMA-contraction differences.
     """
-    _, _, Z, Y, X = lap.shape
+    _, _, Z, Y, X = rho_pre.shape
     has_h2 = H2 is not None
     slab = ghosts is not None
+    compute_lap = lap is None
+    assert not (slab and compute_lap), "slab mode requires an explicit lap"
     flags_i32 = flags[0].astype(jnp.int32)
     f32 = jnp.float32
-    args = [lap[0].astype(f32), rho_pre[0].astype(f32),
-            density_pre[0].astype(f32), pressure[0].astype(f32),
-            rho_ca[0].astype(f32)]
+    args = [] if compute_lap else [lap[0].astype(f32)]
+    args += [rho_pre[0].astype(f32),
+             density_pre[0].astype(f32), pressure[0].astype(f32),
+             rho_ca[0].astype(f32)]
     if has_h2:
         args += [H2[0].astype(f32), phi[0].astype(f32)]
     args += [flags_i32, g_sum[0].astype(f32), g_mom[0].astype(f32),
              vel_old[0].astype(f32)]
     n_in = len(args)
-    chans = [1, 1, 1, 1, 1] + ([1, 1] if has_h2 else []) + [1, 1, 3, 3]
-    dts = [f32] * 5 + ([f32, f32] if has_h2 else []) + [
+    chans = ([] if compute_lap else [1]) + [1, 1, 1, 1] + (
+        [1, 1] if has_h2 else []) + [1, 1, 3, 3]
+    dts = [f32] * (5 - compute_lap) + ([f32, f32] if has_h2 else []) + [
         jnp.int32, f32, f32, f32]
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_in
@@ -400,12 +467,13 @@ def hcz_capillary_gradmac(
         + [pltpu.VMEM((1, 5, Y, X), f32) for _ in range(n_drv)]
         + [pltpu.SemaphoreType.DMA((5,)) for _ in range(n_in)]
         + [pltpu.SemaphoreType.DMA((2,)) for _ in range(5)]
+        + ([pltpu.VMEM((1, 5, Y, X), f32)] if compute_lap else [])
     )
     vel, pres, force, dfai, dprho = pl.pallas_call(
         functools.partial(
             _kernel, kappa, tuple(gravity), mu0_half, rho_gas,
             rho_fluid, density_gas, density_fluid, dx, dt, Z, has_h2,
-            slab,
+            slab, compute_lap,
         ),
         grid=(1,),
         in_specs=in_specs,

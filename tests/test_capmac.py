@@ -119,3 +119,44 @@ def test_gradmac_matches_composition(has_h2):
             np.asarray(g), np.asarray(w), rtol=2e-5, atol=1e-8,
             err_msg=n,
         )
+
+
+@pytest.mark.parametrize("has_h2", [True, False])
+@pytest.mark.parametrize("Z", [4, 8])
+def test_gradmac_compute_lap_matches_explicit(has_h2, Z):
+    """lap=None (in-kernel Laplacian, lag-2 pipeline) matches passing the
+    separate laplacian_field output to within XLA FMA-contraction noise
+    (the same tap expressions can contract differently across the two
+    compilations — observed max 1 ULP on a handful of cells)."""
+    (rho_pre, density_pre, pressure, rho_ca, H2, phi, flags, g_sum,
+     g_mom, vel_old) = _setup()
+    sl = (slice(None), slice(None), slice(0, Z))
+    (rho_pre, density_pre, pressure, rho_ca, H2, phi, flags, g_sum,
+     g_mom, vel_old) = (
+        x[sl] for x in (rho_pre, density_pre, pressure, rho_ca, H2, phi,
+                        flags, g_sum, g_mom, vel_old)
+    )
+    kw = dict(
+        kappa=KAPPA, gravity=GRAV, mu0_half=0.5 * MU0,
+        rho_gas=RG, rho_fluid=RF, density_gas=RG, density_fluid=RF,
+        dx=DX, dt=DT, interpret=True,
+    )
+    density_ca = rho_to_density(
+        rho_ca, rho_gas=RG, rho_fluid=RF, density_gas=RG, density_fluid=RF
+    )
+    lap = laplacian_field(density_ca, dx=DX, interpret=True)
+    h2a = H2 if has_h2 else None
+    phia = phi if has_h2 else None
+    want = hcz_capillary_gradmac(
+        lap, rho_pre, density_pre, pressure, rho_ca, h2a, phia,
+        flags, g_sum, g_mom, vel_old, **kw,
+    )
+    got = hcz_capillary_gradmac(
+        None, rho_pre, density_pre, pressure, rho_ca, h2a, phia,
+        flags, g_sum, g_mom, vel_old, **kw,
+    )
+    names = ["vel", "pressure", "force", "dfai", "dprho"]
+    for g, w, n in zip(got, want, names):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-6, atol=2e-8, err_msg=n
+        )
