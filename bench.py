@@ -79,22 +79,34 @@ def model_bytes_per_cell(n_iters=POISSON_ITERS, b_fg=4, b_h=4, res=(256,) * 3):
     else:
         total += n_iters * ((19 * b_h + B4 + 4) + (19 * b_h + B4))
         total += 4 * B4  # psi r1 + H_int w3 via the separate grad pass
-    # rhs build (staggered chi etc.): ~r 4 + w 1 f32 passes
-    total += 5 * B4
+    # rhs build (un-padded staggered-diff of chi): ~r 2 + w 1 f32 passes
+    total += 3 * B4
     # phi + contact-angle glue: ~r 2 w 2 (H2 assembly is gone)
     total += 4 * B4
-    # laplacian: r1 w1
-    total += 2 * B4
-    # fused capillary gradmac: r 13 f32 channels + flags; w 13 f32 channels
-    # (gradients, stencil fields, and recovery intermediates stay in VMEM)
-    total += (13 * B4 + 4) + 13 * B4
-    # epilogue (re-stream + fused collide of f and g, in place, + the
-    # trailing emit_mac prologue stage when it fits): r 19f + 19g + flags
-    # + 15 f32 macro channels DMA'd straight from their producers (no
-    # concat staging); w 19f + 19g (+ 9 f32 next-step macro channels)
-    total += (38 * b_fg + 4 + 15 * B4) + 38 * b_fg
-    if emit_mac_fits((1, 19, *res), fg_dtype):
-        total += 9 * B4
+    from lbm_ferrofluid_tpu.ops.pallas.capillogue import capillogue_fits
+
+    if capillogue_fits((1, 19, *res), fg_dtype) and emit_mac_fits(
+        (1, 19, *res), fg_dtype
+    ):
+        # capillogue (steady state): capillary stage + collide + emission
+        # in ONE pass — the Laplacian, gradients, dfai/dprho and the
+        # epilogue's macro ring all stay in VMEM.
+        # r: 19f + 19g + flags + 13 f32 capillary channels (premac 9 +
+        #    pres_old + rho_ca + H2 + phi); w: 19f + 19g + 8 f32 state
+        #    channels (vel/pres/force/density) + 9 f32 next-step macros
+        total += (38 * b_fg + 4 + 13 * B4) + 38 * b_fg + 17 * B4
+    else:
+        # laplacian folded into capmac (lap=None): no separate pass
+        # fused capillary gradmac: r 13 f32 channels + flags; w 13 f32
+        # channels (gradients and recovery intermediates stay in VMEM)
+        total += (13 * B4 + 4) + 13 * B4
+        # epilogue (re-stream + fused collide of f and g, in place, + the
+        # trailing emit_mac prologue stage when it fits): r 19f + 19g +
+        # flags + 15 f32 macro channels DMA'd straight from their
+        # producers; w 19f + 19g (+ 9 f32 next-step macro channels)
+        total += (38 * b_fg + 4 + 15 * B4) + 38 * b_fg
+        if emit_mac_fits((1, 19, *res), fg_dtype):
+            total += 9 * B4
     return total
 
 

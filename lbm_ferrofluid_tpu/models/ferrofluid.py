@@ -105,6 +105,23 @@ def init_ferrofluid_state(
     )
 
 
+def _capillogue_rhs_cfg(params: SimulationParams):
+    """emit_rhs tuple for the capillogue kernel, or None.
+
+    The in-kernel rhs emission needs the static external field along an
+    IN-PLANE axis (x or y: the staggered difference is then a clamped
+    in-plane shift of the emitted plane).  Must agree between
+    prime_premac and the step so the premac pytree structure is stable
+    under lax.scan.
+    """
+    if params.h_ext_axis in (0, 1):
+        return (
+            int(params.h_ext_axis), float(params.mag_strength),
+            float(params.tau),
+        )
+    return None
+
+
 def ferrofluid_step_impl(
     params: SimulationParams, state: FerrofluidState, mesh=None
 ) -> FerrofluidState:
@@ -158,7 +175,7 @@ def ferrofluid_step_impl(
             # premac is a 5-tuple of separate arrays: slicing one packed
             # array here made XLA materialize every slice around the
             # Pallas consumers (~1.1 ms/step at 128x256^2)
-            rho, vel, density, m0g, m1g = state.premac
+            rho, vel, density, m0g, m1g = state.premac[:5]
         else:
             rho, vel, density, m0g, m1g = lbm_prologue(
                 state.f, state.g, state.flags, state.rho, state.vel,
@@ -172,7 +189,7 @@ def ferrofluid_step_impl(
             # mac-carry, sharded: the previous sharded epilogue emitted
             # this step's streamed macros (interior planes in-kernel,
             # boundary planes via the post-kernel ring fix-up)
-            rho, vel, density, m0g, m1g = state.premac
+            rho, vel, density, m0g, m1g = state.premac[:5]
         else:
             from ..parallel.step3d import fused_prologue_sharded
 
@@ -216,6 +233,12 @@ def ferrofluid_step_impl(
         float(params.mag_strength) if d == params.h_ext_axis else 0.0
         for d in range(lat.dim)
     )
+    # mac-carried rhs: when premac is a 6-tuple, its last entry is the
+    # pre-scaled Poisson source term the previous capillogue emission
+    # computed from this step's density — the jnp rhs chain is skipped
+    rhs_pre = None
+    if state.premac is not None and len(state.premac) > 5:
+        rhs_pre = state.premac[5]
     H2, h = solve_H_int(
         lat,
         state.h,
@@ -229,8 +252,47 @@ def ferrofluid_step_impl(
         use_pallas=params.use_pallas,
         mesh=mesh,
         halo_depth=params.poisson_halo_depth,
+        rhs_scaled=rhs_pre,
         h2_ext=hext_static,
     )
+
+    # Fully fused steady-state turbo path: capillary stage + HCZ collide +
+    # next-step mac emission in ONE kernel — dfai/dprho never leave VMEM,
+    # the epilogue's 15-channel macro ring is gone, and density(rho_ca) is
+    # emitted by the kernel (ops/pallas/capillogue.py).
+    if fastpath and state.premac is not None:
+        from ..ops.collide import MU0, contact_angle_boundary
+        from ..ops.pallas.capillogue import capillogue_fits, lbm_capillogue
+
+        grav = tuple(float(gv) for gv in params.gravity_vec().reshape(-1))
+        if (
+            capillogue_fits(state.f.shape, state.f.dtype)
+            and len(grav) == 3
+        ):
+            rho_ca = contact_angle_boundary(
+                rho, state.flags, params.contact_angle, 3,
+                spmd=len(jax.devices()) > 1,
+            )
+            emit_rhs = _capillogue_rhs_cfg(params)
+            f, g, vel, pressure, force, density, premac = lbm_capillogue(
+                state.f, state.g, state.flags, rho, density,
+                state.pressure, rho_ca, H2, phi, m0g, m1g, vel,
+                state.magnetic_flags if emit_rhs else None,
+                kappa=float(params.kappa), gravity=grav,
+                mu0_half=0.5 * MU0, rho_gas=float(params.rho_gas),
+                rho_fluid=float(params.rho_fluid),
+                density_gas=float(params.density_gas),
+                density_fluid=float(params.density_fluid),
+                tau_f=params.tau_f, tau_g=params.tau_g, dx=dx, dt=dt,
+                emit_rhs=emit_rhs,
+            )
+            return FerrofluidState(
+                f=f, g=g, h=h, rho=rho_ca, vel=vel, density=density,
+                pressure=pressure, force=force, phi=phi,
+                flags=state.flags, magnetic_flags=state.magnetic_flags,
+                H_ext=state.H_ext, H_ext_mac=state.H_ext_mac,
+                step=state.step + 1, premac=premac,
+            )
 
     rho, vel, density, pressure, force, dfai, dprho = hcz_capillary(
         lat,
@@ -403,7 +465,36 @@ def prime_premac(
         rho_fluid=params.rho_fluid, density_gas=params.density_gas,
         density_fluid=params.density_fluid,
     )
-    return dataclasses.replace(state, premac=(rho, vel, density, m0g, m1g))
+    premac = (rho, vel, density, m0g, m1g)
+
+    # When the capillogue path will run (its emission carries the NEXT
+    # step's Poisson rhs), premac must be a 6-tuple from the start —
+    # lax.scan needs a structure-stable carry.  Same gates as the step.
+    from ..ops.pallas.capillogue import capillogue_fits
+
+    grav = tuple(float(gv) for gv in params.gravity_vec().reshape(-1))
+    rhs_cfg = _capillogue_rhs_cfg(params)
+    if (
+        capillogue_fits(state.f.shape, state.f.dtype)
+        and len(grav) == 3
+        and rhs_cfg is not None
+    ):
+        from ..ops.magnetic import poisson_rhs_scaled
+
+        phi = -(
+            2.0 * (density - params.density_gas)
+            / (params.density_fluid - params.density_gas) - 1.0
+        )
+        hext_static = tuple(
+            float(params.mag_strength) if d == params.h_ext_axis else 0.0
+            for d in range(3)
+        )
+        rhs = poisson_rhs_scaled(
+            phi, state.magnetic_flags, None, hext_static,
+            tau=params.tau, dx=params.dx, dt=params.dt, dim=3,
+        )
+        premac = premac + (rhs,)
+    return dataclasses.replace(state, premac=premac)
 
 
 ferrofluid_step = partial(

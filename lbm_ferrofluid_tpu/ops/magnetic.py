@@ -27,7 +27,7 @@ from .equilibrium import heq
 from .stencils import isotropic_grad, staggered_x, staggered_y, staggered_z
 from .stream import bounce_back, stream
 
-__all__ = ["magnetic_sweep", "solve_H_int"]
+__all__ = ["magnetic_sweep", "solve_H_int", "poisson_rhs_scaled"]
 
 
 def _stag_diff_times(x, axis, hm):
@@ -56,6 +56,46 @@ def _stag_diff_times(x, axis, hm):
     d = (0.5 * (x + x_p)) * hm - (0.5 * (x_m + x)) * hm
     idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim + axis if axis < 0 else axis)
     return jnp.where((idx == 0) | (idx == N - 1), jnp.zeros((), x.dtype), d)
+
+
+def poisson_rhs_scaled(phi, magnetic_flags, H_ext_mac, h2_ext, *, tau, dx,
+                       dt, dim):
+    """The loop-invariant, pre-scaled Poisson source term.
+
+    rhs = div(chi H_ext)|_staggered * dx / (1 + chi), zeroed off-fluid,
+    times the dt * cs2 (0.5 - tau) dt collision prefactor
+    (LBM_magnetic_2d.py:140-155).  With ``h2_ext`` (static axis-aligned
+    field) the un-padded staggered-difference form is used — bit-identical
+    to differencing the padded staggered arrays (the H_ext_mac arrays of
+    a constant field equal those scalars everywhere) and fully fusable by
+    XLA; the capillogue kernel's trailing emission reproduces this exact
+    arithmetic in-register (ops/pallas/capillogue.py).
+    """
+    c = dx / dt
+    cs2 = c * c / 3.0
+    chi = CHI_K * (1.0 - smooth_phi(phi, 0.1 * dx))
+    if h2_ext is not None:
+        hms = [float(v) for v in h2_ext] + [0.0] * (3 - len(h2_ext))
+        rhs = None
+        for axis, hm in zip((-1, -2, -3)[:dim], hms):
+            if hm == 0.0:
+                continue
+            term = _stag_diff_times(chi, axis, hm)
+            rhs = term if rhs is None else rhs + term
+        if rhs is None:
+            rhs = jnp.zeros_like(chi)
+    else:
+        chx = staggered_x(chi) * H_ext_mac[0]
+        chy = staggered_y(chi) * H_ext_mac[1]
+        rhs = (chx[..., 1:] - chx[..., :-1]) + (chy[..., 1:, :] - chy[..., :-1, :])
+        if dim == 3:
+            chz = staggered_z(chi) * H_ext_mac[2]
+            rhs = rhs + (chz[..., 1:, :, :] - chz[..., :-1, :, :])
+    rhs = rhs * dx / (1.0 + chi)
+    rhs = jnp.where(
+        magnetic_flags == int(CellType.FLUID), rhs, jnp.zeros_like(rhs)
+    )
+    return dt * rhs * (cs2 * (0.5 - tau) * dt)
 
 
 def _maybe_h2(H_int, h2_ext):
@@ -173,37 +213,12 @@ def solve_H_int(
 
     if rhs_scaled is None:
         # loop-invariant source term (callers that already hold the scaled
-        # rhs — e.g. the sharded slab path — may pass it in directly)
-        chi = CHI_K * (1.0 - smooth_phi(phi, 0.1 * dx))
-        if h2_ext is not None:
-            # H_ext is mag_strength * e_axis and staggered replicate-
-            # padding of a constant field is that same constant, so the
-            # H_ext_mac arrays equal these scalars everywhere: scalar
-            # multiply is bit-identical, the zero components fold away,
-            # and the un-padded staggered-difference form lets XLA fuse
-            # the whole rhs build into one pass (~0.7 ms/step saved at
-            # 128x256^2 in the device trace)
-            hms = [float(v) for v in h2_ext] + [0.0] * (3 - len(h2_ext))
-            rhs = None
-            for axis, hm in zip((-1, -2, -3)[:dim], hms):
-                if hm == 0.0:
-                    continue
-                term = _stag_diff_times(chi, axis, hm)
-                rhs = term if rhs is None else rhs + term
-            if rhs is None:
-                rhs = jnp.zeros_like(chi)
-        else:
-            chx = staggered_x(chi) * H_ext_mac[0]
-            chy = staggered_y(chi) * H_ext_mac[1]
-            rhs = (chx[..., 1:] - chx[..., :-1]) + (chy[..., 1:, :] - chy[..., :-1, :])
-            if dim == 3:
-                chz = staggered_z(chi) * H_ext_mac[2]
-                rhs = rhs + (chz[..., 1:, :, :] - chz[..., :-1, :, :])
-        rhs = rhs * dx / (1.0 + chi)
-        rhs = jnp.where(
-            magnetic_flags == int(CellType.FLUID), rhs, jnp.zeros_like(rhs)
+        # rhs — e.g. the sharded slab path or the capillogue emission —
+        # may pass it in directly)
+        rhs_scaled = poisson_rhs_scaled(
+            phi, magnetic_flags, H_ext_mac, h2_ext, tau=tau, dx=dx, dt=dt,
+            dim=dim,
         )
-        rhs_scaled = dt * rhs * (cs2 * (0.5 - tau) * dt)
 
     # Fused Pallas sweep kernel on TPU when shapes allow; jnp fallback is
     # semantically identical (tests assert agreement in interpret mode).

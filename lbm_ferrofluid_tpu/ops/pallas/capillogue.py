@@ -1,0 +1,760 @@
+"""Capillogue: capillary gradmac + HCZ collide + mac emission in ONE pass.
+
+Fuses ops/pallas/capmac.py (gradients of the four HCZ stencil fields +
+force assembly + vel/pressure recovery, with the in-kernel Laplacian)
+INTO ops/pallas/fused_step.py's emit_mac epilogue (re-stream + collide +
+next-step prologue emission).  What this buys over the two-kernel
+composition (device-trace numbers at 128x256^2, turbo):
+
+* dfai/dprho NEVER touch HBM (they are consumed by the collision in the
+  same body that computes them): -12 channel-volumes/step.
+* the epilogue's 15-channel macro input ring disappears — the collision
+  reads the capillary stage's in-register outputs: -13 channel reads.
+* density(rho_ca) is emitted as a kernel output: the separate jnp
+  rho_to_density pass goes away.
+
+Pipeline cadence (single device, periodic z-wrap on f/g, clamp on the
+stencil fields; output plane p = t - 2):
+
+  body t:  wait capillary-stream plane t+1, derive fai/prho/chi(t+1)
+           wait f/g/flags plane t-1 (collide window of p is t-3..t-1)
+           Laplacian plane t from the rho_ca ring (zero plane at Z-1)
+           capillary stage at p: grads -> force/dfai/dprho,
+             vel/pressure recovery, density(rho_ca)
+           collide plane p from the re-streamed window + the stage's
+             in-register macros; store f'/g' (3-slot ring, in-place
+             aliased outputs), store vel/pres/force/density (2-slot)
+           emit mac plane p-1 (interior; the two wrap planes re-read the
+             collided planes 0/1 from the aliased outputs post-loop)
+
+Semantics are exactly capmac + emit_mac-epilogue composition (agreement
+is modulo XLA FMA contraction — see tests/test_capillogue.py).
+Reference: HCZ_3d.py:21-263 (capillary_process) + HCZ_3d.py:213-263 and
+LBM_propagation_3d.py:18-111 (collide + propagation), as the two kernels
+it fuses.  Single-device turbo path only: the slab/multi-chip path keeps
+the separate kernels (different per-chip scale; f32 storage overflows
+VMEM — see capillogue_fits).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...lattice import D3Q19
+from ...utils.types import CellType
+from ..collide import CHI_K, smooth_phi
+from ..moments import eos_pressure
+from .fused_step import _in_copies, _moments, _rem, _stream_plane
+from .hcz3d import _feq_rows, _gamma_rows
+from .stencil3d import (
+    _GRAD_TAPS,
+    _LAP_TAPS,
+    _ring_replicate_plane,
+    _shift_replicate,
+)
+
+__all__ = ["capillogue_fits", "lbm_capillogue"]
+
+_OBS = int(CellType.OBSTACLE)
+_FLUID = int(CellType.FLUID)
+
+
+def capillogue_fits(shape, fg_dtype) -> bool:
+    """VMEM gate for the fused kernel (v5e, 120 MB Mosaic budget).
+
+    Fixed rings at bf16 f/g on 256^2 planes come to ~73 MB; the scoped
+    temporaries (38 re-streamed f32 planes for the collide + another 38
+    for the mac emission + the grad-stage planes) fit under the budget.
+    f32 storage pushes the f/g rings alone past it — those modes keep
+    the capmac + epilogue composition.
+    """
+    B, Q, Z, Y, X = shape
+    if not (B == 1 and Q == 19 and X % 128 == 0 and Y % 8 == 0 and Z >= 4):
+        return False
+    bpp = jnp.dtype(fg_dtype).itemsize * Y * X
+    f32p = 4 * Y * X
+    fixed = (
+        2 * 19 * (4 + 3 + 1) * bpp  # f/g input rings + NS=3 stores + seam
+        + 4 * 4 * Y * X             # flags ring (int32)
+        + 13 * 5 * f32p             # capillary stream rings
+        + 6 * 5 * f32p              # drv (fai/prho/lap-rep/chi/chi-rep) + lap
+        + 8 * 2 * f32p              # vel/pres/force/density store ring
+        + 9 * 2 * f32p              # mac store ring
+        + 5 * f32p                  # wrap flags/rho_ca/vel stashes
+    )
+    return fixed <= 80 * 1024 * 1024
+
+
+def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
+                       density_gas, density_fluid, tau_f, tau_g, dx, dt,
+                       Z, fg_dtype, emit_rhs, *refs):
+    lat = D3Q19
+    n_cap = 10 if emit_rhs else 9
+    (f_ref, g_ref, flags_ref,
+     rho_ref, den_ref, pres_ref, rhoca_ref, h2_ref, phi_ref,
+     gsum_ref, gmom_ref, velold_ref) = refs[:12]
+    off = 12
+    if emit_rhs:
+        mflags_ref = refs[off]
+        off += 1
+    (fout_ref, gout_ref, velout_ref, presout_ref, forceout_ref, denout_ref,
+     mo_rho, mo_vel, mo_den, mo_m0g, mo_m1g) = refs[off:off + 11]
+    off += 11
+    if emit_rhs:
+        mo_rhs = refs[off]
+        off += 1
+    scr = refs[off:]
+    f_ring, g_ring, fl_ring = scr[0:3]
+    cap_rings = scr[3:3 + n_cap]   # rho, den, pres, rhoca, h2, phi, gsum(1), gmom(3), vel(3)[, mflags]
+    o = 3 + n_cap
+    drv = scr[o:o + 5]             # fai, prho, lap-rep, chi, chi-rep
+    lap_ring = scr[o + 5]
+    f_store, g_store, f_seam, g_seam = scr[o + 6:o + 10]
+    cap_store, mac_store, flpost, mcpost = scr[o + 10:o + 14]
+    o += 14
+    if emit_rhs:
+        mfpost = scr[o]
+        o += 1
+    (sem_f, sem_g, sem_fl) = scr[o:o + 3]
+    sems_cap = scr[o + 3:o + 3 + n_cap]
+    (sem_fo, sem_go, sem_co, sem_mo, sem_s, sem_post) = scr[o + 3 + n_cap:]
+
+    Y, X = f_ref.shape[2], f_ref.shape[3]
+    c = dx / dt
+    cs2 = c * c / 3.0
+    RT = cs2
+    inv12dx = 1.0 / (12.0 * dx)
+    inv6dx2 = 1.0 / (6.0 * dx * dx)
+
+    fg_streams = [
+        (f_ref, f_ring, sem_f),
+        (g_ref, g_ring, sem_g),
+        (flags_ref, fl_ring, sem_fl),
+    ]
+    cap_refs = [rho_ref, den_ref, pres_ref, rhoca_ref, h2_ref, phi_ref,
+                gsum_ref, gmom_ref, velold_ref]
+    cap_names = ["rho", "den", "pres", "rhoca", "h2", "phi", "gsum",
+                 "gmom", "vel"]
+    if emit_rhs:
+        cap_refs.append(mflags_ref)
+        cap_names.append("mflags")
+    cap_idx = {n: i for i, n in enumerate(cap_names)}
+
+    def slot5(q):
+        return _rem(q, 5)
+
+    def cap_copies(q):
+        slot = slot5(q)
+        return [
+            pltpu.make_async_copy(
+                ref.at[:, pl.ds(q, 1)], ring.at[:, pl.ds(slot, 1)],
+                sem.at[slot],
+            )
+            for ref, ring, sem in zip(cap_refs, cap_rings, sems_cap)
+        ]
+
+    def cplane(name, q, ch=0):
+        return cap_rings[cap_idx[name]][ch, slot5(q)]
+
+    # ---- derived per-plane fields (capmac.py semantics) ---------------
+    def density_of(rho):
+        return density_gas + (density_fluid - density_gas) * (
+            (rho - rho_gas) / (rho_fluid - rho_gas)
+        )
+
+    def compute_derived(q):
+        slot = slot5(q)
+        rho = cplane("rho", q)
+        drv[0][0, slot] = _ring_replicate_plane(
+            eos_pressure(rho, dx=dx, dt=dt) - rho * RT, Y, X
+        )
+        drv[1][0, slot] = _ring_replicate_plane(
+            cplane("pres", q) - RT * cplane("den", q), Y, X
+        )
+        cr = CHI_K * (1.0 - smooth_phi(cplane("phi", q), 0.1 * dx))
+        drv[3][0, slot] = cr
+        drv[4][0, slot] = _ring_replicate_plane(cr, Y, X)
+
+    def fill_lap(q):
+        win = {oz: density_of(cplane("rhoca", q + oz)) for oz in (-1, 0, 1)}
+        acc = None
+        for (oz, oy, ox), wgt in _LAP_TAPS:
+            tp = _shift_replicate(win[oz], -oy, -ox, Y, X) * wgt
+            acc = tp if acc is None else acc + tp
+        res = acc * inv6dx2
+        col = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0)
+        edge = (col == 0) | (col == X - 1) | (row == 0) | (row == Y - 1)
+        res = jnp.where(edge, jnp.zeros((), res.dtype), res)
+        slot = slot5(q)
+        lap_ring[0, slot] = res
+        drv[2][0, slot] = _ring_replicate_plane(res, Y, X)
+
+    def fill_lap_zero(q):
+        lap_ring[0, slot5(q)] = jnp.zeros((Y, X), jnp.float32)
+
+    # ---- output machinery ---------------------------------------------
+    NS = 3
+
+    def fg_out_copies(p):
+        slot = _rem(p, NS)
+        return (
+            pltpu.make_async_copy(
+                f_store.at[:, pl.ds(slot, 1)], fout_ref.at[:, pl.ds(p, 1)],
+                sem_fo.at[slot],
+            ),
+            pltpu.make_async_copy(
+                g_store.at[:, pl.ds(slot, 1)], gout_ref.at[:, pl.ds(p, 1)],
+                sem_go.at[slot],
+            ),
+        )
+
+    cap_out_parts = (
+        (0, 3, None), (3, 1, None), (4, 3, None), (7, 1, None),
+    )
+
+    def cap_out_copies(p):
+        slot = _rem(p, 2)
+        outs = (velout_ref, presout_ref, forceout_ref, denout_ref)
+        return [
+            pltpu.make_async_copy(
+                cap_store.at[pl.ds(off, nc), pl.ds(slot, 1)],
+                ref.at[:, pl.ds(p, 1)],
+                sem_co.at[slot],
+            )
+            for (off, nc, _), ref in zip(cap_out_parts, outs)
+        ]
+
+    def mac_copy(j, p):
+        slot = _rem(j, 2)
+        parts = (
+            (mo_rho, 0, 1), (mo_vel, 1, 3), (mo_den, 4, 1),
+            (mo_m0g, 5, 1), (mo_m1g, 6, 3),
+        ) + (((mo_rhs, 9, 1),) if emit_rhs else ())
+        return [
+            pltpu.make_async_copy(
+                mac_store.at[pl.ds(off, nc), pl.ds(slot, 1)],
+                ref.at[:, pl.ds(p, 1)],
+                sem_mo.at[slot],
+            )
+            for ref, off, nc in parts
+        ]
+
+    def emit_mac_plane(j, p, s0, sm, sp, flags_row, rho_old, vel_old,
+                       mflags_row=None):
+        """Next step's prologue for plane p from the collided VMEM store
+        rings (fused_step.py:_epilogue_kernel's emission, verbatim), plus
+        — with ``emit_rhs`` — the NEXT step's pre-scaled Poisson source
+        term from the just-emitted density (the external field is static
+        and axis-aligned along an IN-PLANE axis, so the staggered
+        difference is a clamped in-plane shift; exact arithmetic of
+        ops/magnetic.py:poisson_rhs_scaled)."""
+        post_f, is_obs = _stream_plane(f_store, (s0, sm, sp), flags_row, Y, X)
+        post_g, _ = _stream_plane(g_store, (s0, sm, sp), flags_row, Y, X)
+        m0f, m1f = _moments(post_f)
+        m0g, m1g = _moments(post_g)
+        rho_n = jnp.where(is_obs, rho_old, m0f)
+        density_n = density_gas + (density_fluid - density_gas) * (
+            (rho_n - rho_gas) / (rho_fluid - rho_gas)
+        )
+        inv_rho = c / rho_n
+
+        @pl.when(j - 2 >= 0)
+        def _():
+            for cp in mac_copy(j - 2, 0):
+                cp.wait()
+
+        slot = _rem(j, 2)
+        mac_store[0, slot] = rho_n
+        for d in range(3):
+            mac_store[1 + d, slot] = jnp.where(
+                is_obs, vel_old[d], m1f[d] * inv_rho
+            )
+        mac_store[4, slot] = density_n
+        mac_store[5, slot] = m0g
+        for d in range(3):
+            mac_store[6 + d, slot] = m1g[d]
+        if emit_rhs:
+            axis, hm, tau_mag = emit_rhs
+            phi_n = -(
+                2.0 * (density_n - density_gas)
+                / (density_fluid - density_gas) - 1.0
+            )
+            chi = CHI_K * (1.0 - smooth_phi(phi_n, 0.1 * dx))
+            sy, sx = (-1, 0) if axis == 1 else (0, -1)
+            chi_p = _shift_replicate(chi, sy, sx, Y, X)
+            chi_m = _shift_replicate(chi, -sy, -sx, Y, X)
+            d_ = (0.5 * (chi + chi_p)) * hm - (0.5 * (chi_m + chi)) * hm
+            N = Y if axis == 1 else X
+            idx = jax.lax.broadcasted_iota(
+                jnp.int32, (Y, X), 0 if axis == 1 else 1
+            )
+            d_ = jnp.where(
+                (idx == 0) | (idx == N - 1), jnp.zeros((), d_.dtype), d_
+            )
+            rhs = d_ * dx / (1.0 + chi)
+            rhs = jnp.where(
+                mflags_row == _FLUID, rhs, jnp.zeros((), rhs.dtype)
+            )
+            mac_store[9, slot] = (dt * rhs) * (
+                cs2 * (0.5 - tau_mag) * dt
+            )
+        for cp in mac_copy(j, p):
+            cp.start()
+
+    # ---- preamble ------------------------------------------------------
+    # f/g plane 0 is overwritten in place at body 2; stash it pristine for
+    # the z-wrap re-read (fused_step.py's seam pattern)
+    seam_cps = [
+        pltpu.make_async_copy(f_ref.at[:, pl.ds(0, 1)], f_seam, sem_s.at[0]),
+        pltpu.make_async_copy(g_ref.at[:, pl.ds(0, 1)], g_seam, sem_s.at[1]),
+    ]
+    for cp in seam_cps:
+        cp.start()
+    # planes -1..2 fill all 4 f/g ring slots (bodies start from plane 3:
+    # body t starts plane t+1, and the first body is t = 2)
+    for w in (-1, 0, 1, 2):
+        for cp in _in_copies(fg_streams, w, Z):
+            cp.start()
+    for q in (0, 1, 2, 3):
+        for cp in cap_copies(q):
+            cp.start()
+    for cp in seam_cps:
+        cp.wait()
+    for w in (-1, 0):
+        for cp in _in_copies(fg_streams, w, Z):
+            cp.wait()
+    for q in (0, 1, 2):
+        for cp in cap_copies(q):
+            cp.wait()
+        compute_derived(q)
+    fill_lap_zero(0)
+    fill_lap(1)
+
+    def body(t, _):
+        # capillary streams: plane t+1 lands, derive its pad fields
+        @pl.when(t + 1 <= Z - 1)
+        def _():
+            for cp in cap_copies(t + 1):
+                cp.wait()
+            compute_derived(t + 1)
+
+        # f/g/flags: plane t-1 lands (collide window of p = t-2); plane Z
+        # is the z-wrap copy (seam-refilled below) — every plane in [1, Z]
+        # is waited exactly once, an unconsumed DMA semaphore faults HW
+        for cp in _in_copies(fg_streams, t - 1, Z):
+            cp.wait()
+
+        @pl.when(t <= Z - 2)
+        def _():
+            fill_lap(t)
+
+        @pl.when(t == Z - 1)
+        def _():
+            fill_lap_zero(Z - 1)
+
+        p = t - 2
+
+        # ---- capillary stage at plane p (capmac.py body, verbatim) ----
+        z_lo, z_hi = 1, Z - 2
+        pc = jnp.clip(p, z_lo, z_hi)
+        qs = [pc - 1, pc, pc + 1]
+
+        def fgslot(w):
+            return _rem(w + 1, 4)
+
+        flags_q = [fl_ring[0, fgslot(q)] for q in qs]
+        obs_q = [f == _OBS for f in flags_q]
+
+        def clampq(q):
+            return jnp.clip(q, z_lo, z_hi)
+
+        def d(i, q):
+            return drv[i][0, slot5(q)]
+
+        sub = {}
+        sub["fai"] = [d(0, clampq(q)) for q in qs]
+        sub["prho"] = [d(1, clampq(q)) for q in qs]
+        sub["lap"] = [
+            jnp.where(o, d(2, clampq(q)), lap_ring[0, slot5(q)])
+            for o, q in zip(obs_q, qs)
+        ]
+        sub["chi"] = [
+            jnp.where(o, d(4, clampq(q)), d(3, q))
+            for o, q in zip(obs_q, qs)
+        ]
+
+        grads = {}
+        for name in ("lap", "fai", "prho", "chi"):
+            planes3 = {-1: sub[name][0], 0: sub[name][1], 1: sub[name][2]}
+            for dd in range(3):
+                acc = None
+                for (oz, oy, ox), wgt in _GRAD_TAPS[dd]:
+                    tp = _shift_replicate(planes3[oz], -oy, -ox, Y, X) * wgt
+                    acc = tp if acc is None else acc + tp
+                grads[(name, dd)] = _ring_replicate_plane(acc * inv12dx, Y, X)
+
+        rho_ca_p = cplane("rhoca", p)
+        dens = density_of(rho_ca_p)
+        h2 = cplane("h2", p)
+        force = [
+            kappa * dens * grads[("lap", dd)] + gravity[dd] * dens
+            - mu0_half * h2 * grads[("chi", dd)]
+            for dd in range(3)
+        ]
+        dfai = [grads[("fai", dd)] for dd in range(3)]
+        dprho = [grads[("prho", dd)] for dd in range(3)]
+
+        flags_p = fl_ring[0, fgslot(p)]
+        is_fluid = flags_p == _FLUID
+        inv_rt_dens = 1.0 / (RT * dens)
+        vel_n = [
+            jnp.where(
+                is_fluid,
+                (cplane("gmom", p, dd) * c + 0.5 * dt * RT * force[dd])
+                * inv_rt_dens,
+                cplane("vel", p, dd),
+            )
+            for dd in range(3)
+        ]
+        vdp = vel_n[0] * dprho[0] + vel_n[1] * dprho[1] + vel_n[2] * dprho[2]
+        pres_n = jnp.where(
+            is_fluid,
+            cplane("gsum", p) - 0.5 * dt * vdp,
+            cplane("pres", p),
+        )
+
+        # ---- collide plane p (fused_step.py epilogue body, the mc_ring
+        # reads replaced by the stage's in-register outputs) -------------
+        s0, sm, sp_ = fgslot(p), fgslot(p - 1), fgslot(p + 1)
+        post_f, _ = _stream_plane(f_ring, (s0, sm, sp_), flags_p, Y, X)
+        post_g, _ = _stream_plane(g_ring, (s0, sm, sp_), flags_p, Y, X)
+        post_f = [x.astype(fg_dtype).astype(jnp.float32) for x in post_f]
+        post_g = [x.astype(fg_dtype).astype(jnp.float32) for x in post_g]
+
+        rho = rho_ca_p
+        ux, uy, uz = vel_n
+        pp = pres_n
+        fx, fy, fz = force
+        gx, gy, gz = -dfai[0], -dfai[1], -dfai[2]
+        px, py, pz = -dprho[0], -dprho[1], -dprho[2]
+
+        feq = _feq_rows(rho, ux, uy, uz, c)
+        gamma = _gamma_rows(ux, uy, uz, c)
+        pref_f = dt * dt * (1.0 - 0.5 / tau_f) / cs2
+        u_dot_g = ux * gx + uy * gy + uz * gz
+        dens_term = cs2 * dens / rho
+        p_term = pp - cs2 * dens
+        u_dot_f = ux * fx + uy * fy + uz * fz
+        u_dot_p = ux * px + uy * py + uz * pz
+        pref_g = dt * (1.0 - 0.5 / tau_g)
+
+        @pl.when(p - 2 >= 0)
+        def _():
+            for cp in fg_out_copies(p - 2):
+                cp.wait()
+            for cp in cap_out_copies(p - 2):
+                cp.wait()
+
+        slot = _rem(p, NS)
+        for q in range(19):
+            wq = float(lat.weights[q])
+            ex, ey, ez = (float(lat.e[q][dd]) for dd in range(3))
+            e_dot_g = (ex * gx + ey * gy + ez * gz) * c
+            fq = post_f[q]
+            coll_f = (
+                fq + (feq[q] - fq) / tau_f
+                + pref_f * gamma[q] * (e_dot_g - u_dot_g)
+            )
+            f_store[q, slot] = jnp.where(
+                is_fluid, coll_f, fq
+            ).astype(fg_dtype)
+
+            geq = wq * p_term + dens_term * feq[q]
+            e_dot_f = (ex * fx + ey * fy + ez * fz) * c
+            e_dot_p = (ex * px + ey * py + ez * pz) * c
+            gq = post_g[q]
+            coll_g = (
+                gq + (geq - gq) / tau_g
+                + pref_g * (
+                    gamma[q] * (e_dot_f - u_dot_f)
+                    + (gamma[q] - wq) * (e_dot_p - u_dot_p)
+                )
+            )
+            g_store[q, slot] = jnp.where(
+                is_fluid, coll_g, gq
+            ).astype(fg_dtype)
+
+        cslot = _rem(p, 2)
+        for dd in range(3):
+            cap_store[dd, cslot] = vel_n[dd]
+            cap_store[4 + dd, cslot] = force[dd]
+        cap_store[3, cslot] = pres_n
+        cap_store[7, cslot] = dens
+        for cp in fg_out_copies(p):
+            cp.start()
+        for cp in cap_out_copies(p):
+            cp.start()
+
+        # ---- mac emission at plane p-1 = t-3 (interior planes only;
+        # the wrap planes 0 and Z-1 are emitted post-loop).  Must run
+        # BEFORE cap plane t+2 starts: its DMA overwrites the rho_ca and
+        # vel_old ring slots of plane t-3.
+        @pl.when(t >= 4)
+        def _():
+            pe = t - 3
+            emit_mac_plane(
+                t - 4, pe,
+                _rem(pe, NS), _rem(pe - 1, NS), _rem(pe + 1, NS),
+                fl_ring[0, fgslot(pe)],
+                cplane("rhoca", pe),
+                [cap_store[dd, _rem(pe, 2)] for dd in range(3)],
+                cplane("mflags", pe) if emit_rhs else None,
+            )
+
+        # ---- next inputs ------------------------------------------------
+        @pl.when(t + 2 <= Z - 1)
+        def _():
+            for cp in cap_copies(t + 2):
+                cp.start()
+
+        @pl.when(t + 1 <= Z - 1)
+        def _():
+            for cp in _in_copies(fg_streams, t + 1, Z):
+                cp.start()
+
+        @pl.when(t + 1 == Z)
+        def _():
+            # z-wrap plane of f/g from the pristine seam stash; flags
+            # re-read normally (un-aliased)
+            wslot = _rem(Z + 1, 4)
+            pltpu.make_async_copy(
+                f_seam, f_ring.at[:, pl.ds(wslot, 1)], sem_f.at[wslot]
+            ).start()
+            pltpu.make_async_copy(
+                g_seam, g_ring.at[:, pl.ds(wslot, 1)], sem_g.at[wslot]
+            ).start()
+            for cp in _in_copies(fg_streams[2:], Z, Z):
+                cp.start()
+
+        return 0
+
+    jax.lax.fori_loop(2, Z + 2, body, 0)
+    for dd in (2, 1):
+        for cp in fg_out_copies(Z - dd):
+            cp.wait()
+        for cp in cap_out_copies(Z - dd):
+            cp.wait()
+
+    # ---- wrap mac emissions (planes Z-1 and 0), as the epilogue's ------
+    slot_a = _rem(Z, NS)       # receives collided plane 0
+    slot_b = _rem(Z + 1, NS)   # receives collided plane 1
+    post0 = [
+        pltpu.make_async_copy(
+            fout_ref.at[:, pl.ds(0, 1)], f_store.at[:, pl.ds(slot_a, 1)],
+            sem_post.at[0],
+        ),
+        pltpu.make_async_copy(
+            gout_ref.at[:, pl.ds(0, 1)], g_store.at[:, pl.ds(slot_a, 1)],
+            sem_post.at[1],
+        ),
+        pltpu.make_async_copy(
+            flags_ref.at[:, pl.ds(0, 1)], flpost, sem_post.at[2],
+        ),
+        # rho_old of plane 0 = rho_ca (un-aliased input); vel_old = the
+        # recovered velocity (this kernel's own drained output)
+        pltpu.make_async_copy(
+            rhoca_ref.at[:, pl.ds(0, 1)], mcpost.at[0:1], sem_post.at[3],
+        ),
+        pltpu.make_async_copy(
+            velout_ref.at[:, pl.ds(0, 1)], mcpost.at[1:4], sem_post.at[4],
+        ),
+    ]
+    if emit_rhs:
+        post0.append(pltpu.make_async_copy(
+            mflags_ref.at[:, pl.ds(0, 1)], mfpost, sem_post.at[7],
+        ))
+    for cp in post0:
+        cp.start()
+    for cp in post0:
+        cp.wait()
+    emit_mac_plane(
+        Z - 2, Z - 1,
+        _rem(Z - 1, NS), _rem(Z - 2, NS), slot_a,
+        fl_ring[0, _rem(Z, 4)],
+        cap_rings[cap_idx["rhoca"]][0, slot5(Z - 1)],
+        [cap_store[dd, _rem(Z - 1, 2)] for dd in range(3)],
+        cplane("mflags", Z - 1) if emit_rhs else None,
+    )
+    post1 = [
+        pltpu.make_async_copy(
+            fout_ref.at[:, pl.ds(1, 1)], f_store.at[:, pl.ds(slot_b, 1)],
+            sem_post.at[5],
+        ),
+        pltpu.make_async_copy(
+            gout_ref.at[:, pl.ds(1, 1)], g_store.at[:, pl.ds(slot_b, 1)],
+            sem_post.at[6],
+        ),
+    ]
+    for cp in post1:
+        cp.start()
+    for cp in post1:
+        cp.wait()
+    emit_mac_plane(
+        Z - 1, 0,
+        slot_a, _rem(Z - 1, NS), slot_b,
+        flpost[0, 0],
+        mcpost[0, 0],
+        [mcpost[1 + dd, 0] for dd in range(3)],
+        mfpost[0, 0] if emit_rhs else None,
+    )
+    for j in (Z - 2, Z - 1):
+        for cp in mac_copy(j, 0):
+            cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "kappa", "gravity", "mu0_half", "rho_gas", "rho_fluid", "density_gas",
+    "density_fluid", "tau_f", "tau_g", "dx", "dt", "emit_rhs", "interpret",
+))
+def lbm_capillogue(
+    f, g, flags, rho_pre, density_pre, pressure_old, rho_ca, H2, phi,
+    g_sum, g_mom, vel_old, magnetic_flags=None, *,
+    kappa, gravity, mu0_half, rho_gas, rho_fluid, density_gas,
+    density_fluid, tau_f, tau_g, dx=1.0, dt=1.0, emit_rhs=None,
+    interpret=False,
+):
+    """One fused pass: capillary stage + HCZ collide + mac emission.
+
+    Inputs are the mac-carried step's fields: ``rho_pre``/``density_pre``/
+    ``g_sum``/``g_mom``/``vel_old`` from premac, ``pressure_old`` from the
+    previous state, ``rho_ca`` the contact-angle-substituted rho, ``H2``/
+    ``phi`` from the Poisson stage.  Returns
+    ``(f', g', vel, pressure, force, density_ca, premac)`` — everything
+    ``hcz_capillary`` + ``lbm_epilogue(emit_mac=True)`` produce, with
+    dfai/dprho never leaving VMEM.
+
+    ``emit_rhs=(axis, hm, tau_mag)`` (static; axis 0=x or 1=y, hm the
+    field magnitude) appends the NEXT step's pre-scaled Poisson source
+    term to the emission — exact in-register replica of
+    ops/magnetic.py:poisson_rhs_scaled on the emitted density — and
+    premac becomes a 6-tuple ``(..., rhs_scaled)``.  Requires
+    ``magnetic_flags``.
+    """
+    _, _, Z, Y, X = f.shape
+    flags_i32 = flags[0].astype(jnp.int32)
+    f32 = jnp.float32
+    args = [
+        f[0], g[0], flags_i32,
+        rho_pre[0].astype(f32), density_pre[0].astype(f32),
+        pressure_old[0].astype(f32), rho_ca[0].astype(f32),
+        H2[0].astype(f32), phi[0].astype(f32),
+        g_sum[0].astype(f32), g_mom[0].astype(f32), vel_old[0].astype(f32),
+    ]
+    if emit_rhs is not None:
+        assert magnetic_flags is not None and emit_rhs[0] in (0, 1)
+        args.append(magnetic_flags[0].astype(jnp.int32))
+    out_shape = [
+        jax.ShapeDtypeStruct((19, Z, Y, X), f.dtype),   # f'
+        jax.ShapeDtypeStruct((19, Z, Y, X), g.dtype),   # g'
+        jax.ShapeDtypeStruct((3, Z, Y, X), f32),        # vel
+        jax.ShapeDtypeStruct((1, Z, Y, X), f32),        # pressure
+        jax.ShapeDtypeStruct((3, Z, Y, X), f32),        # force
+        jax.ShapeDtypeStruct((1, Z, Y, X), f32),        # density(rho_ca)
+        jax.ShapeDtypeStruct((1, Z, Y, X), f32),        # mac rho
+        jax.ShapeDtypeStruct((3, Z, Y, X), f32),        # mac vel
+        jax.ShapeDtypeStruct((1, Z, Y, X), f32),        # mac density
+        jax.ShapeDtypeStruct((1, Z, Y, X), f32),        # mac m0g
+        jax.ShapeDtypeStruct((3, Z, Y, X), f32),        # mac m1g
+    ]
+    if emit_rhs is not None:
+        out_shape.append(
+            jax.ShapeDtypeStruct((1, Z, Y, X), f32)     # mac rhs_scaled
+        )
+    cap_chans = [1, 1, 1, 1, 1, 1, 1, 3, 3]
+    cap_dts = [f32] * 9
+    if emit_rhs is not None:
+        cap_chans.append(1)
+        cap_dts.append(jnp.int32)   # magnetic flags
+    scratch = (
+        [
+            pltpu.VMEM((19, 4, Y, X), f.dtype),         # f ring
+            pltpu.VMEM((19, 4, Y, X), g.dtype),         # g ring
+            pltpu.VMEM((1, 4, Y, X), jnp.int32),        # flags ring
+        ]
+        + [pltpu.VMEM((ch, 5, Y, X), dt_)
+           for ch, dt_ in zip(cap_chans, cap_dts)]
+        + [pltpu.VMEM((1, 5, Y, X), f32) for _ in range(5)]  # drv
+        + [pltpu.VMEM((1, 5, Y, X), f32)]               # lap ring
+        + [
+            pltpu.VMEM((19, 3, Y, X), f.dtype),         # f store (NS=3)
+            pltpu.VMEM((19, 3, Y, X), g.dtype),         # g store
+            pltpu.VMEM((19, 1, Y, X), f.dtype),         # f seam
+            pltpu.VMEM((19, 1, Y, X), g.dtype),         # g seam
+            pltpu.VMEM((8, 2, Y, X), f32),              # vel/pres/force/den store
+            pltpu.VMEM((9 + (emit_rhs is not None), 2, Y, X), f32),  # mac store
+            pltpu.VMEM((1, 1, Y, X), jnp.int32),        # wrap flags
+            pltpu.VMEM((4, 1, Y, X), f32),              # wrap rho_ca + vel
+        ]
+        + ([pltpu.VMEM((1, 1, Y, X), jnp.int32)]        # wrap magnetic flags
+           if emit_rhs is not None else [])
+        + [pltpu.SemaphoreType.DMA((4,)) for _ in range(3)]    # f/g/flags in
+        + [pltpu.SemaphoreType.DMA((5,)) for _ in range(len(cap_chans))]
+        + [
+            pltpu.SemaphoreType.DMA((3,)),   # f out
+            pltpu.SemaphoreType.DMA((3,)),   # g out
+            pltpu.SemaphoreType.DMA((2,)),   # cap out
+            pltpu.SemaphoreType.DMA((2,)),   # mac out
+            pltpu.SemaphoreType.DMA((2,)),   # seam
+            pltpu.SemaphoreType.DMA((8,)),   # post-loop wrap re-reads
+        ]
+    )
+    n_in = len(args)
+    n_out = len(out_shape)
+    out = pl.pallas_call(
+        functools.partial(
+            _capillogue_kernel, float(kappa), tuple(gravity),
+            float(mu0_half), float(rho_gas), float(rho_fluid),
+            float(density_gas), float(density_fluid), float(tau_f),
+            float(tau_g), float(dx), float(dt), Z, f.dtype,
+            tuple(emit_rhs) if emit_rhs is not None else None,
+        ),
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_out,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        # Alias every dead operand to a shape-matching output: the premac
+        # leaves (rho_pre/density_pre/g_sum/g_mom/vel_old), the old
+        # pressure and H2 are all consumed by this call, and without the
+        # aliases XLA copies them defensively before reusing their
+        # buffers (~0.9 ms/step at 128x256^2 in the device trace).
+        # In-kernel safety: input DMA reads run at planes >= t+1 while
+        # output DMA writes trail at planes <= t-2 — reads lead writes by
+        # >= 3 planes on every aliased pair (same read-ahead argument as
+        # the f/g in-place collide).
+        input_output_aliases={
+            0: 0,    # f       -> f'
+            1: 1,    # g       -> g'
+            3: 6,    # rho_pre -> mac rho
+            4: 8,    # density_pre -> mac density
+            5: 3,    # pressure_old -> pressure
+            7: 5,    # H2      -> density(rho_ca)
+            9: 9,    # g_sum   -> mac m0g
+            10: 10,  # g_mom   -> mac m1g
+            11: 7,   # vel_old -> mac vel
+        },
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    f_n, g_n, vel, pres, force, den = out[:6]
+    premac = tuple(m[None] for m in out[6:])
+    return (f_n[None], g_n[None], vel[None], pres[None], force[None],
+            den[None], premac)

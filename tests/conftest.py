@@ -23,6 +23,22 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop jit/compilation caches after each test module.
+
+    The full suite accumulates hundreds of in-process XLA:CPU
+    compilations; past a threshold the NEXT GSPMD compile segfaults
+    inside backend_compile_and_load (reproducibly at
+    test_sharding.py::test_ferrofluid_3d_sharded_matches, but only in
+    full-suite order — every subset passes).  Clearing between modules
+    keeps the compiler's in-process state bounded; the cost is a handful
+    of re-traces for helpers shared across modules.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
