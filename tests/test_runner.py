@@ -122,3 +122,63 @@ def test_checkpoint_ferrofluid_bf16(tmp_path):
     a = ferrofluid_step(params, state)
     b = ferrofluid_step(params, restored)
     np.testing.assert_array_equal(np.asarray(a.f), np.asarray(b.f))
+
+
+def test_checkpoint_premac_tuple(tmp_path):
+    """A mac-carried state (premac tuple of separate arrays) checkpoints
+    and restores: with a matching template the tuple round-trips exactly;
+    with a fresh template (premac=None) the restore degrades gracefully
+    and the state can simply be re-primed."""
+    import dataclasses
+
+    from lbm_ferrofluid_tpu.models import (
+        ferrofluid_step,
+        init_ferrofluid_state,
+    )
+
+    res = (8, 8, 8)
+    params = SimulationParams(
+        dim=3, density_gas=0.02381, density_fluid=0.2508,
+        rho_gas=0.02381, rho_fluid=0.2508,
+        mag_strength=85.0, poisson_iters=3,
+    )
+    flags = np.full((1, 1, *res), int(CellType.OBSTACLE), np.uint8)
+    flags[..., 1:-1, 1:-1, 1:-1] = int(CellType.FLUID)
+    mflags = np.full((1, 1, *res), int(CellType.OBSTACLE), np.uint8)
+    mflags[..., 1:-1, :, 1:-1] = int(CellType.FLUID)
+    rho = np.full((1, 1, *res), params.rho_gas, np.float32)
+    den = np.full((1, 1, *res), params.density_gas, np.float32)
+    rho[..., :4, :] = params.rho_fluid
+    den[..., :4, :] = params.density_fluid
+
+    def fresh():
+        return init_ferrofluid_state(
+            params, rho, den, np.zeros((1, 3, *res), np.float32), flags,
+            mflags,
+        )
+
+    state = ferrofluid_step(params, fresh())
+    # emulate the TPU fast path's mac-carry structure (prime_premac is a
+    # no-op on CPU): a 6-tuple incl. the pre-scaled rhs
+    premac = (
+        state.rho, state.vel, state.density,
+        jnp.sum(state.g, axis=1, keepdims=True),
+        jnp.zeros_like(state.vel), jnp.zeros_like(state.rho),
+    )
+    state = dataclasses.replace(state, premac=premac)
+
+    path = tmp_path / "premac.npz"
+    save_checkpoint(path, state)
+
+    template = dataclasses.replace(
+        fresh(), premac=tuple(jnp.zeros_like(x) for x in premac)
+    )
+    restored = load_checkpoint(path, template)
+    assert isinstance(restored.premac, tuple) and len(restored.premac) == 6
+    for a, b in zip(state.premac, restored.premac):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # fresh template: premac leaves are simply absent from the structure
+    plain = load_checkpoint(path, fresh())
+    assert plain.premac is None
+    np.testing.assert_array_equal(np.asarray(state.f), np.asarray(plain.f))
