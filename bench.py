@@ -171,10 +171,49 @@ def run(res, n_steps=20, warmup=3, h_dtype="float32", fg_dtype="float32",
     return stats
 
 
+def _probe_backend(retries=10, probe_timeout=120, retry_sleep=120) -> bool:
+    """True once the TPU backend initializes in a throwaway subprocess.
+
+    Backend init under the tunneled axon platform BLOCKS indefinitely
+    while the TPU worker is down (multi-hour outages observed), so the
+    probe must run out-of-process with a timeout — retrying for a while
+    covers the worker's normal 2-4 minute crash-recovery window.
+    """
+    import subprocess
+    import time
+
+    for i in range(retries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                timeout=probe_timeout, stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL, text=True,
+            )
+            if "ok" in (r.stdout or ""):
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i + 1 < retries:
+            time.sleep(retry_sleep)
+    return False
+
+
 def main():
     res = (256, 256, 256)
     if len(sys.argv) > 1:
         res = tuple(int(x) for x in sys.argv[1:4])
+
+    if not _probe_backend():
+        # fail FAST and honestly rather than hanging the driver forever
+        print(json.dumps({
+            "metric": "MLUPS/chip D3Q19 Rosensweig (HCZ+mag, 30 Poisson "
+                      "iters/step)",
+            "value": 0.0, "unit": "MLUPS", "vs_baseline": 0.0,
+            "error": "TPU backend unavailable (worker down; backend init "
+                     "hangs) — no measurement possible",
+        }))
+        sys.exit(1)
 
     modes = [
         ("turbo_bf16_fgh", dict(fg_dtype="bfloat16", h_dtype="bfloat16")),
