@@ -53,7 +53,7 @@ def _setup(Z, dtype):
 
 @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
 @pytest.mark.parametrize("Z", [4, 8])
-@pytest.mark.parametrize("emit_rhs", [None, (1, 85.0, 0.8)])
+@pytest.mark.parametrize("emit_rhs", [None, (1, 85.0, 0.8), (0, -7.5, 0.8)])
 def test_capillogue_matches_composition(dtype, Z, emit_rhs):
     (f, g, flags, rho_pre, density_pre, pressure, rho_ca, H2, phi,
      g_sum, g_mom, vel_old) = _setup(Z, dtype)
@@ -90,9 +90,11 @@ def test_capillogue_matches_composition(dtype, Z, emit_rhs):
         assert len(g_mac) == 6
         # next step's rhs from the emitted density, vs the jnp helper
         phi_n = -(2.0 * (g_mac[2] - RG) / (RF - RG) - 1.0)
+        axis, hm, tau_mag = emit_rhs
+        h2e = tuple(hm if d == axis else 0.0 for d in range(3))
         want_rhs = poisson_rhs_scaled(
-            phi_n, mflags, None, (0.0, 85.0, 0.0),
-            tau=0.8, dx=DX, dt=DT, dim=3,
+            phi_n, mflags, None, h2e,
+            tau=tau_mag, dx=DX, dt=DT, dim=3,
         )
         # atol at chi's ULP scale: rhs is a DIFFERENCE of O(1) chi
         # averages, so 1-2 ULP FMA-contraction differences between the

@@ -145,6 +145,26 @@ def main():
             chain=lambda out, a: (out[0], out[1]) + a[2:],
         )
 
+    from lbm_ferrofluid_tpu.ops.collide import MU0
+    from lbm_ferrofluid_tpu.ops.pallas.capillogue import (
+        capillogue_fits, lbm_capillogue,
+    )
+    if capillogue_fits(state.f.shape, state.f.dtype):
+        capi = partial(
+            lbm_capillogue, kappa=0.01, gravity=(0.0, -1e-4, 0.0),
+            mu0_half=0.5 * MU0, rho_gas=params.rho_gas,
+            rho_fluid=params.rho_fluid, density_gas=params.density_gas,
+            density_fluid=params.density_fluid, tau_f=params.tau_f,
+            tau_g=params.tau_g, emit_rhs=(1, 85.0, params.tau),
+        )
+        timeit(
+            "lbm_capillogue (cap+collide+emit)", capi,
+            state.f, state.g, state.flags, state.rho, state.density,
+            state.pressure, state.rho, state.pressure, state.phi,
+            state.pressure, state.vel, state.vel, state.magnetic_flags,
+            chain=lambda out, a: (out[0], out[1]) + a[2:],
+        )
+
     sbm = partial(
         stream_bounce_macro, lat, c=c, rho_gas=params.rho_gas,
         rho_fluid=params.rho_fluid, density_gas=params.density_gas,
