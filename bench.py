@@ -1,24 +1,28 @@
 #!/usr/bin/env python
 """Benchmark: MLUPS/chip on the 256^3 D3Q19 Rosensweig ferrofluid workload.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "MLUPS", "vs_baseline": N, ...}
+Prints ONE JSON line per completed precision mode, each a full record of
+everything measured SO FAR — the LAST line is always the most complete.
+Incremental emission is deliberate: the driver records the tail of stdout
+under a hard timeout, and the headline (turbo) mode is measured FIRST, so
+even a truncated run lands a parseable number (round-2's all-at-the-end
+emission recorded nothing, BENCH_r02.json rc=124).
 
 The workload is the reference's north-star configuration
-(demo_3d_LBM_Rosensweig_instability.py defaults scaled to 256^3): D3Q19
+(demo_3d_LBM_Rosensweig_instability.py:253-290 scaled to 256^3): D3Q19
 HCZ multiphase + magnetic Poisson sub-solve (30 inner sweeps/step) +
 gravity + Kelvin force.  MLUPS counts *outer* steps x cells.
 
-Three precision modes are timed (3 repeats each, median reported):
+Modes (headline first; repeats via LBM_BENCH_REPEATS, default 1):
   * turbo  — bf16 storage for f, g, h (f32 in-register compute; long-horizon
     physics tracking asserted in tests/test_bf16_physics.py) — the headline,
   * bf16-h — bf16 h only (round-1 headline mode),
   * f32    — full parity mode.
 
-Alongside MLUPS the output carries an HBM bytes-moved model and the implied
-fraction of the ~550 GB/s achievable single-chip bandwidth (the roofline —
-see CLAUDE.md: one step is ~31 full-volume passes, so a 256^3 chip-step is
-bandwidth-bound, not compute-bound).
+Alongside MLUPS the output carries an HBM bytes-moved model
+(lbm_ferrofluid_tpu/models/traffic.py, maintained next to the kernel
+dispatch it mirrors) and the implied fraction of the ~550 GB/s achievable
+single-chip bandwidth.
 
 Falls back to smaller grids on OOM so the bench always reports a number;
 the resolution used is included in the JSON.
@@ -27,6 +31,7 @@ the resolution used is included in the JSON.
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 import numpy as np
@@ -34,80 +39,7 @@ import numpy as np
 BASELINE_TARGET_MLUPS = 2000.0  # driver-set north star (BASELINE.json)
 ACHIEVABLE_BW = 550e9  # measured single-chip HBM GB/s (CLAUDE.md roofline)
 POISSON_ITERS = 30
-
-
-def model_bytes_per_cell(n_iters=POISSON_ITERS, b_fg=4, b_h=4, res=(256,) * 3):
-    """Minimum HBM traffic per cell per outer step for the fused-kernel path.
-
-    Counts reads+writes of every kernel's operands (f/g/h distributions at
-    their storage width, macro/stencil fields at f32, flag bytes), ignoring
-    VMEM-resident reuse within a kernel.  This is the denominator-honest
-    traffic model behind pct_roofline.
-    """
-    B4 = 4
-    total = 0.0
-    import jax.numpy as jnp
-
-    from lbm_ferrofluid_tpu.ops.pallas.fused_step import emit_mac_fits
-
-    fg_dtype = jnp.bfloat16 if b_fg == 2 else jnp.float32
-    if emit_mac_fits((1, 19, *res), fg_dtype):
-        # mac-carry (primed premac): NO prologue pass — the previous
-        # epilogue's trailing stage wrote the 9 f32 macro channels; this
-        # step only reads them (inside the consuming fusions / capmac)
-        total += 9 * B4
-    else:
-        # VMEM-gated (f32 storage at 256^2 planes): separate ring-pipelined
-        # prologue — r 19f + 19g + flags + rho + 3 vel; w 9 f32 macro
-        total += (38 * b_fg + 4 + 4 * B4) + 9 * B4
-    # poisson: the time-skewed wavefront kernel does k sweeps per HBM pass:
-    # per pass r 19h * (1 + 2k/Z) + flags(i32) + rhs; w 19h (+ psi, last pass)
-    import jax.numpy as jnp
-
-    from lbm_ferrofluid_tpu.ops.pallas.poisson import _wf_plan
-
-    h_dtype = jnp.bfloat16 if b_h == 2 else jnp.float32
-    k = _wf_plan((1, 19, *res), h_dtype, n_iters)
-    if k >= 2:
-        Z = res[0]
-        passes = n_iters / k
-        total += passes * (
-            19 * b_h * (2 + 2 * k / Z) + (1 + 2 * k / Z) * (B4 + 4)
-        ) + 1 * B4  # emit="h2": the 1-channel Kelvin H2 written by the
-        # final pass — psi, the substitution pass, the grad launch AND the
-        # 3-channel H_int all stay in VMEM (H_ext folded as a constant)
-    else:
-        total += n_iters * ((19 * b_h + B4 + 4) + (19 * b_h + B4))
-        total += 4 * B4  # psi r1 + H_int w3 via the separate grad pass
-    # rhs build (un-padded staggered-diff of chi): ~r 2 + w 1 f32 passes
-    total += 3 * B4
-    # phi + contact-angle glue: ~r 2 w 2 (H2 assembly is gone)
-    total += 4 * B4
-    from lbm_ferrofluid_tpu.ops.pallas.capillogue import capillogue_fits
-
-    if capillogue_fits((1, 19, *res), fg_dtype) and emit_mac_fits(
-        (1, 19, *res), fg_dtype
-    ):
-        # capillogue (steady state): capillary stage + collide + emission
-        # in ONE pass — the Laplacian, gradients, dfai/dprho and the
-        # epilogue's macro ring all stay in VMEM.
-        # r: 19f + 19g + flags + 13 f32 capillary channels (premac 9 +
-        #    pres_old + rho_ca + H2 + phi); w: 19f + 19g + 8 f32 state
-        #    channels (vel/pres/force/density) + 9 f32 next-step macros
-        total += (38 * b_fg + 4 + 13 * B4) + 38 * b_fg + 17 * B4
-    else:
-        # laplacian folded into capmac (lap=None): no separate pass
-        # fused capillary gradmac: r 13 f32 channels + flags; w 13 f32
-        # channels (gradients and recovery intermediates stay in VMEM)
-        total += (13 * B4 + 4) + 13 * B4
-        # epilogue (re-stream + fused collide of f and g, in place, + the
-        # trailing emit_mac prologue stage when it fits): r 19f + 19g +
-        # flags + 15 f32 macro channels DMA'd straight from their
-        # producers; w 19f + 19g (+ 9 f32 next-step macro channels)
-        total += (38 * b_fg + 4 + 15 * B4) + 38 * b_fg
-        if emit_mac_fits((1, 19, *res), fg_dtype):
-            total += 9 * B4
-    return total
+METRIC = "MLUPS/chip D3Q19 Rosensweig (HCZ+mag, 30 Poisson iters/step)"
 
 
 def build_state(params, res):
@@ -129,7 +61,7 @@ def build_state(params, res):
 
 
 def run(res, n_steps=20, warmup=3, h_dtype="float32", fg_dtype="float32",
-        repeats=3):
+        repeats=1):
     import jax
 
     from lbm_ferrofluid_tpu.models import (
@@ -138,6 +70,7 @@ def run(res, n_steps=20, warmup=3, h_dtype="float32", fg_dtype="float32",
         ferrofluid_step_impl,
         prime_premac,
     )
+    from lbm_ferrofluid_tpu.models.traffic import model_bytes_per_cell
 
     params = SimulationParams(
         dim=3,
@@ -171,17 +104,19 @@ def run(res, n_steps=20, warmup=3, h_dtype="float32", fg_dtype="float32",
     return stats
 
 
-def _probe_backend(retries=10, probe_timeout=120, retry_sleep=120) -> bool:
+def _probe_backend(retries=2, probe_timeout=120, retry_sleep=45) -> bool:
     """True once the TPU backend initializes in a throwaway subprocess.
 
     Backend init under the tunneled axon platform BLOCKS indefinitely
     while the TPU worker is down (multi-hour outages observed), so the
-    probe must run out-of-process with a timeout — retrying for a while
-    covers the worker's normal 2-4 minute crash-recovery window.
+    probe must run out-of-process with a timeout.  The total probe budget
+    is capped (~2x120s + sleep) so a down worker fails FAST with an honest
+    error line instead of eating the driver's whole bench budget.
     """
     import subprocess
     import time
 
+    retries = int(os.environ.get("LBM_BENCH_PROBE_RETRIES", retries))
     for i in range(retries):
         try:
             r = subprocess.run(
@@ -199,47 +134,12 @@ def _probe_backend(retries=10, probe_timeout=120, retry_sleep=120) -> bool:
     return False
 
 
-def main():
-    res = (256, 256, 256)
-    if len(sys.argv) > 1:
-        res = tuple(int(x) for x in sys.argv[1:4])
-
-    if not _probe_backend():
-        # fail FAST and honestly rather than hanging the driver forever
-        print(json.dumps({
-            "metric": "MLUPS/chip D3Q19 Rosensweig (HCZ+mag, 30 Poisson "
-                      "iters/step)",
-            "value": 0.0, "unit": "MLUPS", "vs_baseline": 0.0,
-            "error": "TPU backend unavailable (worker down; backend init "
-                     "hangs) — no measurement possible",
-        }))
-        sys.exit(1)
-
-    modes = [
-        ("turbo_bf16_fgh", dict(fg_dtype="bfloat16", h_dtype="bfloat16")),
-        ("bf16_h", dict(fg_dtype="float32", h_dtype="bfloat16")),
-        ("f32_parity", dict(fg_dtype="float32", h_dtype="float32")),
-    ]
-
-    results = None
-    tried = []
-    for candidate in [res, (192, 192, 192), (128, 128, 128), (64, 64, 64)]:
-        try:
-            results = {name: run(candidate, **kw) for name, kw in modes}
-            res = candidate
-            break
-        except Exception as e:  # OOM or compile failure: shrink
-            tried.append(f"{candidate}: {type(e).__name__}")
-            continue
-    if results is None:
-        print(json.dumps({"metric": "MLUPS_2563_rosensweig", "value": 0.0,
-                          "unit": "MLUPS", "vs_baseline": 0.0, "error": tried}))
-        return
-
-    head = results["turbo_bf16_fgh"]
+def _emit(res, results, errors, final=False):
+    """Print the full record of everything measured so far as ONE line."""
+    head = results.get("turbo_bf16_fgh") or next(iter(results.values()))
     value = round(head["mlups"], 2)
     out = {
-        "metric": "MLUPS/chip D3Q19 Rosensweig (HCZ+mag, 30 Poisson iters/step)",
+        "metric": METRIC,
         "value": value,
         "unit": "MLUPS",
         "vs_baseline": round(value / BASELINE_TARGET_MLUPS, 4),
@@ -258,9 +158,73 @@ def main():
             for name, r in results.items()
         },
     }
-    if tried:
-        out["fallbacks"] = tried
-    print(json.dumps(out))
+    if not final:
+        out["partial"] = True
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out), flush=True)
+
+
+def main():
+    res = (256, 256, 256)
+    if len(sys.argv) > 1:
+        res = tuple(int(x) for x in sys.argv[1:4])
+
+    if not _probe_backend():
+        # fail FAST and honestly rather than hanging the driver forever
+        print(json.dumps({
+            "metric": METRIC,
+            "value": 0.0, "unit": "MLUPS", "vs_baseline": 0.0,
+            "error": "TPU backend unavailable (worker down; backend init "
+                     "hangs) — no measurement possible",
+        }), flush=True)
+        sys.exit(1)
+
+    import jax
+
+    # persistent compile cache: the remote TPU compile server takes minutes
+    # per program; cache hits make driver re-runs cheap (harmless if the
+    # backend doesn't support serialization)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    repeats = int(os.environ.get("LBM_BENCH_REPEATS", "1"))
+    modes = [
+        ("turbo_bf16_fgh", dict(fg_dtype="bfloat16", h_dtype="bfloat16")),
+        ("bf16_h", dict(fg_dtype="float32", h_dtype="bfloat16")),
+        ("f32_parity", dict(fg_dtype="float32", h_dtype="float32")),
+    ]
+
+    results: dict = {}
+    errors: dict = {}
+    # The FIRST (headline) mode settles the resolution: shrink on OOM until
+    # it fits, then hold that resolution for the remaining modes — a later
+    # mode failure records an error entry instead of restarting everything.
+    candidates = [res, (192, 192, 192), (128, 128, 128), (64, 64, 64)]
+    candidates = [c for c in candidates if c[0] <= res[0]] or [res]
+    for name, kw in modes:
+        if not results:  # headline: find the resolution
+            for candidate in candidates:
+                try:
+                    results[name] = run(candidate, repeats=repeats, **kw)
+                    res = candidate
+                    break
+                except Exception as e:
+                    errors[f"{name}@{candidate}"] = type(e).__name__
+                    continue
+            if not results:
+                print(json.dumps({"metric": METRIC, "value": 0.0,
+                                  "unit": "MLUPS", "vs_baseline": 0.0,
+                                  "errors": errors}), flush=True)
+                return
+        else:
+            try:
+                results[name] = run(res, repeats=repeats, **kw)
+            except Exception as e:
+                errors[name] = type(e).__name__
+        _emit(res, results, errors, final=(name == modes[-1][0]))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,83 @@
+"""HBM traffic model for the fused-kernel ferrofluid step.
+
+This is the denominator of the bench's ``pct_roofline``: the minimum HBM
+bytes one outer step moves per cell on the Pallas fast path, counting every
+kernel's operand reads+writes at their storage widths and ignoring
+VMEM-resident reuse inside a kernel.
+
+It lives HERE, next to the dispatch logic it mirrors (ferrofluid.py /
+ops/pallas gates), so kernel-structure changes and this model evolve in the
+same review unit — bench.py only calls it.  Whenever a dispatch gate in
+``ferrofluid_step_impl`` changes (mac-carry, capillogue, wavefront depth,
+emission modes), update the matching branch below.
+"""
+
+from __future__ import annotations
+
+B4 = 4  # f32 bytes
+
+
+def model_bytes_per_cell(n_iters: int = 30, b_fg: int = 4, b_h: int = 4,
+                         res=(256,) * 3) -> float:
+    """Minimum HBM traffic per cell per outer step for the fused-kernel path."""
+    import jax.numpy as jnp
+
+    from ..ops.pallas.capillogue import capillogue_fits
+    from ..ops.pallas.fused_step import emit_mac_fits
+    from ..ops.pallas.poisson import _wf_plan
+
+    total = 0.0
+    fg_dtype = jnp.bfloat16 if b_fg == 2 else jnp.float32
+    mac_carry = emit_mac_fits((1, 19, *res), fg_dtype)
+    if mac_carry:
+        # mac-carry (primed premac): NO prologue pass — the previous
+        # epilogue's trailing stage wrote the 9 f32 macro channels; this
+        # step only reads them (inside the consuming fusions / capmac)
+        total += 9 * B4
+    else:
+        # VMEM-gated (f32 storage at 256^2 planes): separate ring-pipelined
+        # prologue — r 19f + 19g + flags + rho + 3 vel; w 9 f32 macro
+        total += (38 * b_fg + 4 + 4 * B4) + 9 * B4
+
+    # poisson: the time-skewed wavefront kernel does k sweeps per HBM pass:
+    # per pass r 19h * (1 + 2k/Z) + flags(i32) + rhs; w 19h (+ psi, last pass)
+    h_dtype = jnp.bfloat16 if b_h == 2 else jnp.float32
+    k = _wf_plan((1, 19, *res), h_dtype, n_iters)
+    if k >= 2:
+        Z = res[0]
+        passes = n_iters / k
+        total += passes * (
+            19 * b_h * (2 + 2 * k / Z) + (1 + 2 * k / Z) * (B4 + 4)
+        ) + 1 * B4  # emit="h2": the 1-channel Kelvin H2 written by the
+        # final pass — psi, the substitution pass, the grad launch AND the
+        # 3-channel H_int all stay in VMEM (H_ext folded as a constant)
+    else:
+        total += n_iters * ((19 * b_h + B4 + 4) + (19 * b_h + B4))
+        total += 4 * B4  # psi r1 + H_int w3 via the separate grad pass
+
+    # rhs build (un-padded staggered-diff of chi): ~r 2 + w 1 f32 passes
+    total += 3 * B4
+    # phi + contact-angle glue: ~r 2 w 2 (H2 assembly is gone)
+    total += 4 * B4
+
+    if capillogue_fits((1, 19, *res), fg_dtype) and mac_carry:
+        # capillogue (steady state): capillary stage + collide + emission
+        # in ONE pass — the Laplacian, gradients, dfai/dprho and the
+        # epilogue's macro ring all stay in VMEM.
+        # r: 19f + 19g + flags + 13 f32 capillary channels (premac 9 +
+        #    pres_old + rho_ca + H2 + phi); w: 19f + 19g + 8 f32 state
+        #    channels (vel/pres/force/density) + 9 f32 next-step macros
+        total += (38 * b_fg + 4 + 13 * B4) + 38 * b_fg + 17 * B4
+    else:
+        # laplacian folded into capmac (lap=None): no separate pass
+        # fused capillary gradmac: r 13 f32 channels + flags; w 13 f32
+        # channels (gradients and recovery intermediates stay in VMEM)
+        total += (13 * B4 + 4) + 13 * B4
+        # epilogue (re-stream + fused collide of f and g, in place, + the
+        # trailing emit_mac prologue stage when it fits): r 19f + 19g +
+        # flags + 15 f32 macro channels DMA'd straight from their
+        # producers; w 19f + 19g (+ 9 f32 next-step macro channels)
+        total += (38 * b_fg + 4 + 15 * B4) + 38 * b_fg
+        if mac_carry:
+            total += 9 * B4
+    return total
