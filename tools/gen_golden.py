@@ -440,6 +440,106 @@ def gen_two_droplets_long(steps=400, res=(49, 96), mag=100.0, gravity=1e-4):
     print(f"two_droplets_400: |vel|max={np.abs(snaps[steps]['vel']).max():.6f}")
 
 
+def gen_rosensweig_3d_long(steps=200, res=(64, 33, 64), mag=100.0,
+                           gravity=1e-4):
+    """Long-horizon 3D golden: the north-star Rosensweig configuration
+    (demo_3d_LBM_Rosensweig_instability.py:151-207; constants :37-48 —
+    kappa=0.01, tau=0.68, k=0.33, contact angle pi/2, dx=dt=1, H_ext along
+    y, mag default 100 :277-281, gravity 1e-4) at roughly half the demo's
+    130x66x130 default, run in float64 on both sides.  Exact demo init:
+    flat pool filling the lower half in y (:128-133), walls xXyYzZ, magnetic
+    flags open on y (:120-121).  200 steps = 6,000 magnetic Poisson
+    sub-iterations plus the full initial pressure-wave transient.
+    """
+    dt64 = torch.float64
+    sp = SimulationParameters(
+        dim=3, dtype=dt64, device=DEVICE, simulation_size=(1, 1, *res), dt=1.0,
+        density_gas=0.02381, density_fluid=0.2508,
+        rho_gas=0.02381, rho_fluid=0.2508, Q=19,
+        contact_angle=torch.tensor([0.5 * math.pi], dtype=dt64),
+        kappa=0.01, tau_f=0.68, tau_g=0.68, k=0.33,
+    )
+    runner = SimulationRunner(parameters=sp)
+    prop = runner.create_propagation()
+    macro = runner.create_macro_compute()
+    coll = runner.create_collision_HCZ()
+    coll.set_gravity(gravity=gravity)
+    mgf = runner.create_LBM_magnetic()
+
+    flags = torch.full((1, 1, *res), int(CellType.OBSTACLE), dtype=torch.uint8)
+    flags[..., 1:-1, 1:-1, 1:-1] = int(CellType.FLUID)
+    mflags = torch.full((1, 1, *res), int(CellType.OBSTACLE), dtype=torch.uint8)
+    mflags[..., 1:-1, :, 1:-1] = int(CellType.FLUID)
+
+    rho = torch.full((1, 1, *res), 0.02381, dtype=dt64)
+    den = torch.full((1, 1, *res), 0.02381, dtype=dt64)
+    rho[..., : int(0.5 * res[1]), :] = 0.2508
+    den[..., : int(0.5 * res[1]), :] = 0.2508
+    rho[flags == int(CellType.OBSTACLE)] = 0.2508
+    den[flags == int(CellType.OBSTACLE)] = 0.2508
+
+    vel = torch.zeros((1, 3, *res), dtype=dt64)
+    force = torch.zeros((1, 3, *res), dtype=dt64)
+    pressure = macro.get_pressure(dx=1.0, dt=1.0, density=den)
+    f = coll.get_feq_(dx=1.0, dt=1.0, rho=den, vel=vel, force=force)
+    g = coll.get_geq_(dx=1.0, dt=1.0, rho=rho, vel=vel, density=den,
+                      pressure=pressure, force=force, feq=f)
+    rho0, den0 = rho.clone(), den.clone()
+    h = torch.zeros_like(f)
+
+    from src.LBM.utils import get_staggered
+
+    H_ext = torch.zeros((1, 3, *res), dtype=dt64)
+    H_ext[:, 1, ...] = mag
+    H_ext_mac = get_staggered(H_ext, mode="replicate")
+
+    snaps = {}
+    for step in range(1, steps + 1):
+        f = prop.propagation(f=f)
+        g = prop.propagation(f=g)
+        rho, vel, den = macro.macro_compute(
+            dx=1.0, dt=1.0, f=f, rho=rho, vel=vel, flags=flags, density=den
+        )
+        f = prop.rebounce_obstacle(f=f, flags=flags)
+        g = prop.rebounce_obstacle(f=g, flags=flags)
+
+        phi = -(2.0 * (den - 0.02381) / (0.2508 - 0.02381) - 1.0)
+        for _i in range(30):
+            h = prop.propagation(f=h)
+            h = prop.rebounce_obstacle(f=h, flags=mflags)
+            H_int, h = mgf.get_H_int(
+                dt=1.0, dx=1.0, phi=phi, flags=mflags,
+                H_ext_mac=H_ext_mac, h=h,
+            )
+        H2 = ((H_ext + H_int) * (H_ext + H_int)).sum(dim=1).unsqueeze(1)
+
+        rho, vel, den, pressure, force, dfai, dprho = coll.capillary_process(
+            rho=rho, vel=vel, flags=flags, force=force, dt=1.0, dx=1.0,
+            g=g, density=den, pressure=pressure, H2=H2, phi=phi,
+        )
+        f, g = coll.collision(
+            dx=1.0, dt=1.0, f=f, rho=rho, vel=vel, density=den, flags=flags,
+            force=force, g=g, pressure=pressure, dfai=dfai, dprho=dprho,
+            KBC_type=None,
+        )
+        if step in (100, steps):
+            snaps[step] = dict(
+                den=den.numpy().copy(), vel=vel.numpy().copy(),
+                p=pressure.numpy().copy(), H2=H2.numpy().copy(),
+            )
+            print(f"rosensweig3d step {step}: |vel|max="
+                  f"{float(vel.abs().max()):.6f}", flush=True)
+
+    out = dict(flags=flags.numpy(), rho0=rho0.numpy(), den0=den0.numpy(),
+               steps=np.array(steps), mag=np.array(mag),
+               gravity=np.array(gravity))
+    for step, d in snaps.items():
+        for k, v in d.items():
+            out[f"{k}_{step}"] = v
+    np.savez(OUT / "rosensweig3d_200.npz", **out)
+    print("rosensweig3d_200 written")
+
+
 def gen_wave(steps=10, res=(24, 20), vel_max=0.05):
     """Velocity-forced wave pool (demo_2d_wave.py): KBC_A on g + inflow pin.
 
@@ -509,6 +609,11 @@ def gen_wave(steps=10, res=(24, 20), vel_max=0.05):
 
 if __name__ == "__main__":
     torch.manual_seed(0)
+    if len(sys.argv) > 1 and sys.argv[1] == "rosensweig3d":
+        # expensive (~30 min torch CPU); run standalone, not with the rest
+        torch.set_num_threads(8)
+        gen_rosensweig_3d_long()
+        raise SystemExit(0)
     gen_singlephase(kbc=False)
     gen_singlephase(kbc=True)
     gen_sc()
