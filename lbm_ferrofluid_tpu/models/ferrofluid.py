@@ -290,7 +290,7 @@ def ferrofluid_step_impl(
             emit_rhs = _capillogue_rhs_cfg(params)
             f, g, vel, pressure, force, density, premac = lbm_capillogue(
                 state.f, state.g, state.flags, rho, density,
-                state.pressure, rho_ca, H2, phi, m0g, m1g, vel,
+                state.pressure, rho_ca, H2, m0g, m1g, vel,
                 state.magnetic_flags if emit_rhs else None,
                 kappa=float(params.kappa), gravity=grav,
                 mu0_half=0.5 * MU0, rho_gas=float(params.rho_gas),
@@ -338,6 +338,8 @@ def ferrofluid_step_impl(
     premac = None
     if fastpath:
         if state.premac is not None:
+            from ..ops.pallas.fused_step import emit_mac_mode
+
             f, g, premac = lbm_epilogue(
                 state.f, state.g, state.flags, rho, vel, density, pressure,
                 force, dfai, dprho, tau_f=params.tau_f, tau_g=params.tau_g,
@@ -345,6 +347,9 @@ def ferrofluid_step_impl(
                 mac_consts=(
                     c, float(params.rho_gas), float(params.rho_fluid),
                     float(params.density_gas), float(params.density_fluid),
+                ),
+                compact=(
+                    emit_mac_mode(state.f.shape, state.f.dtype) == "compact"
                 ),
             )
         else:
@@ -451,10 +456,14 @@ def prime_premac(
         )
 
         interp = default_interpret()
+        from ..ops.pallas.fused_step import emit_mac_mode
+
         if not (
             fused_step_sharded_ok(mesh, state.f.shape, params.kbc_type, interp)
-            and emit_mac_fits(state.f.shape, state.f.dtype)
+            and emit_mac_mode(state.f.shape, state.f.dtype) == "full"
         ):
+            # the compact layout has no slab-mode variant (yet): sharded
+            # mac-carry engages only where the full rings fit
             return state
         rho, vel, density, m0g, m1g = fused_prologue_sharded(
             state.f, state.g, state.flags, state.rho, state.vel, mesh,

@@ -81,7 +81,7 @@ def capillogue_fits(shape, fg_dtype) -> bool:
     fixed = (
         2 * 19 * (4 + 3 + 1) * bpp  # f/g input rings + NS=3 stores + seam
         + 4 * 4 * Y * X             # flags ring (int32)
-        + 13 * 5 * f32p             # capillary stream rings
+        + 12 * 5 * f32p             # capillary stream rings (phi folded)
         + 6 * 5 * f32p              # drv (fai/prho/lap-rep/chi/chi-rep) + lap
         + 8 * 2 * f32p              # vel/pres/force/density store ring
         + 9 * 2 * f32p              # mac store ring
@@ -94,11 +94,11 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
                        density_gas, density_fluid, tau_f, tau_g, dx, dt,
                        Z, fg_dtype, emit_rhs, *refs):
     lat = D3Q19
-    n_cap = 10 if emit_rhs else 9
+    n_cap = 9 if emit_rhs else 8
     (f_ref, g_ref, flags_ref,
-     rho_ref, den_ref, pres_ref, rhoca_ref, h2_ref, phi_ref,
-     gsum_ref, gmom_ref, velold_ref) = refs[:12]
-    off = 12
+     rho_ref, den_ref, pres_ref, rhoca_ref, h2_ref,
+     gsum_ref, gmom_ref, velold_ref) = refs[:11]
+    off = 11
     if emit_rhs:
         mflags_ref = refs[off]
         off += 1
@@ -110,7 +110,7 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
         off += 1
     scr = refs[off:]
     f_ring, g_ring, fl_ring = scr[0:3]
-    cap_rings = scr[3:3 + n_cap]   # rho, den, pres, rhoca, h2, phi, gsum(1), gmom(3), vel(3)[, mflags]
+    cap_rings = scr[3:3 + n_cap]   # rho, den, pres, rhoca, h2, gsum(1), gmom(3), vel(3)[, mflags]
     o = 3 + n_cap
     drv = scr[o:o + 5]             # fai, prho, lap-rep, chi, chi-rep
     lap_ring = scr[o + 5]
@@ -136,9 +136,9 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
         (g_ref, g_ring, sem_g),
         (flags_ref, fl_ring, sem_fl),
     ]
-    cap_refs = [rho_ref, den_ref, pres_ref, rhoca_ref, h2_ref, phi_ref,
+    cap_refs = [rho_ref, den_ref, pres_ref, rhoca_ref, h2_ref,
                 gsum_ref, gmom_ref, velold_ref]
-    cap_names = ["rho", "den", "pres", "rhoca", "h2", "phi", "gsum",
+    cap_names = ["rho", "den", "pres", "rhoca", "h2", "gsum",
                  "gmom", "vel"]
     if emit_rhs:
         cap_refs.append(mflags_ref)
@@ -176,7 +176,15 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
         drv[1][0, slot] = _ring_replicate_plane(
             cplane("pres", q) - RT * cplane("den", q), Y, X
         )
-        cr = CHI_K * (1.0 - smooth_phi(cplane("phi", q), 0.1 * dx))
+        # phi in-register from the SAME density the step's jnp glue used
+        # (bit-identical expression order: models/ferrofluid.py phi=...),
+        # so the 1-channel phi volume is never read by this kernel
+        phi_q = -(
+            2.0 * (cplane("den", q) - density_gas)
+            / (density_fluid - density_gas)
+            - 1.0
+        )
+        cr = CHI_K * (1.0 - smooth_phi(phi_q, 0.1 * dx))
         drv[3][0, slot] = cr
         drv[4][0, slot] = _ring_replicate_plane(cr, Y, X)
 
@@ -623,7 +631,7 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
     "density_fluid", "tau_f", "tau_g", "dx", "dt", "emit_rhs", "interpret",
 ))
 def lbm_capillogue(
-    f, g, flags, rho_pre, density_pre, pressure_old, rho_ca, H2, phi,
+    f, g, flags, rho_pre, density_pre, pressure_old, rho_ca, H2,
     g_sum, g_mom, vel_old, magnetic_flags=None, *,
     kappa, gravity, mu0_half, rho_gas, rho_fluid, density_gas,
     density_fluid, tau_f, tau_g, dx=1.0, dt=1.0, emit_rhs=None,
@@ -633,8 +641,10 @@ def lbm_capillogue(
 
     Inputs are the mac-carried step's fields: ``rho_pre``/``density_pre``/
     ``g_sum``/``g_mom``/``vel_old`` from premac, ``pressure_old`` from the
-    previous state, ``rho_ca`` the contact-angle-substituted rho, ``H2``/
-    ``phi`` from the Poisson stage.  Returns
+    previous state, ``rho_ca`` the contact-angle-substituted rho, ``H2``
+    from the Poisson stage.  phi is recomputed IN REGISTER from
+    ``density_pre`` (bit-identical to the step's jnp phi) — the 1-channel
+    phi volume is never read.  Returns
     ``(f', g', vel, pressure, force, density_ca, premac)`` — everything
     ``hcz_capillary`` + ``lbm_epilogue(emit_mac=True)`` produce, with
     dfai/dprho never leaving VMEM.
@@ -653,7 +663,7 @@ def lbm_capillogue(
         f[0], g[0], flags_i32,
         rho_pre[0].astype(f32), density_pre[0].astype(f32),
         pressure_old[0].astype(f32), rho_ca[0].astype(f32),
-        H2[0].astype(f32), phi[0].astype(f32),
+        H2[0].astype(f32),
         g_sum[0].astype(f32), g_mom[0].astype(f32), vel_old[0].astype(f32),
     ]
     if emit_rhs is not None:
@@ -676,8 +686,8 @@ def lbm_capillogue(
         out_shape.append(
             jax.ShapeDtypeStruct((1, Z, Y, X), f32)     # mac rhs_scaled
         )
-    cap_chans = [1, 1, 1, 1, 1, 1, 1, 3, 3]
-    cap_dts = [f32] * 9
+    cap_chans = [1, 1, 1, 1, 1, 1, 3, 3]
+    cap_dts = [f32] * 8
     if emit_rhs is not None:
         cap_chans.append(1)
         cap_dts.append(jnp.int32)   # magnetic flags
@@ -745,9 +755,9 @@ def lbm_capillogue(
             4: 8,    # density_pre -> mac density
             5: 3,    # pressure_old -> pressure
             7: 5,    # H2      -> density(rho_ca)
-            9: 9,    # g_sum   -> mac m0g
-            10: 10,  # g_mom   -> mac m1g
-            11: 7,   # vel_old -> mac vel
+            8: 9,    # g_sum   -> mac m0g
+            9: 10,   # g_mom   -> mac m1g
+            10: 7,   # vel_old -> mac vel
         },
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,

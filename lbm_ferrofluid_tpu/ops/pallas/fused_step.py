@@ -50,33 +50,58 @@ from .hcz3d import _feq_rows, _gamma_rows
 
 __all__ = [
     "lbm_prologue", "lbm_epilogue", "fused_step_supported", "emit_mac_fits",
+    "emit_mac_mode",
 ]
 
 
-def emit_mac_fits(shape, fg_dtype) -> bool:
-    """Will the emit_mac epilogue's VMEM footprint fit on a v5e chip?
+def emit_mac_mode(shape, fg_dtype) -> str | None:
+    """VMEM-gated ring layout for the emit_mac epilogue on a v5e chip.
 
     The trailing prologue stage costs a third store-ring slot per
     distribution plus the mac store/stash buffers; at f32 storage on
-    256^2 planes the fixed rings alone reach ~102 MB and Mosaic's scoped
-    temporaries (the 38 re-streamed f32 planes of the emission live
-    simultaneously with the collision's) push past the 120 MB budget —
-    measured OOM.  Empirical threshold: fixed rings <= 88 MB (bf16 256^2
-    ~61 MB passes, f32 256^2 fails -> those configs keep the separate
-    prologue kernel, which is the round-2 status quo).
+    256^2 planes the FULL layout's fixed rings alone reach ~98 MB and
+    Mosaic's scoped temporaries (the 38 re-streamed f32 planes of the
+    emission live simultaneously with the collision's) push past the
+    120 MB budget — measured OOM.  Empirical threshold: fixed rings
+    <= 88 MB (bf16 256^2 ~61 MB passes full; f32 256^2 fails).
+
+    * ``"full"``    — 4-slot input rings (prefetch depth 2), VMEM seam
+      stashes: the proven bf16 layout.
+    * ``"compact"`` — 3-slot input rings (prefetch depth 1, starts issued
+      at body end after the trailing plane's last read) and HBM seam
+      stashes: ~23% smaller fixed footprint, enabling mac-carry for f32
+      storage at 256^2 planes (~75 MB fixed).
+    * ``None``      — keep the separate prologue kernel.
     """
     _, _, Z, Y, X = shape
     bpp = jnp.dtype(fg_dtype).itemsize * Y * X
     f32p = 4 * Y * X
-    fixed = (
+    tail = (9 * 2 + 5) * f32p     # mac store ring + wrap flags/rho/vel
+    full = (
         2 * 19 * 4 * bpp          # f/g input rings
         + 4 * 4 * Y * X           # flags ring (int32)
         + 15 * 4 * f32p           # mac input ring
         + 2 * 19 * 3 * bpp        # collided store rings (NS=3)
-        + 2 * 19 * bpp            # seam stashes
-        + (9 * 2 + 5) * f32p      # mac store ring + wrap flags/rho/vel
+        + 2 * 19 * bpp            # VMEM seam stashes
+        + tail
     )
-    return fixed <= 88 * 1024 * 1024
+    if full <= 88 * 1024 * 1024:
+        return "full"
+    compact = (
+        2 * 19 * 3 * bpp          # f/g input rings (3 slots)
+        + 3 * 4 * Y * X           # flags ring
+        + 15 * 3 * f32p           # mac input ring
+        + 2 * 19 * 3 * bpp        # collided store rings
+        + tail                    # seams live in HBM
+    )
+    if compact <= 88 * 1024 * 1024:
+        return "compact"
+    return None
+
+
+def emit_mac_fits(shape, fg_dtype) -> bool:
+    """True when SOME emit_mac ring layout fits (see emit_mac_mode)."""
+    return emit_mac_mode(shape, fg_dtype) is not None
 
 _OBS = int(CellType.OBSTACLE)
 _FLUID = int(CellType.FLUID)
@@ -94,11 +119,11 @@ def _rem(a, n):
     return jax.lax.rem(a, jnp.asarray(n, a.dtype))
 
 
-def _in_copies(streams, w, Z):
+def _in_copies(streams, w, Z, nr=4):
     """Async copies of z-plane ``w mod Z`` of every input stream into ring
-    slot ``(w+1) % 4`` (the +1 keeps the preamble's w=-1 plane at slot 0)."""
+    slot ``(w+1) % nr`` (the +1 keeps the preamble's w=-1 plane at slot 0)."""
     src = _rem(w + Z, Z)
-    slot = _rem(w + 1, 4)
+    slot = _rem(w + 1, nr)
     return [
         pltpu.make_async_copy(
             ref.at[:, pl.ds(src, 1)], ring.at[:, pl.ds(slot, 1)],
@@ -273,7 +298,7 @@ def _prologue_kernel(c, rho_gas, rho_fluid, density_gas, density_fluid, Z,
 
 
 def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype, has_ghosts,
-                     emit_mac, mac_consts, *refs):
+                     emit_mac, mac_consts, compact, *refs):
     if has_ghosts and emit_mac:
         # slab mode + mac emission: interior mac planes [1, Z-2] only —
         # the two boundary planes need NEIGHBOR collided planes, which
@@ -299,6 +324,21 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype, has_ghosts,
          f_store, g_store,
          sem_f, sem_g, sem_fl, sem_mc, sem_fo, sem_go) = refs
         f_seam = g_seam = sem_s = None
+    elif emit_mac and compact:
+        # compact layout: 3-slot input rings + HBM seam stashes (extra
+        # ANY-space outputs, the poisson.py stash idiom) — enables
+        # mac-carry for f32 storage at 256^2 planes (see emit_mac_mode)
+        (f_ref, g_ref, flags_ref,
+         rho_ref, vel_ref, den_ref, pres_ref,
+         force_ref, dfai_ref, dprho_ref,
+         fout_ref, gout_ref,
+         mo_rho, mo_vel, mo_den, mo_m0g, mo_m1g,
+         f_seam, g_seam,
+         f_ring, g_ring, fl_ring, mc_ring,
+         f_store, g_store, mac_store, flpost, mcpost,
+         sem_f, sem_g, sem_fl, sem_mc, sem_fo, sem_go, sem_s,
+         sem_mo, sem_post) = refs
+        flo_ref = fhi_ref = glo_ref = ghi_ref = None
     elif emit_mac:
         (f_ref, g_ref, flags_ref,
          rho_ref, vel_ref, den_ref, pres_ref,
@@ -320,6 +360,7 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype, has_ghosts,
          sem_f, sem_g, sem_fl, sem_mc, sem_fo, sem_go, sem_s) = refs
         flo_ref = fhi_ref = glo_ref = ghi_ref = None
     NS = 3 if emit_mac else 2  # collided-store ring slots
+    NR = 3 if compact else 4   # input ring slots (prefetch depth NR-2)
     lat = D3Q19
     Y, X = f_ref.shape[2], f_ref.shape[3]
     c = dx / dt
@@ -339,7 +380,7 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype, has_ghosts,
 
     def mac_copies(w):
         src = _rem(w + Z, Z)
-        slot = _rem(w + 1, 4)
+        slot = _rem(w + 1, NR)
         return [
             pltpu.make_async_copy(
                 ref.at[:, pl.ds(src, 1)],
@@ -353,6 +394,9 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype, has_ghosts,
     # write starts at the end of body p — ordered.  The ONLY late re-read
     # is the z-wrap plane 0 at w=Z (body Z-2), long after plane 0 was
     # overwritten at body 0, so plane 0 is stashed pristine at preamble.
+    def in_cps(w, s=None):
+        return _in_copies(streams if s is None else s, w, Z, NR)
+
     if has_ghosts:
         # slab mode: the two wrap reads come from neighbor ghost refs, so
         # no pristine-plane stash is needed despite the in-place aliasing
@@ -360,25 +404,27 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype, has_ghosts,
         for cp in _ghost_copies(0, [(flo_ref, f_ring, sem_f),
                                     (glo_ref, g_ring, sem_g)]):
             cp.start()
-        for cp in _in_copies(streams[2:], -1, Z) + mac_copies(-1):
+        for cp in in_cps(-1, streams[2:]) + mac_copies(-1):
             cp.start()
     else:
+        # compact layout: f_seam/g_seam are HBM (ANY) output buffers — the
+        # stash DMA is HBM->HBM, freeing 2x19 VMEM planes
         seam_cps = [
             pltpu.make_async_copy(f_ref.at[:, pl.ds(0, 1)], f_seam, sem_s.at[0]),
             pltpu.make_async_copy(g_ref.at[:, pl.ds(0, 1)], g_seam, sem_s.at[1]),
         ]
         for cp in seam_cps:
             cp.start()
-        for cp in _in_copies(streams, -1, Z) + mac_copies(-1):
+        for cp in in_cps(-1) + mac_copies(-1):
             cp.start()
 
     for w in (0, 1):
-        for cp in _in_copies(streams, w, Z) + mac_copies(w):
+        for cp in in_cps(w) + mac_copies(w):
             cp.start()
     for cp in seam_cps:  # must land before plane 0's in-place write (t=0)
         cp.wait()
     for w in (-1, 0):
-        for cp in _in_copies(streams, w, Z) + mac_copies(w):
+        for cp in in_cps(w) + mac_copies(w):
             cp.wait()
 
     def out_copies(t):
@@ -450,16 +496,20 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype, has_ghosts,
         for cp in mac_copy(j, p):
             cp.start()
 
-    def body(t, _):
-        # every plane in [1, Z] is waited exactly once (plane Z is the
-        # z-wrap copy of plane 0 needed at t = Z-1) — an unconsumed DMA
-        # semaphore at kernel exit faults real hardware
-        for cp in _in_copies(streams, t + 1, Z) + mac_copies(t + 1):
-            cp.wait()
+    def issue_next(t):
+        """Start the DMA of plane t+2 (or the z-wrap reads).
+
+        FULL layout: issued at body top — slot (t+3)%4 is free (its plane
+        t-1 was only READ planes ago... it is still being read this body,
+        but a 4th slot exists precisely so the target differs from every
+        live plane).  COMPACT layout: slot (t+3)%3 == plane t-1's slot,
+        which this body still reads — so the caller issues this at body
+        END, after the last read of plane t-1 (program order keeps the
+        vector reads ahead of the DMA start)."""
 
         @pl.when(t + 2 <= Z - 1)
         def _():
-            for cp in _in_copies(streams, t + 2, Z) + mac_copies(t + 2):
+            for cp in in_cps(t + 2) + mac_copies(t + 2):
                 cp.start()
 
         @pl.when(t + 2 == Z)
@@ -468,7 +518,7 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype, has_ghosts,
             # plane 0 was overwritten in place at body 0) — or, in slab
             # mode, from the z-next neighbor's ghost planes; flags/mac are
             # not aliased, so they re-read normally
-            slot = _rem(Z + 1, 4)
+            slot = _rem(Z + 1, NR)
             if has_ghosts:
                 for cp in _ghost_copies(slot, [(fhi_ref, f_ring, sem_f),
                                                (ghi_ref, g_ring, sem_g)]):
@@ -480,12 +530,22 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype, has_ghosts,
                 pltpu.make_async_copy(
                     g_seam, g_ring.at[:, pl.ds(slot, 1)], sem_g.at[slot]
                 ).start()
-            for cp in _in_copies(streams[2:], Z, Z) + mac_copies(Z):
+            for cp in in_cps(Z, streams[2:]) + mac_copies(Z):
                 cp.start()
 
-        s0 = _rem(t + 1, 4)
-        sm = _rem(t, 4)
-        sp = _rem(t + 2, 4)
+    def body(t, _):
+        # every plane in [1, Z] is waited exactly once (plane Z is the
+        # z-wrap copy of plane 0 needed at t = Z-1) — an unconsumed DMA
+        # semaphore at kernel exit faults real hardware
+        for cp in in_cps(t + 1) + mac_copies(t + 1):
+            cp.wait()
+
+        if not compact:
+            issue_next(t)
+
+        s0 = _rem(t + 1, NR)
+        sm = _rem(t, NR)
+        sp = _rem(t + 2, NR)
         flags_row = fl_ring[0, s0]
         # re-stream and round through the storage dtype: bit-identical to
         # what the classic path's post-stream writeback stored
@@ -556,10 +616,10 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype, has_ghosts,
         if emit_mac:
             # trailing prologue stage at lag 1: collided planes t-2..t are
             # resident in the NS=3-slot store rings; flags / old rho+vel of
-            # plane t-1 still live in their 4-slot input rings
+            # plane t-1 still live in their NR-slot input rings
             @pl.when(t >= 2)
             def _():
-                s_in = _rem(t, 4)  # input-ring slot of plane t-1
+                s_in = _rem(t, NR)  # input-ring slot of plane t-1
                 emit_mac_plane(
                     t - 2, t - 1,
                     _rem(t - 1, NS), _rem(t - 2, NS), _rem(t, NS),
@@ -567,6 +627,10 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype, has_ghosts,
                     mc_ring[0, s_in],
                     [mc_ring[1 + d, s_in] for d in range(3)],
                 )
+        if compact:
+            # 3-slot rings: plane t+2 lands in plane t-1's slot, whose
+            # last reads (stream sm + the emission's s_in) are above
+            issue_next(t)
         return 0
 
     jax.lax.fori_loop(0, Z, body, 0)
@@ -617,7 +681,7 @@ def _epilogue_kernel(tau_f, tau_g, dx, dt, Z, fg_dtype, has_ghosts,
             cp.start()
         for cp in post0:
             cp.wait()
-        s_in = _rem(Z, 4)  # input-ring slot of plane Z-1
+        s_in = _rem(Z, NR)  # input-ring slot of plane Z-1
         emit_mac_plane(
             Z - 2, Z - 1,
             _rem(Z - 1, NS), _rem(Z - 2, NS), slot_a,
@@ -709,12 +773,13 @@ def lbm_prologue(
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "tau_f", "tau_g", "dx", "dt", "emit_mac", "mac_consts", "interpret",
+    "tau_f", "tau_g", "dx", "dt", "emit_mac", "mac_consts", "compact",
+    "interpret",
 ))
 def lbm_epilogue(
     f, g, flags, rho, vel, density, pressure, force, dfai, dprho,
     ghosts=None, *, tau_f, tau_g, dx=1.0, dt=1.0, emit_mac=False,
-    mac_consts=None, interpret=False,
+    mac_consts=None, compact=False, interpret=False,
 ):
     """Re-stream f and g and apply the fused HCZ collision in one pass.
 
@@ -752,18 +817,22 @@ def lbm_epilogue(
     assert not (has_ghosts and emit_mac) or Z >= 4, (
         "slab-mode emit_mac needs local slabs of >= 4 planes"
     )
+    assert not compact or (emit_mac and not has_ghosts), (
+        "compact ring layout exists for the single-device emit_mac config"
+    )
     extra = [gh[0] for gh in ghosts] if has_ghosts else []
     NS = 3 if emit_mac else 2
+    NR = 3 if compact else 4
 
     scratch = [
-        pltpu.VMEM((19, 4, Y, X), f.dtype),
-        pltpu.VMEM((19, 4, Y, X), g.dtype),
-        pltpu.VMEM((1, 4, Y, X), jnp.int32),
-        pltpu.VMEM((15, 4, Y, X), jnp.float32),
+        pltpu.VMEM((19, NR, Y, X), f.dtype),
+        pltpu.VMEM((19, NR, Y, X), g.dtype),
+        pltpu.VMEM((1, NR, Y, X), jnp.int32),
+        pltpu.VMEM((15, NR, Y, X), jnp.float32),
         pltpu.VMEM((19, NS, Y, X), f.dtype),
         pltpu.VMEM((19, NS, Y, X), g.dtype),
     ]
-    if not has_ghosts:
+    if not has_ghosts and not compact:
         scratch += [
             pltpu.VMEM((19, 1, Y, X), f.dtype),
             pltpu.VMEM((19, 1, Y, X), g.dtype),
@@ -805,11 +874,19 @@ def lbm_epilogue(
             jax.ShapeDtypeStruct((1, Z, Y, X), jnp.float32),
             jax.ShapeDtypeStruct((3, Z, Y, X), jnp.float32),
         ]
+        if compact:
+            # HBM seam stashes (the poisson.py idiom): ANY-space outputs
+            # standing in for the VMEM stash planes the compact ring
+            # layout gives up — discarded by the caller
+            out_shape += [
+                jax.ShapeDtypeStruct((19, 1, Y, X), f.dtype),
+                jax.ShapeDtypeStruct((19, 1, Y, X), g.dtype),
+            ]
 
     out = pl.pallas_call(
         functools.partial(
             _epilogue_kernel, tau_f, tau_g, dx, dt, Z, f.dtype, has_ghosts,
-            emit_mac, tuple(mac_consts) if mac_consts else None,
+            emit_mac, tuple(mac_consts) if mac_consts else None, compact,
         ),
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (10 + len(extra)),
@@ -824,6 +901,6 @@ def lbm_epilogue(
     )(f[0], g[0], flags_i32, *macs, *extra)
     if emit_mac:
         f_new, g_new = out[0], out[1]
-        return f_new[None], g_new[None], tuple(m[None] for m in out[2:])
+        return f_new[None], g_new[None], tuple(m[None] for m in out[2:7])
     f_new, g_new = out
     return f_new[None], g_new[None]

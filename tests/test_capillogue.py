@@ -80,7 +80,7 @@ def test_capillogue_matches_composition(dtype, Z, emit_rhs):
     )
 
     g_f, g_g, g_vel, g_pres, g_force, g_den, g_mac = lbm_capillogue(
-        f, g, flags, rho_pre, density_pre, pressure, rho_ca, H2, phi,
+        f, g, flags, rho_pre, density_pre, pressure, rho_ca, H2,
         g_sum, g_mom, vel_old, mflags if emit_rhs else None,
         tau_f=TAU_F, tau_g=TAU_G, emit_rhs=emit_rhs, **kw,
     )

@@ -112,12 +112,16 @@ def test_epilogue_matches_classic(dtype):
         )
 
 
+@pytest.mark.parametrize("compact", [False, True], ids=["full", "compact"])
 @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
 @pytest.mark.parametrize("Z", [4, 7])
-def test_epilogue_emit_mac_matches_prologue(dtype, Z):
+def test_epilogue_emit_mac_matches_prologue(dtype, Z, compact):
     """The emit_mac trailing stage == running the classic prologue on the
     epilogue's written-back f', g' (mac-carry correctness), and it leaves
-    f'/g' themselves bit-identical to the plain epilogue."""
+    f'/g' themselves bit-identical to the plain epilogue.  The compact
+    ring layout (3-slot input rings + HBM seam stashes, the f32-at-256^2
+    configuration — emit_mac_mode) must be bit-identical to full: only
+    the DMA schedule differs."""
     import jax.numpy as jnp
 
     from lbm_ferrofluid_tpu.ops.pallas.fused_step import (
@@ -148,7 +152,7 @@ def test_epilogue_emit_mac_matches_prologue(dtype, Z):
     f1, g1 = _epi(f, g, flags, rho, vel, den, pres, force, dfai, dprho, **kw)
     f2, g2, mac = _epi(
         f, g, flags, rho, vel, den, pres, force, dfai, dprho,
-        emit_mac=True, mac_consts=tuple(mk.values()), **kw,
+        emit_mac=True, mac_consts=tuple(mk.values()), compact=compact, **kw,
     )
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))

@@ -1,0 +1,114 @@
+"""Measure the sharded fast path's per-chip overhead on ONE real chip.
+
+VERDICT r2 #4: the ghost-plane kernel variants + shard_map glue had never
+been timed on hardware.  Running the shard_map path on a 1-device
+('batch'=1, 'z'=1) mesh at the flagship resolution measures exactly the
+cost delta of the slab-mode kernel machinery (ghost refs in place of wrap
+DMAs, depth-k Poisson halo exchange that degenerates to self-permutes,
+boundary mac fix-ups) against the single-device kernels — the only
+multi-chip performance evidence obtainable on one chip.
+
+Usage:  python tools/bench_sharded_overhead.py [Z Y X] [steps]
+Prints one JSON line: single-chip MLUPS, sharded-on-1 MLUPS, overhead %,
+and the implied N-chip aggregate projection MLUPS(N) = N * per_chip *
+(1 - overhead) for N in {4, 8, 16}.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    res = (256, 256, 256)
+    steps = 20
+    args = sys.argv[1:]
+    if len(args) >= 3:
+        res = tuple(int(x) for x in args[:3])
+        args = args[3:]
+    if args:
+        steps = int(args[0])
+
+    import jax
+
+    import bench
+    from lbm_ferrofluid_tpu.models import (
+        SimulationParams,
+        SimulationRunner,
+        ferrofluid_step_impl,
+        prime_premac,
+    )
+    from lbm_ferrofluid_tpu.parallel.mesh import make_mesh
+    from lbm_ferrofluid_tpu.parallel.sharding import shard_state, state_shardings
+    from lbm_ferrofluid_tpu.models.runner import sync
+
+    params = SimulationParams(
+        dim=3, density_gas=0.02381, density_fluid=0.2508,
+        rho_gas=0.02381, rho_fluid=0.2508, kappa=0.01,
+        tau_f=0.68, tau_g=0.68, gravity=1e-4, mag_strength=85.0,
+        poisson_iters=30, h_dtype="bfloat16", fg_dtype="bfloat16",
+    )
+    sites = int(np.prod(res))
+
+    def time_steps(step_fn, state, label):
+        # warmup (compile) + timed chunk; sync via host readback (CLAUDE.md:
+        # block_until_ready does not block under the tunneled backend)
+        state = step_fn(state)
+        sync(state)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state = step_fn(state)
+        sync(state)
+        dt = time.perf_counter() - t0
+        mlups = sites * steps / dt / 1e6
+        print(f"{label}: {mlups:.1f} MLUPS ({dt:.2f}s/{steps} steps)",
+              flush=True)
+        return mlups
+
+    # --- single-chip fast path ------------------------------------------
+    state = bench.build_state(params, res)
+    state = prime_premac(params, state)
+    runner = SimulationRunner(params, ferrofluid_step_impl)
+    state, stats = runner.benchmark(state, n_steps=steps, warmup=2, repeats=1)
+    single = stats["mlups"]
+    print(f"single-chip: {single:.1f} MLUPS", flush=True)
+
+    # --- shard_map path on a 1-device mesh ------------------------------
+    mesh = make_mesh(("batch", "z"), (1, 1), devices=jax.devices()[:1])
+    state_s = bench.build_state(params, res)
+    state_s = shard_state(state_s, mesh)
+    state_s = prime_premac(params, state_s, mesh=mesh)
+    mac_carried = state_s.premac is not None
+    step_s = jax.jit(
+        lambda s: ferrofluid_step_impl(params, s, mesh=mesh),
+        out_shardings=state_shardings(state_s, mesh),
+        donate_argnums=0,
+    )
+    sharded = time_steps(step_s, state_s, "shard_map-on-1")
+
+    overhead = 1.0 - sharded / single
+    out = {
+        "res": list(res), "steps": steps,
+        "single_chip_mlups": round(single, 1),
+        "sharded_1dev_mlups": round(sharded, 1),
+        "overhead_pct": round(100 * overhead, 2),
+        "sharded_mac_carry": bool(mac_carried),
+        "projection_note": "aggregate(N) = N * sharded_1dev (per-chip slab "
+                           "cost measured; ICI exchange latency NOT "
+                           "included — needs a real multi-chip slice)",
+        "aggregate_projection": {
+            str(n): round(n * sharded, 1) for n in (4, 8, 16, 32)
+        },
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
