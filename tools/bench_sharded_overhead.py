@@ -17,6 +17,7 @@ and the implied N-chip aggregate projection MLUPS(N) = N * per_chip *
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import sys
 import time
@@ -24,6 +25,11 @@ import time
 import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 def main():

@@ -1,0 +1,129 @@
+"""Hardware validation: N-step full-state parity of the Pallas fast path
+vs the jnp path, ON THE REAL CHIP.
+
+VERDICT r2 #3/#2: interpret mode has lied before (the fused_step
+unconsumed-DMA bug passed interpreted and faulted hardware), so every
+kernel on the default path must earn an on-chip parity check.  The
+established bar: 30 steps f32, relative error <= 5e-5 (FMA-level) on
+every state field.
+
+Usage:  python tools/hw_validate.py [Z Y X] [steps] [fg_dtype]
+
+Pick the resolution to exercise the config under test:
+  * 256 256 256 f32  — compact-ring mac-carry epilogue (emit_mac_mode ->
+    "compact") + capmac; capillogue does not fit f32 at 256^2 planes.
+  * 64 128 256 f32   — capillogue + emit_rhs + contact3d fit at f32
+    (smaller planes): validates the full steady-state fusion stack in f32
+    where a 5e-5 bar is meaningful.
+  * bfloat16 modes track f32 physics (tests/test_bf16_physics.py), not
+    5e-5 parity — use fg_dtype=bfloat16 only for crash/finiteness checks.
+
+Prints one JSON line with per-field max relative errors and pass/fail.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon site hook pins the TPU platform; the env var alone is not
+    # enough to force CPU (CLAUDE.md)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+TOL = 5e-5
+
+
+def rel_err(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    denom = np.maximum(np.abs(b).max(), 1e-30)
+    return float(np.abs(a - b).max() / denom)
+
+
+def main():
+    res = (256, 256, 256)
+    steps = 30
+    dtype = "float32"
+    args = sys.argv[1:]
+    if len(args) >= 3:
+        res = tuple(int(x) for x in args[:3])
+        args = args[3:]
+    if args and args[0].isdigit():
+        steps = int(args[0])
+        args = args[1:]
+    if args:
+        dtype = args[0]
+
+    import bench
+    from lbm_ferrofluid_tpu.models import (
+        SimulationParams,
+        SimulationRunner,
+        ferrofluid_step_impl,
+        prime_premac,
+    )
+
+    def make(use_pallas):
+        p = SimulationParams(
+            dim=3, density_gas=0.02381, density_fluid=0.2508,
+            rho_gas=0.02381, rho_fluid=0.2508, kappa=0.01,
+            tau_f=0.68, tau_g=0.68, gravity=1e-4, mag_strength=85.0,
+            poisson_iters=30, h_dtype=dtype, fg_dtype=dtype,
+            use_pallas=use_pallas,
+        )
+        s = bench.build_state(p, res)
+        if use_pallas:
+            s = prime_premac(p, s)
+        return p, s
+
+    from lbm_ferrofluid_tpu.ops.pallas.capillogue import capillogue_fits
+    from lbm_ferrofluid_tpu.ops.pallas.fused_step import emit_mac_mode
+
+    import jax.numpy as jnp
+
+    shape = (1, 19, *res)
+    dt_ = jnp.dtype(dtype)
+    print(f"config: res={res} steps={steps} dtype={dtype} "
+          f"emit_mac_mode={emit_mac_mode(shape, dt_)} "
+          f"capillogue_fits={capillogue_fits(shape, dt_)}", flush=True)
+
+    p_fast, s_fast = make(True)
+    runner_fast = SimulationRunner(p_fast, ferrofluid_step_impl)
+    s_fast = runner_fast.run(s_fast, steps)
+    print("fast path done", flush=True)
+
+    p_ref, s_ref = make(False)
+    runner_ref = SimulationRunner(p_ref, ferrofluid_step_impl)
+    s_ref = runner_ref.run(s_ref, steps)
+    print("jnp path done", flush=True)
+
+    fields = ["f", "g", "h", "density", "vel", "pressure", "force"]
+    errs = {
+        name: rel_err(getattr(s_fast, name), getattr(s_ref, name))
+        for name in fields
+    }
+    check = dtype == "float32"
+    ok = (not check) or all(e <= TOL for e in errs.values())
+    finite = all(
+        bool(np.isfinite(np.asarray(getattr(s_fast, n), np.float32)).all())
+        for n in fields
+    )
+    print(json.dumps({
+        "res": list(res), "steps": steps, "dtype": dtype,
+        "tol": TOL if check else None,
+        "max_rel_err": errs, "finite": finite,
+        "ok": bool(ok and finite),
+    }), flush=True)
+    sys.exit(0 if (ok and finite) else 1)
+
+
+if __name__ == "__main__":
+    main()

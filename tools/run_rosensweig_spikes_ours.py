@@ -15,12 +15,18 @@ tests/golden/rosensweig3d_spikes_ours_<mode>.npz and prints a JSON summary.
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import sys
 
 import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 from tools.spike_metric import compare_runs, interface_height, spike_stats  # noqa: E402
 
