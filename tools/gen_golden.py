@@ -536,7 +536,7 @@ def gen_rosensweig_3d_long(steps=200, res=(64, 33, 64), mag=100.0,
     for step, d in snaps.items():
         for k, v in d.items():
             out[f"{k}_{step}"] = v
-    np.savez(OUT / "rosensweig3d_200.npz", **out)
+    np.savez_compressed(OUT / "rosensweig3d_200.npz", **out)
     print("rosensweig3d_200 written")
 
 
