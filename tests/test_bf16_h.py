@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from lbm_ferrofluid_tpu import CellType
 from lbm_ferrofluid_tpu.models import (
@@ -9,6 +10,8 @@ from lbm_ferrofluid_tpu.models import (
     ferrofluid_step,
     init_ferrofluid_state,
 )
+
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / long-horizon: fast tier skips
 
 
 def _scene(h_dtype):

@@ -19,10 +19,13 @@ import dataclasses
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from lbm_ferrofluid_tpu import CellType
 from lbm_ferrofluid_tpu.models import SimulationRunner, ferrofluid_step_impl
 from lbm_ferrofluid_tpu.models.scenes import rosensweig_2d
+
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / long-horizon: fast tier skips
 
 CHECKPOINTS = (1000, 2000)
 

@@ -15,6 +15,8 @@ from lbm_ferrofluid_tpu.ops.pallas.capillogue import (
 from lbm_ferrofluid_tpu.ops.pallas.capmac import hcz_capillary_gradmac
 from lbm_ferrofluid_tpu.ops.pallas.fused_step import lbm_epilogue
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / long-horizon: fast tier skips
+
 RG, RF = 0.02381, 0.2508
 DX = DT = 1.0
 KAPPA = 0.01

@@ -18,6 +18,8 @@ from lbm_ferrofluid_tpu.ops.pallas.stencil3d import (
     laplacian_field,
 )
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / long-horizon: fast tier skips
+
 RG, RF = 0.02381, 0.2508
 DX = DT = 1.0
 RT = (DX / DT) ** 2 / 3.0

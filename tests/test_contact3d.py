@@ -13,6 +13,7 @@ from lbm_ferrofluid_tpu.ops.pallas.contact3d import (
 )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("Z", [4, 5, 9])
 @pytest.mark.parametrize("angle", [0.5 * np.pi, 0.3 * np.pi])
 def test_contact3d_matches_jnp(Z, angle):

@@ -45,6 +45,24 @@ def test_supported():
     assert not fused_step_supported(D3Q19, (1, 19, 6, 8, 130))
 
 
+def test_emit_mac_mode_gate():
+    from lbm_ferrofluid_tpu.ops.pallas.fused_step import (
+        emit_mac_fits,
+        emit_mac_mode,
+    )
+
+    # the flagship 256^3 configs: bf16 keeps the proven full layout; f32's
+    # full rings measured OOM on v5e -> compact
+    assert emit_mac_mode((1, 19, 256, 256, 256), jnp.bfloat16) == "full"
+    assert emit_mac_mode((1, 19, 256, 256, 256), jnp.float32) == "compact"
+    # smaller planes fit the full layout even at f32
+    assert emit_mac_mode((1, 19, 64, 128, 256), jnp.float32) == "full"
+    # absurd planes fit nothing
+    assert emit_mac_mode((1, 19, 16, 1024, 1024), jnp.float32) is None
+    assert emit_mac_fits((1, 19, 256, 256, 256), jnp.float32)
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
 def test_prologue_matches_classic(dtype):
     f, g, flags, rho_old, vel_old = _setup(jnp.dtype(dtype))
@@ -69,6 +87,7 @@ def test_prologue_matches_classic(dtype):
         )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
 def test_epilogue_matches_classic(dtype):
     f, g, flags, rho_old, vel_old = _setup(jnp.dtype(dtype))
@@ -112,6 +131,7 @@ def test_epilogue_matches_classic(dtype):
         )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("compact", [False, True], ids=["full", "compact"])
 @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
 @pytest.mark.parametrize("Z", [4, 7])

@@ -58,6 +58,7 @@ def test_poisson_kernel_matches_reference(n_iters):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
 @pytest.mark.parametrize("variant", ["v1", "v2", "v3"])
 @pytest.mark.parametrize("n_iters", [7, 30])
@@ -107,6 +108,7 @@ def test_multisweep_matches_single_sweep(n_iters, variant, dtype):
     np.testing.assert_array_equal(np.asarray(psi_ms), np.asarray(psi_ref))
 
 
+@pytest.mark.slow
 def test_wavefront_f32_stages_track_f32_solution():
     """The explicit f32-stage-ring option (benched ~10% slower on TPU, so
     not the default — see _wf_plan_full) must be at least as close to the
@@ -142,6 +144,7 @@ def test_wavefront_f32_stages_track_f32_solution():
     assert err_hi < 2e-3, err_hi
 
 
+@pytest.mark.slow
 def test_wavefront_hint_matches_psi_grad_composition():
     """emit='hint' (trailing in-kernel grad stage) must reproduce the
     psi-substitution + grad_fields(ring_fix) composition it replaces
@@ -178,6 +181,7 @@ def test_wavefront_hint_matches_psi_grad_composition():
     )
 
 
+@pytest.mark.slow
 def test_wavefront_h2_matches_hint_composition():
     """emit='h2' must equal |h_ext + H_int|^2 of the emit='hint' output
     (the in-register fold of the constant external field)."""

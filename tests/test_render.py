@@ -206,6 +206,7 @@ class TestCameraModes:
         assert float(out[0, 3].max()) > 0.5  # triangle visible
 
 
+@pytest.mark.slow
 class TestTiledRasterizer:
     """Face-culling path (VERDICT r1 #7): tile buckets + bounded residual
     must reproduce the dense pass exactly for every aggregation mode."""
@@ -272,6 +273,7 @@ class TestTiledRasterizer:
             )
 
 
+@pytest.mark.slow
 class TestRasterizerBackward:
     """Gradient coverage across texture types and aggregation modes
     (VERDICT r1 #8) — the CUDA reference ships a hand-written backward

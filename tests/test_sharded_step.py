@@ -23,6 +23,8 @@ from lbm_ferrofluid_tpu.parallel import step3d
 from lbm_ferrofluid_tpu.parallel.mesh import make_mesh
 from lbm_ferrofluid_tpu.parallel.sharding import shard_state
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / long-horizon: fast tier skips
+
 
 def _mesh_z(nz=4):
     return make_mesh(("z",), (nz,), devices=jax.devices()[:nz])
