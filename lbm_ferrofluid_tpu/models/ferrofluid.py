@@ -362,6 +362,8 @@ def ferrofluid_step_impl(
         from ..parallel.step3d import fused_epilogue_sharded
 
         if state.premac is not None:
+            from ..ops.pallas.fused_step import emit_mac_mode
+
             f, g, premac = fused_epilogue_sharded(
                 state.f, state.g, state.flags, rho, vel, density, pressure,
                 force, dfai, dprho, mesh, tau_f=params.tau_f,
@@ -369,7 +371,11 @@ def ferrofluid_step_impl(
                 mac_consts=(
                     c, float(params.rho_gas), float(params.rho_fluid),
                     float(params.density_gas), float(params.density_fluid),
-                ), interpret=interp,
+                ),
+                compact=(
+                    emit_mac_mode(state.f.shape, state.f.dtype) == "compact"
+                ),
+                interpret=interp,
             )
         else:
             f, g = fused_epilogue_sharded(
@@ -456,14 +462,10 @@ def prime_premac(
         )
 
         interp = default_interpret()
-        from ..ops.pallas.fused_step import emit_mac_mode
-
         if not (
             fused_step_sharded_ok(mesh, state.f.shape, params.kbc_type, interp)
-            and emit_mac_mode(state.f.shape, state.f.dtype) == "full"
+            and emit_mac_fits(state.f.shape, state.f.dtype)
         ):
-            # the compact layout has no slab-mode variant (yet): sharded
-            # mac-carry engages only where the full rings fit
             return state
         rho, vel, density, m0g, m1g = fused_prologue_sharded(
             state.f, state.g, state.flags, state.rho, state.vel, mesh,

@@ -817,8 +817,8 @@ def lbm_epilogue(
     assert not (has_ghosts and emit_mac) or Z >= 4, (
         "slab-mode emit_mac needs local slabs of >= 4 planes"
     )
-    assert not compact or (emit_mac and not has_ghosts), (
-        "compact ring layout exists for the single-device emit_mac config"
+    assert not compact or emit_mac, (
+        "compact ring layout exists for the emit_mac configs only"
     )
     extra = [gh[0] for gh in ghosts] if has_ghosts else []
     NS = 3 if emit_mac else 2
@@ -874,10 +874,11 @@ def lbm_epilogue(
             jax.ShapeDtypeStruct((1, Z, Y, X), jnp.float32),
             jax.ShapeDtypeStruct((3, Z, Y, X), jnp.float32),
         ]
-        if compact:
+        if compact and not has_ghosts:
             # HBM seam stashes (the poisson.py idiom): ANY-space outputs
             # standing in for the VMEM stash planes the compact ring
-            # layout gives up — discarded by the caller
+            # layout gives up — discarded by the caller.  Slab mode has no
+            # z-wrap re-reads (ghost refs replace them), so no seams.
             out_shape += [
                 jax.ShapeDtypeStruct((19, 1, Y, X), f.dtype),
                 jax.ShapeDtypeStruct((19, 1, Y, X), g.dtype),

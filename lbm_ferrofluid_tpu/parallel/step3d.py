@@ -269,7 +269,7 @@ def _mac_plane_jnp(fw, gw, flags_p, rho_old, vel_old, mac_consts):
 def fused_epilogue_sharded(
     f, g, flags, rho, vel, density, pressure, force, dfai, dprho, mesh, *,
     tau_f, tau_g, dx=1.0, dt=1.0, emit_mac=False, mac_consts=None,
-    interpret=False,
+    compact=False, interpret=False,
 ):
     """shard_map slab version of ops.pallas.fused_step.lbm_epilogue.
 
@@ -278,6 +278,11 @@ def fused_epilogue_sharded(
     emits the interior planes of each slab, then the two boundary planes —
     whose stream windows need NEIGHBOR collided planes — are fixed up here
     from one extra ring exchange of the just-collided f'/g' edge planes.
+
+    ``compact=True`` selects the 3-slot-input-ring layout (emit_mac only —
+    the VMEM gate that enables mac-carry for f32 storage at 256^2 planes;
+    slab mode needs no seam stashes since the ghost refs replace the
+    z-wrap re-reads entirely).
     """
     spec = _spec(mesh)
 
@@ -291,7 +296,8 @@ def fused_epilogue_sharded(
         f_n, g_n, mac = lbm_epilogue(
             f, g, flags, rho, vel, density, pressure, force, dfai, dprho,
             _fg_ghosts(f, g), tau_f=tau_f, tau_g=tau_g, dx=dx, dt=dt,
-            emit_mac=True, mac_consts=mac_consts, interpret=interpret,
+            emit_mac=True, mac_consts=mac_consts, compact=compact,
+            interpret=interpret,
         )
         # collided boundary planes from the ring neighbors (one more
         # exchange over ICI — 2x19 planes each way)

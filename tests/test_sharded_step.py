@@ -137,10 +137,13 @@ def test_fused_prologue_epilogue_sharded_match(fields, rng):
     )
 
 
-def test_fused_epilogue_sharded_emit_mac(fields, rng):
+@pytest.mark.parametrize("compact", [False, True], ids=["full", "compact"])
+def test_fused_epilogue_sharded_emit_mac(fields, rng, compact):
     """Sharded mac-carry: the slab-mode epilogue's in-kernel interior
     emissions + the post-kernel ring fix-up of the two boundary planes ==
-    the single-device emit_mac kernel."""
+    the single-device emit_mac kernel.  The compact (3-slot-ring) layout —
+    the f32-at-256^2-planes VMEM gate — must be bit-identical to full in
+    slab mode too (no seam stashes there: ghost refs replace the wraps)."""
     from lbm_ferrofluid_tpu.ops.pallas.fused_step import lbm_epilogue
 
     f, flags = fields
@@ -163,7 +166,7 @@ def test_fused_epilogue_sharded_emit_mac(fields, rng):
     # 2-device mesh: local slabs of 4 planes (the slab emit_mac floor)
     f_s, g_s, mac_s = step3d.fused_epilogue_sharded(
         f, g, flags, rho, vel, den, pres, force, dfai, dprho, _mesh_z(2),
-        emit_mac=True, mac_consts=mk, interpret=True, **kw,
+        emit_mac=True, mac_consts=mk, compact=compact, interpret=True, **kw,
     )
     np.testing.assert_allclose(
         np.asarray(f_s), np.asarray(f_ref), rtol=1e-6, atol=1e-7

@@ -35,9 +35,12 @@ GOLDEN = pathlib.Path(__file__).resolve().parent.parent / "tests" / "golden"
 
 def main(mode: str = "f32"):
     ref = np.load(GOLDEN / "rosensweig3d_spikes_ref.npz")
-    snaps = sorted(int(k.split("_")[1]) for k in ref.files
-                   if k.startswith("den_"))
-    assert snaps, "reference spike run has no snapshots yet"
+    have = sorted(int(k.split("_")[1]) for k in ref.files
+                  if k.startswith("den_"))
+    assert have, "reference spike run has no snapshots yet"
+    # run the full planned horizon even if the (slow, incremental) reference
+    # run hasn't landed all snapshots yet — ours are stored for later compare
+    snaps = list(range(have[0], max(have[-1], 4000) + 1, have[0]))
 
     from lbm_ferrofluid_tpu.models import (
         SimulationParams,
@@ -66,25 +69,30 @@ def main(mode: str = "f32"):
 
     out = {"mode": mode, "snapshots": {}}
     save = {}
+    out_path = GOLDEN / f"rosensweig3d_spikes_ours_{mode}.npz"
     prev = 0
     for step in snaps:
         state = runner.run(state, step - prev)
         prev = step
         den = np.asarray(state.density, np.float32)
         save[f"den_{step}"] = den
-        m = compare_runs(ref[f"den_{step}"][0, 0], den[0, 0])
-        out["snapshots"][step] = {
-            k: (v if not isinstance(v, (np.floating, np.bool_)) else
-                (float(v) if isinstance(v, np.floating) else bool(v)))
-            for k, v in m.items()
-        }
-        print(f"step {step}: ref k={m['ref']['k_dominant']} "
-              f"ours k={m['ours']['k_dominant']} "
-              f"amp_ratio={m['amp_ratio']:.3f} "
-              f"corr={m['height_correlation']:.3f}", flush=True)
+        # incremental save: a partial run still yields usable data
+        np.savez(out_path, **save, mag=ref["mag"], gravity=ref["gravity"])
+        s = spike_stats(interface_height(den[0, 0]))
+        line = (f"step {step}: ours k={s['k_dominant']} "
+                f"amp_std={s['amp_std']:.4f}")
+        if f"den_{step}" in ref.files:
+            m = compare_runs(ref[f"den_{step}"][0, 0], den[0, 0])
+            out["snapshots"][step] = {
+                k: (v if not isinstance(v, (np.floating, np.bool_)) else
+                    (float(v) if isinstance(v, np.floating) else bool(v)))
+                for k, v in m.items()
+            }
+            line += (f" | ref k={m['ref']['k_dominant']} "
+                     f"amp_ratio={m['amp_ratio']:.3f} "
+                     f"corr={m['height_correlation']:.3f}")
+        print(line, flush=True)
 
-    np.savez(GOLDEN / f"rosensweig3d_spikes_ours_{mode}.npz",
-             **save, mag=ref["mag"], gravity=ref["gravity"])
     print(json.dumps(out, default=str))
 
 
