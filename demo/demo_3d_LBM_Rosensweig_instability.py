@@ -1,7 +1,7 @@
 """3D Rosensweig instability — the north-star demo
 (reference: demo_3d_LBM_Rosensweig_instability.py)."""
 from _driver import density_interior_frame, parse_args, run_demo
-from lbm_ferrofluid_tpu.models import ferrofluid_step_impl, scenes
+from lbm_ferrofluid_tpu.models import ferrofluid_step_impl, phi_field, scenes
 
 if __name__ == "__main__":
     opt = parse_args((130, 66, 130), extra=[("mag_strength", 100.0, "Magnetic strength"),
@@ -14,7 +14,8 @@ if __name__ == "__main__":
         from lbm_ferrofluid_tpu.render import render_phi_frame  # noqa: F401
 
         def frame(state, filename):
-            render_phi_frame(state.phi, filename, state.phi.shape[2:], 1.0)
+            phi = phi_field(params, state)
+            render_phi_frame(phi, filename, phi.shape[2:], 1.0)
     except ImportError:
         pass
     state = run_demo(f"3d_LBM_Rosensweig_mag{int(opt.mag_strength)}", params, state,
@@ -23,6 +24,7 @@ if __name__ == "__main__":
     from lbm_ferrofluid_tpu.render import phi_to_mesh
     from lbm_ferrofluid_tpu.utils.io import export_obj
 
-    verts, faces = phi_to_mesh(state.phi, state.phi.shape[2:], opt.dx)
+    phi = phi_field(params, state)
+    verts, faces = phi_to_mesh(phi, phi.shape[2:], opt.dx)
     export_obj("Rosensweig_instability.obj", verts, faces)
     print(f"exported Rosensweig_instability.obj ({len(faces)} faces)")

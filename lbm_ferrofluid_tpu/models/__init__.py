@@ -5,6 +5,7 @@ from .ferrofluid import (
     ferrofluid_step,
     ferrofluid_step_impl,
     init_ferrofluid_state,
+    phi_field,
     prime_premac,
     make_H_ext,
 )
@@ -43,6 +44,7 @@ __all__ = [
     "init_hcz_state",
     "hcz_step",
     "init_ferrofluid_state",
+    "phi_field",
     "ferrofluid_step",
     "prime_premac",
     "make_H_ext",

@@ -39,8 +39,27 @@ from .state import FerrofluidState
 
 __all__ = [
     "init_ferrofluid_state", "ferrofluid_step", "ferrofluid_step_impl",
-    "make_H_ext", "prime_premac",
+    "make_H_ext", "prime_premac", "phi_field",
 ]
+
+
+def phi_field(params: SimulationParams, state) -> jnp.ndarray:
+    """The order parameter phi for rendering/diagnostics.
+
+    phi = -(2 (density - rho_g)/(rho_l - rho_g) - 1) is derived data
+    (demo_3d_LBM_Rosensweig_instability.py:171); the mac-carried capillogue
+    steady state does not materialize it per step (state.phi is None
+    there), so consumers read it through this helper.  When state.phi is
+    None the value is derived from the CURRENT density — one capillary
+    update fresher than the in-step phi the non-carried paths store.
+    """
+    if state.phi is not None:
+        return state.phi
+    return -(
+        2.0 * (state.density - params.density_gas)
+        / (params.density_fluid - params.density_gas)
+        - 1.0
+    )
 
 
 def make_H_ext(params: SimulationParams, res, batch=1, dtype=jnp.float32, axis=1):
@@ -152,11 +171,19 @@ def ferrofluid_step_impl(
         params.use_pallas and lat.dim == 3
         and not os.environ.get("LBM_DISABLE_PALLAS")
     )
+    # Test hook: LBM_FORCE_FASTPATH=interpret runs the single-device fused
+    # dispatch (incl. the capillogue steady state) in Pallas interpret mode
+    # off-TPU — the only way to exercise this dispatch under pytest.
+    force_fast = (
+        os.environ.get("LBM_FORCE_FASTPATH") == "interpret"
+        and jax.default_backend() != "tpu"
+    )
     fastpath = (
         pallas_on and mesh is None
         and fused_step_supported(lat, state.f.shape, params.kbc_type)
-        and jax.default_backend() == "tpu"
+        and (jax.default_backend() == "tpu" or force_fast)
     )
+    interp_fast = force_fast and fastpath
     fastpath_sharded = False
     interp = False
     if pallas_on and mesh is not None:
@@ -181,7 +208,7 @@ def ferrofluid_step_impl(
                 state.f, state.g, state.flags, state.rho, state.vel,
                 c=c, rho_gas=params.rho_gas, rho_fluid=params.rho_fluid,
                 density_gas=params.density_gas,
-                density_fluid=params.density_fluid,
+                density_fluid=params.density_fluid, interpret=interp_fast,
             )
         f = g = None  # post-stream distributions never materialize
     elif fastpath_sharded:
@@ -218,11 +245,23 @@ def ferrofluid_step_impl(
     # 2 and was ~1.3% SLOWER end-to-end (extra materialization at the
     # kernel boundary: 3x density fetch + 6 face operands) — see
     # docs/PERFORMANCE.md "What did not help".
-    phi = -(
-        2.0 * (density - params.density_gas)
-        / (params.density_fluid - params.density_gas)
-        - 1.0
-    )
+    def _phi():
+        return -(
+            2.0 * (density - params.density_gas)
+            / (params.density_fluid - params.density_gas)
+            - 1.0
+        )
+
+    # mac-carried rhs: when premac is a 6-tuple, its last entry is the
+    # pre-scaled Poisson source term the previous capillogue emission
+    # computed from this step's density — the jnp rhs chain is skipped,
+    # and phi (whose only in-step consumer was that chain) is not
+    # materialized at all on the steady-state path: state.phi rides as
+    # None and models.phi_field derives it from density on demand.
+    rhs_pre = None
+    if state.premac is not None and len(state.premac) > 5:
+        rhs_pre = state.premac[5]
+    phi = None if rhs_pre is not None else _phi()
 
     # H_ext is mag_strength * e_axis by construction (make_H_ext from
     # params.h_ext_axis), so it folds as a compile-time constant: the
@@ -233,12 +272,6 @@ def ferrofluid_step_impl(
         float(params.mag_strength) if d == params.h_ext_axis else 0.0
         for d in range(lat.dim)
     )
-    # mac-carried rhs: when premac is a 6-tuple, its last entry is the
-    # pre-scaled Poisson source term the previous capillogue emission
-    # computed from this step's density — the jnp rhs chain is skipped
-    rhs_pre = None
-    if state.premac is not None and len(state.premac) > 5:
-        rhs_pre = state.premac[5]
     H2, h = solve_H_int(
         lat,
         state.h,
@@ -280,7 +313,8 @@ def ferrofluid_step_impl(
                 # dynamic-update-slices are whole-tile RMW on TPU layout
                 # — ~0.55 ms/step at 128x256^2 for the jnp chain)
                 rho_ca = contact_angle_3d(
-                    rho, state.flags, float(params.contact_angle)
+                    rho, state.flags, float(params.contact_angle),
+                    interpret=interp_fast,
                 )
             else:
                 rho_ca = contact_angle_boundary(
@@ -298,7 +332,7 @@ def ferrofluid_step_impl(
                 density_gas=float(params.density_gas),
                 density_fluid=float(params.density_fluid),
                 tau_f=params.tau_f, tau_g=params.tau_g, dx=dx, dt=dt,
-                emit_rhs=emit_rhs,
+                emit_rhs=emit_rhs, interpret=interp_fast,
             )
             return FerrofluidState(
                 f=f, g=g, h=h, rho=rho_ca, vel=vel, density=density,
@@ -308,6 +342,11 @@ def ferrofluid_step_impl(
                 step=state.step + 1, premac=premac,
             )
 
+    if phi is None:
+        # defensive: only reachable if the capillogue gates disagree with
+        # prime_premac's (same shape/dtype inputs, so they cannot in
+        # practice) — hcz_capillary and the carried state need a real phi
+        phi = _phi()
     rho, vel, density, pressure, force, dfai, dprho = hcz_capillary(
         lat,
         rho,
@@ -351,12 +390,13 @@ def ferrofluid_step_impl(
                 compact=(
                     emit_mac_mode(state.f.shape, state.f.dtype) == "compact"
                 ),
+                interpret=interp_fast,
             )
         else:
             f, g = lbm_epilogue(
                 state.f, state.g, state.flags, rho, vel, density, pressure,
                 force, dfai, dprho, tau_f=params.tau_f, tau_g=params.tau_g,
-                dx=dx, dt=dt,
+                dx=dx, dt=dt, interpret=interp_fast,
             )
     elif fastpath_sharded:
         from ..parallel.step3d import fused_epilogue_sharded
@@ -477,10 +517,14 @@ def prime_premac(
             state, premac=(rho, vel, density, m0g, m1g)
         )
 
+    force_fast = (
+        os.environ.get("LBM_FORCE_FASTPATH") == "interpret"
+        and jax.default_backend() != "tpu"
+    )
     fastpath = (
         fused_step_supported(lat, state.f.shape, params.kbc_type)
         and emit_mac_fits(state.f.shape, state.f.dtype)
-        and jax.default_backend() == "tpu"
+        and (jax.default_backend() == "tpu" or force_fast)
     )
     if not fastpath:
         return state
@@ -488,7 +532,7 @@ def prime_premac(
         state.f, state.g, state.flags, state.rho, state.vel,
         c=params.dx / params.dt, rho_gas=params.rho_gas,
         rho_fluid=params.rho_fluid, density_gas=params.density_gas,
-        density_fluid=params.density_fluid,
+        density_fluid=params.density_fluid, interpret=force_fast,
     )
     premac = (rho, vel, density, m0g, m1g)
 
@@ -518,7 +562,11 @@ def prime_premac(
             phi, state.magnetic_flags, None, hext_static,
             tau=params.tau, dx=params.dx, dt=params.dt, dim=3,
         )
-        premac = premac + (rhs,)
+        # the capillogue steady state never materializes phi (its only
+        # in-step consumer was the rhs chain the 6th leaf replaces) — the
+        # carry must be structure-stable under lax.scan, so prime it as
+        # None here; models.phi_field derives phi from density on demand
+        return dataclasses.replace(state, premac=premac + (rhs,), phi=None)
     return dataclasses.replace(state, premac=premac)
 
 

@@ -66,7 +66,10 @@ class FerrofluidState:
     density: jax.Array
     pressure: jax.Array
     force: jax.Array
-    phi: jax.Array
+    # None on the mac-carried capillogue steady state (its only in-step
+    # consumer, the Poisson rhs chain, is carried pre-computed in premac[5]);
+    # models.phi_field derives phi from density on demand
+    phi: jax.Array | None
     flags: jax.Array
     magnetic_flags: jax.Array
     H_ext: jax.Array  # [B, dim, *res] constant external field

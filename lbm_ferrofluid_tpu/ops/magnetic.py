@@ -341,8 +341,9 @@ def solve_H_int(
         h = jnp.where(is_obs, hf, collision_h).astype(h_dtype)
         return h, psi
 
+    # shape from h, not phi: callers holding a pre-scaled rhs pass phi=None
     psi0 = jnp.zeros_like(
-        phi, dtype=jnp.promote_types(h.dtype, jnp.float32)
+        h[:, :1], dtype=jnp.promote_types(h.dtype, jnp.float32)
     )
     h, psi = jax.lax.fori_loop(0, n_iters, body, (h, psi0))
     H_int = -isotropic_grad(psi, dx, magnetic_flags, dim)
