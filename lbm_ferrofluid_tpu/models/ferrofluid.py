@@ -332,7 +332,8 @@ def ferrofluid_step_impl(
                 density_gas=float(params.density_gas),
                 density_fluid=float(params.density_fluid),
                 tau_f=params.tau_f, tau_g=params.tau_g, dx=dx, dt=dt,
-                emit_rhs=emit_rhs, interpret=interp_fast,
+                emit_rhs=emit_rhs, emit_force=False,
+                interpret=interp_fast,
             )
             return FerrofluidState(
                 f=f, g=g, h=h, rho=rho_ca, vel=vel, density=density,
@@ -562,11 +563,15 @@ def prime_premac(
             phi, state.magnetic_flags, None, hext_static,
             tau=params.tau, dx=params.dx, dt=params.dt, dim=3,
         )
-        # the capillogue steady state never materializes phi (its only
-        # in-step consumer was the rhs chain the 6th leaf replaces) — the
-        # carry must be structure-stable under lax.scan, so prime it as
-        # None here; models.phi_field derives phi from density on demand
-        return dataclasses.replace(state, premac=premac + (rhs,), phi=None)
+        # the capillogue steady state materializes neither phi (its only
+        # in-step consumer was the rhs chain the 6th leaf replaces) nor
+        # force (a write-only diagnostic; the reference overwrites it
+        # unread each step, LBM_collision_HCZ_3d.py:225) — the carry must
+        # be structure-stable under lax.scan, so prime both as None here;
+        # models.phi_field derives phi from density on demand
+        return dataclasses.replace(
+            state, premac=premac + (rhs,), phi=None, force=None
+        )
     return dataclasses.replace(state, premac=premac)
 
 

@@ -65,7 +65,11 @@ class FerrofluidState:
     vel: jax.Array
     density: jax.Array
     pressure: jax.Array
-    force: jax.Array
+    # force is None on the mac-carried capillogue steady state: it is a
+    # write-only diagnostic of the ferrofluid step (the reference
+    # overwrites it unread each step, LBM_collision_HCZ_3d.py:225); the
+    # non-carried paths still store it per step
+    force: jax.Array | None
     # None on the mac-carried capillogue steady state (its only in-step
     # consumer, the Poisson rhs chain, is carried pre-computed in premac[5]);
     # models.phi_field derives phi from density on demand

@@ -92,7 +92,7 @@ def capillogue_fits(shape, fg_dtype) -> bool:
 
 def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
                        density_gas, density_fluid, tau_f, tau_g, dx, dt,
-                       Z, fg_dtype, emit_rhs, *refs):
+                       Z, fg_dtype, emit_rhs, emit_force, *refs):
     lat = D3Q19
     n_cap = 9 if emit_rhs else 8
     (f_ref, g_ref, flags_ref,
@@ -102,9 +102,19 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
     if emit_rhs:
         mflags_ref = refs[off]
         off += 1
-    (fout_ref, gout_ref, velout_ref, presout_ref, forceout_ref, denout_ref,
-     mo_rho, mo_vel, mo_den, mo_m0g, mo_m1g) = refs[off:off + 11]
-    off += 11
+    n_out = 11 if emit_force else 10
+    if emit_force:
+        (fout_ref, gout_ref, velout_ref, presout_ref, forceout_ref,
+         denout_ref, mo_rho, mo_vel, mo_den, mo_m0g,
+         mo_m1g) = refs[off:off + n_out]
+    else:
+        # force is a write-only diagnostic (the reference overwrites it
+        # unread each step, LBM_collision_HCZ_3d.py:225): the steady state
+        # skips its 3-channel output entirely
+        (fout_ref, gout_ref, velout_ref, presout_ref, denout_ref,
+         mo_rho, mo_vel, mo_den, mo_m0g, mo_m1g) = refs[off:off + n_out]
+        forceout_ref = None
+    off += n_out
     if emit_rhs:
         mo_rhs = refs[off]
         off += 1
@@ -222,20 +232,26 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
             ),
         )
 
+    # (ref, cap_store channel offset, n channels); the ring keeps the full
+    # vel/pres/force/den channel layout either way — without emit_force the
+    # force slots simply go unwritten and un-DMA'd
     cap_out_parts = (
-        (0, 3, None), (3, 1, None), (4, 3, None), (7, 1, None),
+        (velout_ref, 0, 3), (presout_ref, 3, 1),
+    ) + (
+        ((forceout_ref, 4, 3),) if emit_force else ()
+    ) + (
+        (denout_ref, 7, 1),
     )
 
     def cap_out_copies(p):
         slot = _rem(p, 2)
-        outs = (velout_ref, presout_ref, forceout_ref, denout_ref)
         return [
             pltpu.make_async_copy(
                 cap_store.at[pl.ds(off, nc), pl.ds(slot, 1)],
                 ref.at[:, pl.ds(p, 1)],
                 sem_co.at[slot],
             )
-            for (off, nc, _), ref in zip(cap_out_parts, outs)
+            for ref, off, nc in cap_out_parts
         ]
 
     def mac_copy(j, p):
@@ -501,7 +517,8 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
         cslot = _rem(p, 2)
         for dd in range(3):
             cap_store[dd, cslot] = vel_n[dd]
-            cap_store[4 + dd, cslot] = force[dd]
+            if emit_force:
+                cap_store[4 + dd, cslot] = force[dd]
         cap_store[3, cslot] = pres_n
         cap_store[7, cslot] = dens
         for cp in fg_out_copies(p):
@@ -628,14 +645,15 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
 
 @functools.partial(jax.jit, static_argnames=(
     "kappa", "gravity", "mu0_half", "rho_gas", "rho_fluid", "density_gas",
-    "density_fluid", "tau_f", "tau_g", "dx", "dt", "emit_rhs", "interpret",
+    "density_fluid", "tau_f", "tau_g", "dx", "dt", "emit_rhs", "emit_force",
+    "interpret",
 ))
 def lbm_capillogue(
     f, g, flags, rho_pre, density_pre, pressure_old, rho_ca, H2,
     g_sum, g_mom, vel_old, magnetic_flags=None, *,
     kappa, gravity, mu0_half, rho_gas, rho_fluid, density_gas,
     density_fluid, tau_f, tau_g, dx=1.0, dt=1.0, emit_rhs=None,
-    interpret=False,
+    emit_force=True, interpret=False,
 ):
     """One fused pass: capillary stage + HCZ collide + mac emission.
 
@@ -655,6 +673,13 @@ def lbm_capillogue(
     ops/magnetic.py:poisson_rhs_scaled on the emitted density — and
     premac becomes a 6-tuple ``(..., rhs_scaled)``.  Requires
     ``magnetic_flags``.
+
+    ``emit_force=False`` drops the 3-channel force output (returned as
+    None): force is a write-only diagnostic of the ferrofluid step — the
+    reference itself overwrites it unread each step
+    (LBM_collision_HCZ_3d.py:225-232) — so the steady state saves its
+    3 channel-volume HBM writes.  The in-register force still drives the
+    collision identically.
     """
     _, _, Z, Y, X = f.shape
     flags_i32 = flags[0].astype(jnp.int32)
@@ -669,12 +694,20 @@ def lbm_capillogue(
     if emit_rhs is not None:
         assert magnetic_flags is not None and emit_rhs[0] in (0, 1)
         args.append(magnetic_flags[0].astype(jnp.int32))
+    # output order (names -> indices built dynamically so emit_force /
+    # emit_rhs variants keep the alias map consistent)
+    out_names = ["f", "g", "vel", "pres"]
     out_shape = [
         jax.ShapeDtypeStruct((19, Z, Y, X), f.dtype),   # f'
         jax.ShapeDtypeStruct((19, Z, Y, X), g.dtype),   # g'
         jax.ShapeDtypeStruct((3, Z, Y, X), f32),        # vel
         jax.ShapeDtypeStruct((1, Z, Y, X), f32),        # pressure
-        jax.ShapeDtypeStruct((3, Z, Y, X), f32),        # force
+    ]
+    if emit_force:
+        out_names.append("force")
+        out_shape.append(jax.ShapeDtypeStruct((3, Z, Y, X), f32))
+    out_names += ["den", "mrho", "mvel", "mden", "m0g", "m1g"]
+    out_shape += [
         jax.ShapeDtypeStruct((1, Z, Y, X), f32),        # density(rho_ca)
         jax.ShapeDtypeStruct((1, Z, Y, X), f32),        # mac rho
         jax.ShapeDtypeStruct((3, Z, Y, X), f32),        # mac vel
@@ -683,9 +716,11 @@ def lbm_capillogue(
         jax.ShapeDtypeStruct((3, Z, Y, X), f32),        # mac m1g
     ]
     if emit_rhs is not None:
+        out_names.append("rhs")
         out_shape.append(
             jax.ShapeDtypeStruct((1, Z, Y, X), f32)     # mac rhs_scaled
         )
+    oi = {n: i for i, n in enumerate(out_names)}
     cap_chans = [1, 1, 1, 1, 1, 1, 3, 3]
     cap_dts = [f32] * 8
     if emit_rhs is not None:
@@ -733,6 +768,7 @@ def lbm_capillogue(
             float(density_gas), float(density_fluid), float(tau_f),
             float(tau_g), float(dx), float(dt), Z, f.dtype,
             tuple(emit_rhs) if emit_rhs is not None else None,
+            bool(emit_force),
         ),
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
@@ -749,22 +785,24 @@ def lbm_capillogue(
         # >= 3 planes on every aliased pair (same read-ahead argument as
         # the f/g in-place collide).
         input_output_aliases={
-            0: 0,    # f       -> f'
-            1: 1,    # g       -> g'
-            3: 6,    # rho_pre -> mac rho
-            4: 8,    # density_pre -> mac density
-            5: 3,    # pressure_old -> pressure
-            7: 5,    # H2      -> density(rho_ca)
-            8: 9,    # g_sum   -> mac m0g
-            9: 10,   # g_mom   -> mac m1g
-            10: 7,   # vel_old -> mac vel
+            0: oi["f"],      # f       -> f'
+            1: oi["g"],      # g       -> g'
+            3: oi["mrho"],   # rho_pre -> mac rho
+            4: oi["mden"],   # density_pre -> mac density
+            5: oi["pres"],   # pressure_old -> pressure
+            7: oi["den"],    # H2      -> density(rho_ca)
+            8: oi["m0g"],    # g_sum   -> mac m0g
+            9: oi["m1g"],    # g_mom   -> mac m1g
+            10: oi["mvel"],  # vel_old -> mac vel
         },
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*args)
-    f_n, g_n, vel, pres, force, den = out[:6]
-    premac = tuple(m[None] for m in out[6:])
-    return (f_n[None], g_n[None], vel[None], pres[None], force[None],
+    f_n, g_n = out[oi["f"]], out[oi["g"]]
+    vel, pres, den = out[oi["vel"]], out[oi["pres"]], out[oi["den"]]
+    force = out[oi["force"]][None] if emit_force else None
+    premac = tuple(m[None] for m in out[oi["mrho"]:])
+    return (f_n[None], g_n[None], vel[None], pres[None], force,
             den[None], premac)

@@ -125,6 +125,37 @@ def test_capillogue_matches_composition(dtype, Z, emit_rhs):
         )
 
 
+@pytest.mark.parametrize("emit_rhs", [None, (1, 85.0, 0.8)])
+def test_capillogue_emit_force_off(emit_rhs):
+    """emit_force=False drops ONLY the force output (returned None); every
+    other output is bit-identical to emit_force=True — the in-register
+    force still drives the collision."""
+    (f, g, flags, rho_pre, density_pre, pressure, rho_ca, H2, phi,
+     g_sum, g_mom, vel_old) = _setup(4, "float32")
+    kw = dict(
+        kappa=KAPPA, gravity=GRAV, mu0_half=0.5 * MU0,
+        rho_gas=RG, rho_fluid=RF, density_gas=RG, density_fluid=RF,
+        dx=DX, dt=DT, tau_f=TAU_F, tau_g=TAU_G, emit_rhs=emit_rhs,
+        interpret=True,
+    )
+    args = (f, g, flags, rho_pre, density_pre, pressure, rho_ca, H2,
+            g_sum, g_mom, vel_old, flags if emit_rhs else None)
+    a = lbm_capillogue(*args, emit_force=True, **kw)
+    b = lbm_capillogue(*args, emit_force=False, **kw)
+    assert a[4] is not None and b[4] is None
+    for i, n in ((0, "f"), (1, "g"), (2, "vel"), (3, "pressure"),
+                 (5, "density")):
+        np.testing.assert_array_equal(
+            np.asarray(a[i], np.float32), np.asarray(b[i], np.float32),
+            err_msg=n,
+        )
+    assert len(a[6]) == len(b[6])
+    for i, (ma, mb) in enumerate(zip(a[6], b[6])):
+        np.testing.assert_array_equal(
+            np.asarray(ma), np.asarray(mb), err_msg=f"mac[{i}]"
+        )
+
+
 def test_capillogue_fits_gate():
     assert capillogue_fits((1, 19, 256, 256, 256), jnp.bfloat16)
     assert not capillogue_fits((1, 19, 256, 256, 256), jnp.float32)

@@ -64,7 +64,7 @@ def test_forced_fastpath_capillogue_steady_state(monkeypatch):
     # capillogue config at this size: premac carries the pre-scaled rhs
     # as a 6th leaf and phi is not materialized
     assert state.premac is not None and len(state.premac) == 6
-    assert state.phi is None
+    assert state.phi is None and state.force is None
 
     import jax
 
@@ -72,7 +72,8 @@ def test_forced_fastpath_capillogue_steady_state(monkeypatch):
     for _ in range(3):
         state = step(state)
     assert state.premac is not None and len(state.premac) == 6
-    assert state.phi is None  # structure-stable carry (lax.scan safe)
+    # structure-stable carry (lax.scan safe): elided diagnostics stay None
+    assert state.phi is None and state.force is None
 
     # jnp reference path from the same init
     monkeypatch.delenv("LBM_FORCE_FASTPATH")

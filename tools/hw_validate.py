@@ -106,6 +106,9 @@ def main():
     print("jnp path done", flush=True)
 
     fields = ["f", "g", "h", "density", "vel", "pressure", "force"]
+    # the capillogue steady state elides write-only diagnostics
+    # (force/phi ride as None) — only compare what the fast state carries
+    fields = [n for n in fields if getattr(s_fast, n) is not None]
     errs = {
         name: rel_err(getattr(s_fast, name), getattr(s_ref, name))
         for name in fields

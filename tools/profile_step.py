@@ -156,6 +156,7 @@ def main():
             rho_fluid=params.rho_fluid, density_gas=params.density_gas,
             density_fluid=params.density_fluid, tau_f=params.tau_f,
             tau_g=params.tau_g, emit_rhs=(1, 85.0, params.tau),
+            emit_force=False,
         )
         timeit(
             "lbm_capillogue (cap+collide+emit)", capi,
