@@ -343,6 +343,46 @@ def ferrofluid_step_impl(
                 step=state.step + 1, premac=premac,
             )
 
+    # Sharded steady-state capillogue: when the sharded premac carries the
+    # rhs leaf (prime_premac gated on capillogue_sharded_ok), the slab-mode
+    # fused kernel replaces hcz_capillary + the sharded emit_mac epilogue —
+    # the multi-chip step then matches the single-chip steady state
+    # structurally (dfai/dprho never leave VMEM, density emitted in-kernel,
+    # next step's rhs carried).
+    if (
+        fastpath_sharded
+        and state.premac is not None
+        and len(state.premac) > 5
+    ):
+        from ..ops.collide import MU0, contact_angle_boundary
+        from ..parallel.step3d import capillogue_sharded
+
+        grav = tuple(float(gv) for gv in params.gravity_vec().reshape(-1))
+        rho_ca = contact_angle_boundary(
+            rho, state.flags, params.contact_angle, 3,
+            spmd=mesh.devices.size > 1,
+        )
+        emit_rhs = _capillogue_rhs_cfg(params)
+        f, g, vel, pressure, density, premac = capillogue_sharded(
+            state.f, state.g, state.flags, rho, density, state.pressure,
+            rho_ca, H2, m0g, m1g, vel,
+            state.magnetic_flags if emit_rhs else None, mesh,
+            kappa=float(params.kappa), gravity=grav,
+            mu0_half=0.5 * MU0, rho_gas=float(params.rho_gas),
+            rho_fluid=float(params.rho_fluid),
+            density_gas=float(params.density_gas),
+            density_fluid=float(params.density_fluid),
+            tau_f=params.tau_f, tau_g=params.tau_g, dx=dx, dt=dt,
+            emit_rhs=emit_rhs, interpret=interp,
+        )
+        return FerrofluidState(
+            f=f, g=g, h=h, rho=rho_ca, vel=vel, density=density,
+            pressure=pressure, force=None, phi=phi,
+            flags=state.flags, magnetic_flags=state.magnetic_flags,
+            H_ext=state.H_ext, H_ext_mac=state.H_ext_mac,
+            step=state.step + 1, premac=premac,
+        )
+
     if phi is None:
         # defensive: only reachable if the capillogue gates disagree with
         # prime_premac's (same shape/dtype inputs, so they cannot in
@@ -514,9 +554,38 @@ def prime_premac(
             rho_fluid=params.rho_fluid, density_gas=params.density_gas,
             density_fluid=params.density_fluid, interpret=interp,
         )
-        return dataclasses.replace(
-            state, premac=(rho, vel, density, m0g, m1g)
-        )
+        premac = (rho, vel, density, m0g, m1g)
+
+        # sharded capillogue steady state: same 6-tuple + elided-diagnostic
+        # priming as the single-device path (gates must agree with the
+        # step's so the lax.scan carry is structure-stable)
+        from ..parallel.step3d import capillogue_sharded_ok
+
+        grav = tuple(float(gv) for gv in params.gravity_vec().reshape(-1))
+        rhs_cfg = _capillogue_rhs_cfg(params)
+        if (
+            capillogue_sharded_ok(mesh, state.f.shape, state.f.dtype, interp)
+            and len(grav) == 3
+            and rhs_cfg is not None
+        ):
+            from ..ops.magnetic import poisson_rhs_scaled
+
+            phi = -(
+                2.0 * (density - params.density_gas)
+                / (params.density_fluid - params.density_gas) - 1.0
+            )
+            hext_static = tuple(
+                float(params.mag_strength) if d == params.h_ext_axis else 0.0
+                for d in range(3)
+            )
+            rhs = poisson_rhs_scaled(
+                phi, state.magnetic_flags, None, hext_static,
+                tau=params.tau, dx=params.dx, dt=params.dt, dim=3,
+            )
+            return dataclasses.replace(
+                state, premac=premac + (rhs,), phi=None, force=None
+            )
+        return dataclasses.replace(state, premac=premac)
 
     force_fast = (
         os.environ.get("LBM_FORCE_FASTPATH") == "interpret"

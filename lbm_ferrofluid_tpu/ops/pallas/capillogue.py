@@ -49,7 +49,13 @@ from ...lattice import D3Q19
 from ...utils.types import CellType
 from ..collide import CHI_K, smooth_phi
 from ..moments import eos_pressure
-from .fused_step import _in_copies, _moments, _rem, _stream_plane
+from .fused_step import (
+    _ghost_copies,
+    _in_copies,
+    _moments,
+    _rem,
+    _stream_plane,
+)
 from .hcz3d import _feq_rows, _gamma_rows
 from .stencil3d import (
     _GRAD_TAPS,
@@ -92,9 +98,9 @@ def capillogue_fits(shape, fg_dtype) -> bool:
 
 def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
                        density_gas, density_fluid, tau_f, tau_g, dx, dt,
-                       Z, fg_dtype, emit_rhs, emit_force, *refs):
+                       Z, fg_dtype, emit_rhs, emit_force, slab, *refs):
     lat = D3Q19
-    n_cap = 9 if emit_rhs else 8
+    n_cap = (9 if emit_rhs else 8) + (1 if slab else 0)
     (f_ref, g_ref, flags_ref,
      rho_ref, den_ref, pres_ref, rhoca_ref, h2_ref,
      gsum_ref, gmom_ref, velold_ref) = refs[:11]
@@ -102,6 +108,21 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
     if emit_rhs:
         mflags_ref = refs[off]
         off += 1
+    if slab:
+        # slab mode (multi-chip z-decomposition): neighbor ghost planes
+        # replace the periodic z-wrap reads/clamps — f/g pre-collision
+        # edge planes, the 5 capillary stencil-window fields, the two
+        # PRE-COMPUTED boundary Laplacian planes (lap of the NEIGHBOR's
+        # last/first density(rho_ca) plane, built by the wrapper from one
+        # 2-plane rho_ca exchange), and the per-device SMEM z-clamp bounds
+        # (only true domain edges clamp — capmac.py's convention:
+        # lo=-1/hi=Z on interior slabs means "no clamp, windows may read
+        # the ghost planes").
+        flo_ref, fhi_ref, glo_ref, ghi_ref = refs[off:off + 4]
+        capgh_lo = refs[off + 4:off + 10]   # rho, den, pres, rhoca, flags, lap
+        capgh_hi = refs[off + 10:off + 16]
+        clamp_ref = refs[off + 16]
+        off += 17
     n_out = 11 if emit_force else 10
     if emit_force:
         (fout_ref, gout_ref, velout_ref, presout_ref, forceout_ref,
@@ -120,19 +141,30 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
         off += 1
     scr = refs[off:]
     f_ring, g_ring, fl_ring = scr[0:3]
-    cap_rings = scr[3:3 + n_cap]   # rho, den, pres, rhoca, h2, gsum(1), gmom(3), vel(3)[, mflags]
+    cap_rings = scr[3:3 + n_cap]   # rho, den, pres, rhoca, h2, gsum(1), gmom(3), vel(3)[, mflags][, flags2]
     o = 3 + n_cap
     drv = scr[o:o + 5]             # fai, prho, lap-rep, chi, chi-rep
     lap_ring = scr[o + 5]
-    f_store, g_store, f_seam, g_seam = scr[o + 6:o + 10]
-    cap_store, mac_store, flpost, mcpost = scr[o + 10:o + 14]
-    o += 14
-    if emit_rhs:
-        mfpost = scr[o]
-        o += 1
-    (sem_f, sem_g, sem_fl) = scr[o:o + 3]
-    sems_cap = scr[o + 3:o + 3 + n_cap]
-    (sem_fo, sem_go, sem_co, sem_mo, sem_s, sem_post) = scr[o + 3 + n_cap:]
+    o += 6
+    if slab:
+        f_store, g_store = scr[o:o + 2]
+        cap_store, mac_store = scr[o + 2:o + 4]
+        o += 4
+        f_seam = g_seam = flpost = mcpost = mfpost = None
+        (sem_f, sem_g, sem_fl) = scr[o:o + 3]
+        sems_cap = scr[o + 3:o + 3 + n_cap]
+        (sem_fo, sem_go, sem_co, sem_mo, sem_lg) = scr[o + 3 + n_cap:]
+        sem_s = sem_post = None
+    else:
+        f_store, g_store, f_seam, g_seam = scr[o:o + 4]
+        cap_store, mac_store, flpost, mcpost = scr[o + 4:o + 8]
+        o += 8
+        if emit_rhs:
+            mfpost = scr[o]
+            o += 1
+        (sem_f, sem_g, sem_fl) = scr[o:o + 3]
+        sems_cap = scr[o + 3:o + 3 + n_cap]
+        (sem_fo, sem_go, sem_co, sem_mo, sem_s, sem_post) = scr[o + 3 + n_cap:]
 
     Y, X = f_ref.shape[2], f_ref.shape[3]
     c = dx / dt
@@ -153,10 +185,19 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
     if emit_rhs:
         cap_refs.append(mflags_ref)
         cap_names.append("mflags")
+    if slab:
+        # a SECOND stream of the flags array for the capillary stage's
+        # window reads: the shared f/g flags ring is 4-slot with no room
+        # for ghost planes, so slab mode streams flags again into a 5-slot
+        # ring whose ghost slots mirror the other stencil fields
+        cap_refs.append(flags_ref)
+        cap_names.append("flags2")
     cap_idx = {n: i for i, n in enumerate(cap_names)}
 
     def slot5(q):
-        return _rem(q, 5)
+        # +5 maps the slab ghost plane q=-1 to slot 4 (lax.rem truncates
+        # toward zero); identical to q%5 for q >= 0
+        return _rem(q + 5, 5)
 
     def cap_copies(q):
         slot = slot5(q)
@@ -167,6 +208,36 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
             )
             for ref, ring, sem in zip(cap_refs, cap_rings, sems_cap)
         ]
+
+    if slab:
+        _gh_fields = ["rho", "den", "pres", "rhoca", "flags2"]
+
+        def cap_ghost_copies(which):
+            srcs, q = (capgh_lo, -1) if which == "lo" else (capgh_hi, Z)
+            slot = slot5(q)
+            cps = [
+                pltpu.make_async_copy(
+                    srcs[j], cap_rings[cap_idx[n]].at[:, pl.ds(slot, 1)],
+                    sems_cap[cap_idx[n]].at[slot],
+                )
+                for j, n in enumerate(_gh_fields)
+            ]
+            # the pre-computed boundary Laplacian plane rides into the
+            # lap ring's ghost slot (its own 2-slot DMA semaphore: the
+            # lap ring has no DMA traffic otherwise)
+            cps.append(pltpu.make_async_copy(
+                srcs[5], lap_ring.at[:, pl.ds(slot, 1)],
+                sem_lg.at[0 if which == "lo" else 1],
+            ))
+            return cps
+
+        def derive_ghost(q):
+            # derived fields + the lap replicate for a landed ghost plane
+            compute_derived(q)
+            slot = slot5(q)
+            drv[2][0, slot] = _ring_replicate_plane(
+                lap_ring[0, slot], Y, X
+            )
 
     def cplane(name, q, ch=0):
         return cap_rings[cap_idx[name]][ch, slot5(q)]
@@ -198,7 +269,7 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
         drv[3][0, slot] = cr
         drv[4][0, slot] = _ring_replicate_plane(cr, Y, X)
 
-    def fill_lap(q):
+    def fill_lap(q, zero_if=None):
         win = {oz: density_of(cplane("rhoca", q + oz)) for oz in (-1, 0, 1)}
         acc = None
         for (oz, oy, ox), wgt in _LAP_TAPS:
@@ -209,6 +280,10 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
         row = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0)
         edge = (col == 0) | (col == X - 1) | (row == 0) | (row == Y - 1)
         res = jnp.where(edge, jnp.zeros((), res.dtype), res)
+        if zero_if is not None:
+            # slab boundary plane: the whole-plane zero applies only on a
+            # TRUE domain z-edge (runtime per-device clamp bound)
+            res = jnp.where(zero_if, jnp.zeros((), res.dtype), res)
         slot = slot5(q)
         lap_ring[0, slot] = res
         drv[2][0, slot] = _ring_replicate_plane(res, Y, X)
@@ -332,19 +407,41 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
             cp.start()
 
     # ---- preamble ------------------------------------------------------
-    # f/g plane 0 is overwritten in place at body 2; stash it pristine for
-    # the z-wrap re-read (fused_step.py's seam pattern)
-    seam_cps = [
-        pltpu.make_async_copy(f_ref.at[:, pl.ds(0, 1)], f_seam, sem_s.at[0]),
-        pltpu.make_async_copy(g_ref.at[:, pl.ds(0, 1)], g_seam, sem_s.at[1]),
-    ]
-    for cp in seam_cps:
-        cp.start()
-    # planes -1..2 fill all 4 f/g ring slots (bodies start from plane 3:
-    # body t starts plane t+1, and the first body is t = 2)
-    for w in (-1, 0, 1, 2):
-        for cp in _in_copies(fg_streams, w, Z):
+    if slab:
+        # slab mode: the z-wrap reads come from neighbor ghost refs, so no
+        # pristine-plane stash is needed despite the in-place aliasing
+        # (fused_step.py's slab epilogue pattern); plane -1 of f/g is the
+        # lo ghost, flags' -1 slot is a harmless wrapped filler (only the
+        # flags2 cap ring feeds the capillary stage's windows)
+        seam_cps = []
+        for cp in _ghost_copies(0, [(flo_ref, f_ring, sem_f),
+                                    (glo_ref, g_ring, sem_g)]):
             cp.start()
+        for cp in _in_copies(fg_streams[2:], -1, Z):
+            cp.start()
+        for cp in cap_ghost_copies("lo"):
+            cp.start()
+        for w in (0, 1, 2):
+            for cp in _in_copies(fg_streams, w, Z):
+                cp.start()
+    else:
+        # f/g plane 0 is overwritten in place at body 2; stash it pristine
+        # for the z-wrap re-read (fused_step.py's seam pattern)
+        seam_cps = [
+            pltpu.make_async_copy(
+                f_ref.at[:, pl.ds(0, 1)], f_seam, sem_s.at[0]
+            ),
+            pltpu.make_async_copy(
+                g_ref.at[:, pl.ds(0, 1)], g_seam, sem_s.at[1]
+            ),
+        ]
+        for cp in seam_cps:
+            cp.start()
+        # planes -1..2 fill all 4 f/g ring slots (bodies start from plane
+        # 3: body t starts plane t+1, and the first body is t = 2)
+        for w in (-1, 0, 1, 2):
+            for cp in _in_copies(fg_streams, w, Z):
+                cp.start()
     for q in (0, 1, 2, 3):
         for cp in cap_copies(q):
             cp.start()
@@ -353,11 +450,20 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
     for w in (-1, 0):
         for cp in _in_copies(fg_streams, w, Z):
             cp.wait()
+    if slab:
+        for cp in cap_ghost_copies("lo"):
+            cp.wait()
     for q in (0, 1, 2):
         for cp in cap_copies(q):
             cp.wait()
         compute_derived(q)
-    fill_lap_zero(0)
+    if slab:
+        derive_ghost(-1)
+        # boundary lap plane 0 from the ghost window (-1..1); zeroed only
+        # on a true domain lo edge (clamp bound == 1)
+        fill_lap(0, zero_if=clamp_ref[0] == 1)
+    else:
+        fill_lap_zero(0)
     fill_lap(1)
 
     def body(t, _):
@@ -367,6 +473,15 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
             for cp in cap_copies(t + 1):
                 cp.wait()
             compute_derived(t + 1)
+
+        if slab:
+            @pl.when(t + 1 == Z)
+            def _():
+                # hi ghost planes land: the last output plane's window
+                # (and the boundary lap) reach plane Z on interior slabs
+                for cp in cap_ghost_copies("hi"):
+                    cp.wait()
+                derive_ghost(Z)
 
         # f/g/flags: plane t-1 lands (collide window of p = t-2); plane Z
         # is the z-wrap copy (seam-refilled below) — every plane in [1, Z]
@@ -380,19 +495,30 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
 
         @pl.when(t == Z - 1)
         def _():
-            fill_lap_zero(Z - 1)
+            if slab:
+                # from the hi-ghost window (Z-2..Z); zeroed only on a true
+                # domain hi edge
+                fill_lap(Z - 1, zero_if=clamp_ref[1] == Z - 2)
+            else:
+                fill_lap_zero(Z - 1)
 
         p = t - 2
 
         # ---- capillary stage at plane p (capmac.py body, verbatim) ----
-        z_lo, z_hi = 1, Z - 2
+        if slab:
+            z_lo, z_hi = clamp_ref[0], clamp_ref[1]
+        else:
+            z_lo, z_hi = 1, Z - 2
         pc = jnp.clip(p, z_lo, z_hi)
         qs = [pc - 1, pc, pc + 1]
 
         def fgslot(w):
             return _rem(w + 1, 4)
 
-        flags_q = [fl_ring[0, fgslot(q)] for q in qs]
+        if slab:
+            flags_q = [cplane("flags2", q) for q in qs]
+        else:
+            flags_q = [fl_ring[0, fgslot(q)] for q in qs]
         obs_q = [f == _OBS for f in flags_q]
 
         def clampq(q):
@@ -548,6 +674,15 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
             for cp in cap_copies(t + 2):
                 cp.start()
 
+        if slab:
+            @pl.when(t + 2 == Z)
+            def _():
+                # hi ghost planes: started AFTER this body's stage reads
+                # (their ring slots slot5(Z) hold plane Z-5, last read at
+                # this body's window p = Z-4)
+                for cp in cap_ghost_copies("hi"):
+                    cp.start()
+
         @pl.when(t + 1 <= Z - 1)
         def _():
             for cp in _in_copies(fg_streams, t + 1, Z):
@@ -555,15 +690,21 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
 
         @pl.when(t + 1 == Z)
         def _():
-            # z-wrap plane of f/g from the pristine seam stash; flags
+            # z-wrap plane of f/g: from the pristine seam stash — or, in
+            # slab mode, from the z-next neighbor's ghost planes; flags
             # re-read normally (un-aliased)
             wslot = _rem(Z + 1, 4)
-            pltpu.make_async_copy(
-                f_seam, f_ring.at[:, pl.ds(wslot, 1)], sem_f.at[wslot]
-            ).start()
-            pltpu.make_async_copy(
-                g_seam, g_ring.at[:, pl.ds(wslot, 1)], sem_g.at[wslot]
-            ).start()
+            if slab:
+                for cp in _ghost_copies(wslot, [(fhi_ref, f_ring, sem_f),
+                                                (ghi_ref, g_ring, sem_g)]):
+                    cp.start()
+            else:
+                pltpu.make_async_copy(
+                    f_seam, f_ring.at[:, pl.ds(wslot, 1)], sem_f.at[wslot]
+                ).start()
+                pltpu.make_async_copy(
+                    g_seam, g_ring.at[:, pl.ds(wslot, 1)], sem_g.at[wslot]
+                ).start()
             for cp in _in_copies(fg_streams[2:], Z, Z):
                 cp.start()
 
@@ -575,6 +716,17 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
             cp.wait()
         for cp in cap_out_copies(Z - dd):
             cp.wait()
+
+    if slab:
+        # slab mode: only the interior mac planes [1, Z-2] were emitted
+        # in-body — the two boundary planes need NEIGHBOR collided planes,
+        # which the shard_map wrapper exchanges and fixes up post-kernel
+        # (parallel/step3d.py).  Drain the last two in-flight emissions
+        # (j = Z-4, Z-3; every earlier j was waited by emission j+2).
+        for j in (Z - 4, Z - 3):
+            for cp in mac_copy(j, 0):
+                cp.wait()
+        return
 
     # ---- wrap mac emissions (planes Z-1 and 0), as the epilogue's ------
     slot_a = _rem(Z, NS)       # receives collided plane 0
@@ -650,7 +802,8 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
 ))
 def lbm_capillogue(
     f, g, flags, rho_pre, density_pre, pressure_old, rho_ca, H2,
-    g_sum, g_mom, vel_old, magnetic_flags=None, *,
+    g_sum, g_mom, vel_old, magnetic_flags=None,
+    ghosts=None, cap_ghosts=None, clamp=None, *,
     kappa, gravity, mu0_half, rho_gas, rho_fluid, density_gas,
     density_fluid, tau_f, tau_g, dx=1.0, dt=1.0, emit_rhs=None,
     emit_force=True, interpret=False,
@@ -680,6 +833,20 @@ def lbm_capillogue(
     (LBM_collision_HCZ_3d.py:225-232) — so the steady state saves its
     3 channel-volume HBM writes.  The in-register force still drives the
     collision identically.
+
+    Multi-chip slab mode (all three together):
+    ``ghosts=(f_lo, f_hi, g_lo, g_hi)`` ([1,19,1,Y,X] pre-collision
+    neighbor edge planes), ``cap_ghosts=(lo6, hi6)`` with each a 6-tuple
+    of [1,1,1,Y,X] planes in the order (rho_pre, density_pre,
+    pressure_old, rho_ca, flags, boundary-lap), and ``clamp`` a
+    2-element int32 per-device z-clamp bound (capmac.py convention:
+    lo=1/hi=Z-2 on true domain edges, -1/Z on interior slabs).  The
+    boundary-lap ghost planes are the Laplacian of density(rho_ca) AT
+    the neighbor edge planes, pre-computed by the wrapper from a 2-plane
+    rho_ca exchange (parallel/step3d.py:capillogue_sharded).  In slab
+    mode the kernel emits only the interior mac planes [1, Z-2]; the
+    wrapper fixes up the two boundary planes (incl. the rhs emission)
+    post-kernel from one ring exchange of the collided edge planes.
     """
     _, _, Z, Y, X = f.shape
     flags_i32 = flags[0].astype(jnp.int32)
@@ -694,6 +861,23 @@ def lbm_capillogue(
     if emit_rhs is not None:
         assert magnetic_flags is not None and emit_rhs[0] in (0, 1)
         args.append(magnetic_flags[0].astype(jnp.int32))
+    slab = ghosts is not None
+    if slab:
+        assert cap_ghosts is not None and clamp is not None
+        f_lo, f_hi, g_lo, g_hi = ghosts
+        lo6, hi6 = cap_ghosts
+        assert len(lo6) == 6 and len(hi6) == 6, (
+            "cap_ghosts order: rho, den, pres, rhoca, flags, lap"
+        )
+
+        def _cg(x, j):
+            # flags ghost travels as int32, the rest as f32
+            return x[0].astype(jnp.int32 if j == 4 else f32)
+
+        args += [f_lo[0], f_hi[0], g_lo[0], g_hi[0]]
+        args += [_cg(x, j) for j, x in enumerate(lo6)]
+        args += [_cg(x, j) for j, x in enumerate(hi6)]
+        args.append(jnp.asarray(clamp, jnp.int32))
     # output order (names -> indices built dynamically so emit_force /
     # emit_rhs variants keep the alias map consistent)
     out_names = ["f", "g", "vel", "pres"]
@@ -726,6 +910,9 @@ def lbm_capillogue(
     if emit_rhs is not None:
         cap_chans.append(1)
         cap_dts.append(jnp.int32)   # magnetic flags
+    if slab:
+        cap_chans.append(1)
+        cap_dts.append(jnp.int32)   # flags2 (capillary-window flag stream)
     scratch = (
         [
             pltpu.VMEM((19, 4, Y, X), f.dtype),         # f ring
@@ -739,15 +926,20 @@ def lbm_capillogue(
         + [
             pltpu.VMEM((19, 3, Y, X), f.dtype),         # f store (NS=3)
             pltpu.VMEM((19, 3, Y, X), g.dtype),         # g store
+        ]
+        + ([] if slab else [
             pltpu.VMEM((19, 1, Y, X), f.dtype),         # f seam
             pltpu.VMEM((19, 1, Y, X), g.dtype),         # g seam
+        ])
+        + [
             pltpu.VMEM((8, 2, Y, X), f32),              # vel/pres/force/den store
             pltpu.VMEM((9 + (emit_rhs is not None), 2, Y, X), f32),  # mac store
+        ]
+        + ([] if slab else [
             pltpu.VMEM((1, 1, Y, X), jnp.int32),        # wrap flags
             pltpu.VMEM((4, 1, Y, X), f32),              # wrap rho_ca + vel
-        ]
-        + ([pltpu.VMEM((1, 1, Y, X), jnp.int32)]        # wrap magnetic flags
-           if emit_rhs is not None else [])
+        ] + ([pltpu.VMEM((1, 1, Y, X), jnp.int32)]      # wrap magnetic flags
+             if emit_rhs is not None else []))
         + [pltpu.SemaphoreType.DMA((4,)) for _ in range(3)]    # f/g/flags in
         + [pltpu.SemaphoreType.DMA((5,)) for _ in range(len(cap_chans))]
         + [
@@ -755,12 +947,18 @@ def lbm_capillogue(
             pltpu.SemaphoreType.DMA((3,)),   # g out
             pltpu.SemaphoreType.DMA((2,)),   # cap out
             pltpu.SemaphoreType.DMA((2,)),   # mac out
+        ]
+        + ([pltpu.SemaphoreType.DMA((2,))]   # slab: lap lo/hi ghost DMAs
+           if slab else [
             pltpu.SemaphoreType.DMA((2,)),   # seam
             pltpu.SemaphoreType.DMA((8,)),   # post-loop wrap re-reads
-        ]
+        ])
     )
     n_in = len(args)
     n_out = len(out_shape)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_in
+    if slab:
+        in_specs[-1] = pl.BlockSpec(memory_space=pltpu.SMEM)  # clamp
     out = pl.pallas_call(
         functools.partial(
             _capillogue_kernel, float(kappa), tuple(gravity),
@@ -768,10 +966,10 @@ def lbm_capillogue(
             float(density_gas), float(density_fluid), float(tau_f),
             float(tau_g), float(dx), float(dt), Z, f.dtype,
             tuple(emit_rhs) if emit_rhs is not None else None,
-            bool(emit_force),
+            bool(emit_force), slab,
         ),
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
+        in_specs=in_specs,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_out,
         out_shape=out_shape,
         scratch_shapes=scratch,

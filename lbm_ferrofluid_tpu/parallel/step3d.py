@@ -49,6 +49,8 @@ __all__ = [
     "fused_epilogue_sharded",
     "capmac_sharded",
     "capmac_sharded_ok",
+    "capillogue_sharded",
+    "capillogue_sharded_ok",
     "poisson_sweeps_sharded",
     "grad_fields_sharded",
     "laplacian_field_sharded",
@@ -394,6 +396,208 @@ def capmac_sharded(
     fn = shard_map(
         body, mesh=mesh, in_specs=(spec,) * len(args),
         out_specs=(spec,) * 5, check_vma=False,
+    )
+    return fn(*args)
+
+
+# ----------------------------------------------------------------------
+# Fused capillogue (capillary + collide + mac emission) on slabs
+# ----------------------------------------------------------------------
+def _shift_replicate_jnp(v, sy, sx, Y, X):
+    """jnp twin of ops.pallas.stencil3d._shift_replicate (pltpu.roll is
+    Pallas-only; jnp.roll moves data identically, so results are
+    bit-identical)."""
+    out = v
+    if sy:
+        rolled = jnp.roll(out, sy % Y, -2)
+        row = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0)
+        edge = 0 if sy > 0 else Y - 1
+        out = jnp.where(row == edge, out, rolled)
+    if sx:
+        rolled = jnp.roll(out, sx % X, -1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1)
+        edge = 0 if sx > 0 else X - 1
+        out = jnp.where(col == edge, out, rolled)
+    return out
+
+
+def capillogue_sharded_ok(mesh, shape, fg_dtype, interpret) -> bool:
+    """Local slabs need >=4 planes and the kernel's VMEM gate must pass on
+    the LOCAL slab shape (per-chip VMEM; planes are never split)."""
+    from ..ops.pallas.capillogue import capillogue_fits
+
+    if len(shape) != 5 or not sharded3d_ok(mesh, shape, interpret):
+        return False
+    _, nz = _mesh_sizes(mesh)
+    if shape[2] % nz or shape[2] // nz < 4:
+        return False
+    local = (shape[0], shape[1], shape[2] // nz, shape[3], shape[4])
+    if interpret:
+        return True  # alignment is a Mosaic constraint only
+    return capillogue_fits(local, fg_dtype)
+
+
+def capillogue_sharded(
+    f, g, flags, rho_pre, density_pre, pressure_old, rho_ca, H2,
+    g_sum, g_mom, vel_old, magnetic_flags, mesh, *,
+    kappa, gravity, mu0_half, rho_gas, rho_fluid, density_gas,
+    density_fluid, tau_f, tau_g, dx=1.0, dt=1.0, emit_rhs=None,
+    interpret=False,
+):
+    """shard_map slab version of ops.pallas.capillogue.lbm_capillogue
+    (steady-state form: emit_force=False — force is a write-only
+    diagnostic the steady state elides).
+
+    Ghost exchanges per step: the f/g pre-collision edge planes, one
+    plane per side of the 5 stencil-window fields, TWO rho_ca planes per
+    side (the boundary Laplacian of density(rho_ca) is pre-computed here
+    in jnp — the kernel computes lap in-kernel and the neighbor's lap
+    plane cannot come from a 1-plane rho_ca ghost), and one post-kernel
+    exchange of the collided f'/g' edge planes for the two boundary mac
+    emissions (incl. their rhs planes, an exact jnp replica of the
+    kernel's in-plane emission math).
+
+    Returns (f', g', vel, pressure, density, premac) — premac a 5- or
+    6-tuple matching the single-device kernel's emission.
+    """
+    from ..ops.collide import CHI_K, smooth_phi
+    from ..ops.pallas.capillogue import lbm_capillogue
+    from ..ops.pallas.stencil3d import _LAP_TAPS
+    from ..utils.types import CellType
+
+    spec = _spec(mesh)
+    c = dx / dt
+    cs2 = c * c / 3.0
+    mac_consts = (c, float(rho_gas), float(rho_fluid),
+                  float(density_gas), float(density_fluid))
+    inv6dx2 = 1.0 / (6.0 * dx * dx)
+
+    def density_of(rho):
+        return density_gas + (density_fluid - density_gas) * (
+            (rho - rho_gas) / (rho_fluid - rho_gas)
+        )
+
+    def _lap_plane(wm, w0, wp, Y, X):
+        # jnp twin of the kernel's fill_lap at one plane: 19-tap Laplacian
+        # of density(rho_ca), zeroed in-plane edge ring
+        win = {-1: density_of(wm), 0: density_of(w0), 1: density_of(wp)}
+        acc = None
+        for (oz, oy, ox), wgt in _LAP_TAPS:
+            tp = _shift_replicate_jnp(win[oz], -oy, -ox, Y, X) * wgt
+            acc = tp if acc is None else acc + tp
+        res = acc * inv6dx2
+        col = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0)
+        edge = (col == 0) | (col == X - 1) | (row == 0) | (row == Y - 1)
+        return jnp.where(edge, jnp.zeros((), res.dtype), res)
+
+    def _rhs_plane(den_plane, mflags_plane, Y, X):
+        # exact jnp replica of the kernel's emit_rhs plane math
+        axis, hm, tau_mag = emit_rhs
+        phi_n = -(
+            2.0 * (den_plane - density_gas)
+            / (density_fluid - density_gas) - 1.0
+        )
+        chi = CHI_K * (1.0 - smooth_phi(phi_n, 0.1 * dx))
+        sy, sx = (-1, 0) if axis == 1 else (0, -1)
+        chi_p = _shift_replicate_jnp(chi, sy, sx, Y, X)
+        chi_m = _shift_replicate_jnp(chi, -sy, -sx, Y, X)
+        d_ = (0.5 * (chi + chi_p)) * hm - (0.5 * (chi_m + chi)) * hm
+        N = Y if axis == 1 else X
+        idx = jax.lax.broadcasted_iota(
+            jnp.int32, (Y, X), 0 if axis == 1 else 1
+        )
+        d_ = jnp.where(
+            (idx == 0) | (idx == N - 1), jnp.zeros((), d_.dtype), d_
+        )
+        rhs = d_ * dx / (1.0 + chi)
+        rhs = jnp.where(
+            mflags_plane.astype(jnp.int32) == int(CellType.FLUID),
+            rhs, jnp.zeros((), rhs.dtype),
+        )
+        return (dt * rhs) * (cs2 * (0.5 - tau_mag) * dt)
+
+    has_mf = magnetic_flags is not None
+    args = [f, g, flags, rho_pre, density_pre, pressure_old, rho_ca, H2,
+            g_sum, g_mom, vel_old]
+    if has_mf:
+        args.append(magnetic_flags)
+
+    def body(*a):
+        if has_mf:
+            (f, g, flags, rho_pre, density_pre, pressure_old, rho_ca, H2,
+             g_sum, g_mom, vel_old, mflags) = a
+        else:
+            (f, g, flags, rho_pre, density_pre, pressure_old, rho_ca, H2,
+             g_sum, g_mom, vel_old) = a
+            mflags = None
+        _, _, Zl, Y, X = f.shape
+        fg = _fg_ghosts(f, g)
+        gh_fields = [rho_pre, density_pre, pressure_old, rho_ca, flags]
+        lo = [ring_halo(x[:, :1, -1:], _Z, +1) for x in gh_fields]
+        hi = [ring_halo(x[:, :1, :1], _Z, -1) for x in gh_fields]
+        # boundary Laplacian planes: lap of the NEIGHBOR's edge
+        # density(rho_ca) plane, from a 2-plane rho_ca exchange
+        rc2_lo = ring_halo(rho_ca[:, :, -2:], _Z, +1)  # z-prev's [-2, -1]
+        rc2_hi = ring_halo(rho_ca[:, :, :2], _Z, -1)   # z-next's [0, 1]
+        lap_lo = _lap_plane(
+            rc2_lo[0, 0, 0], rc2_lo[0, 0, 1], rho_ca[0, 0, 0], Y, X
+        )[None, None, None]
+        lap_hi = _lap_plane(
+            rho_ca[0, 0, -1], rc2_hi[0, 0, 0], rc2_hi[0, 0, 1], Y, X
+        )[None, None, None]
+        lo.append(lap_lo)
+        hi.append(lap_hi)
+        iz = jax.lax.axis_index(_Z)
+        nz = jax.lax.psum(1, _Z)
+        clamp = jnp.stack([
+            jnp.where(iz == 0, 1, -1),
+            jnp.where(iz == nz - 1, Zl - 2, Zl),
+        ]).astype(jnp.int32)
+        f_n, g_n, vel, pres, _force, den, premac = lbm_capillogue(
+            f, g, flags, rho_pre, density_pre, pressure_old, rho_ca, H2,
+            g_sum, g_mom, vel_old, mflags, fg, (tuple(lo), tuple(hi)),
+            clamp, kappa=kappa, gravity=gravity, mu0_half=mu0_half,
+            rho_gas=rho_gas, rho_fluid=rho_fluid, density_gas=density_gas,
+            density_fluid=density_fluid, tau_f=tau_f, tau_g=tau_g,
+            dx=dx, dt=dt, emit_rhs=emit_rhs, emit_force=False,
+            interpret=interpret,
+        )
+        # boundary mac planes from one exchange of the collided edges
+        # (the kernel emitted interiors only); rho_old/vel_old of the
+        # emission are rho_ca and THIS kernel's recovered velocity
+        f_lo2 = ring_halo(f_n[:, :, -1], _Z, +1)
+        f_hi2 = ring_halo(f_n[:, :, 0], _Z, -1)
+        g_lo2 = ring_halo(g_n[:, :, -1], _Z, +1)
+        g_hi2 = ring_halo(g_n[:, :, 0], _Z, -1)
+        mac0 = _mac_plane_jnp(
+            (f_lo2, f_n[:, :, 0], f_n[:, :, 1]),
+            (g_lo2, g_n[:, :, 0], g_n[:, :, 1]),
+            flags[:, :, 0], rho_ca[:, :, 0], vel[:, :, 0], mac_consts,
+        )
+        macZ = _mac_plane_jnp(
+            (f_n[:, :, -2], f_n[:, :, -1], f_hi2),
+            (g_n[:, :, -2], g_n[:, :, -1], g_hi2),
+            flags[:, :, -1], rho_ca[:, :, -1], vel[:, :, -1], mac_consts,
+        )
+        fixed = [
+            m.at[:, :, 0].set(m0).at[:, :, -1].set(mZ)
+            for m, m0, mZ in zip(premac[:5], mac0, macZ)
+        ]
+        if emit_rhs is not None:
+            rhs = premac[5]
+            rhs0 = _rhs_plane(mac0[2][0, 0], mflags[0, 0, 0], Y, X)
+            rhsZ = _rhs_plane(macZ[2][0, 0], mflags[0, 0, -1], Y, X)
+            rhs = rhs.at[:, :, 0].set(rhs0[None, None])
+            rhs = rhs.at[:, :, -1].set(rhsZ[None, None])
+            fixed.append(rhs)
+        return f_n, g_n, vel, pres, den, tuple(fixed)
+
+    n_mac = 6 if emit_rhs is not None else 5
+    fn = shard_map(
+        body, mesh=mesh, in_specs=(spec,) * len(args),
+        out_specs=(spec, spec, spec, spec, spec, (spec,) * n_mac),
+        check_vma=False,
     )
     return fn(*args)
 

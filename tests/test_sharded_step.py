@@ -184,6 +184,62 @@ def test_fused_epilogue_sharded_emit_mac(fields, rng, compact):
         )
 
 
+@pytest.mark.parametrize("emit_rhs", [None, (1, 85.0, 0.8)],
+                         ids=["plain", "emit_rhs"])
+def test_capillogue_sharded_matches(fields, rng, emit_rhs):
+    """Slab-mode capillogue (ghost refs for f/g + the 5 stencil-window
+    fields, pre-computed boundary lap planes, per-device z-clamp, jnp
+    boundary mac/rhs fix-up) == the single-device fused kernel."""
+    from lbm_ferrofluid_tpu.ops.collide import MU0
+    from lbm_ferrofluid_tpu.ops.pallas.capillogue import lbm_capillogue
+
+    f, flags = fields
+    Z, Y, X = 8, 8, 16
+    g = jnp.asarray(rng.uniform(0.2, 1.0, (1, 19, Z, Y, X)), jnp.float32)
+    RG, RF = 0.02381, 0.2508
+    rho_pre = jnp.asarray(rng.uniform(RG, RF, (1, 1, Z, Y, X)), jnp.float32)
+    den_pre = RG + (RF - RG) * ((rho_pre - RG) / (RF - RG))
+    pres = jnp.asarray(rng.uniform(0.0, 0.05, (1, 1, Z, Y, X)), jnp.float32)
+    rho_ca = jnp.asarray(rng.uniform(RG, RF, (1, 1, Z, Y, X)), jnp.float32)
+    H2 = jnp.asarray(rng.uniform(0.0, 100.0, (1, 1, Z, Y, X)), jnp.float32)
+    g_sum = jnp.asarray(rng.uniform(0.0, 0.1, (1, 1, Z, Y, X)), jnp.float32)
+    g_mom = jnp.asarray(
+        rng.uniform(-1e-2, 1e-2, (1, 3, Z, Y, X)), jnp.float32
+    )
+    vel_old = jnp.asarray(
+        rng.uniform(-0.1, 0.1, (1, 3, Z, Y, X)), jnp.float32
+    )
+    mflags = flags if emit_rhs else None
+    kw = dict(
+        kappa=0.01, gravity=(0.0, -1e-4, 0.0), mu0_half=0.5 * MU0,
+        rho_gas=RG, rho_fluid=RF, density_gas=RG, density_fluid=RF,
+        tau_f=0.68, tau_g=0.68, dx=1.0, dt=1.0, emit_rhs=emit_rhs,
+    )
+
+    r_f, r_g, r_vel, r_pres, r_force, r_den, r_mac = lbm_capillogue(
+        f, g, flags, rho_pre, den_pre, pres, rho_ca, H2,
+        g_sum, g_mom, vel_old, mflags, emit_force=False, interpret=True,
+        **kw,
+    )
+    assert r_force is None
+    s_f, s_g, s_vel, s_pres, s_den, s_mac = step3d.capillogue_sharded(
+        f, g, flags, rho_pre, den_pre, pres, rho_ca, H2,
+        g_sum, g_mom, vel_old, mflags, _mesh_z(2), interpret=True, **kw,
+    )
+    pairs = [
+        ("f", s_f, r_f), ("g", s_g, r_g), ("vel", s_vel, r_vel),
+        ("pressure", s_pres, r_pres), ("density", s_den, r_den),
+    ] + [
+        (f"mac[{i}]", sm, rm) for i, (sm, rm) in enumerate(zip(s_mac, r_mac))
+    ]
+    assert len(s_mac) == len(r_mac) == (6 if emit_rhs else 5)
+    for name, got, want in pairs:
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=3e-6, atol=3e-6,
+            err_msg=name,
+        )
+
+
 def test_poisson_sharded_h2_emission(rng):
     """emit_h2 sharded: the wavefront's h2-emitting final round (per-device
     SMEM edge clamps + one spare ghost plane) == the single-device
@@ -325,9 +381,14 @@ def test_ferrofluid_step_sharded_mac_carry_matches():
     b = shard_state(b, mesh)
     b = prime_premac(params_b, b, mesh=mesh)
     assert b.premac is not None, "sharded mac-carry priming did not engage"
+    # sharded capillogue steady state: rhs carried as the 6th premac leaf,
+    # write-only diagnostics (phi/force) elided — matching the
+    # single-device steady state structurally
+    assert len(b.premac) == 6 and b.phi is None and b.force is None
     for _ in range(3):
         b = ferrofluid_step(params_b, b, mesh=mesh)
-    assert b.premac is not None
+    assert b.premac is not None and len(b.premac) == 6
+    assert b.phi is None and b.force is None
 
     for name in ("f", "g", "h", "vel", "density", "pressure"):
         got = np.asarray(getattr(b, name))

@@ -74,3 +74,27 @@ def test_rosensweig3d_spike_pattern_parity():
         for s in (2500, 3000)
     }
     assert k_of[2500] == 4 and k_of[3000] == 3, k_of
+
+
+TURBO = GOLDEN / "rosensweig3d_spikes_ours_turbo.npz"
+
+
+@pytest.mark.skipif(
+    not (REF.exists() and TURBO.exists()),
+    reason="turbo spike golden not generated",
+)
+def test_rosensweig3d_spike_turbo_same_regime():
+    """bf16 (turbo) storage on the chaotic spike scene: the trajectory is
+    legitimately offset (bf16 rounding seeds the instability harder — the
+    k=4->3 coarsening happens earlier), but by step 4000 the run must sit
+    in the SAME regime as the f32 reference: identical dominant
+    wavenumber, amplitude within a factor ~1.3 (measured 1.29), interface
+    still substantially correlated (measured 0.83)."""
+    from tools.spike_metric import compare_runs
+
+    ref = np.load(REF)
+    turbo = np.load(TURBO)
+    m = compare_runs(ref["den_4000"][0, 0], turbo["den_4000"][0, 0])
+    assert m["ref"]["k_dominant"] == m["ours"]["k_dominant"], m
+    assert 0.6 < m["amp_ratio"] < 1.7, m["amp_ratio"]
+    assert m["height_correlation"] > 0.5, m["height_correlation"]
