@@ -55,20 +55,24 @@ def model_bytes_per_cell(n_iters: int = 30, b_fg: int = 4, b_h: int = 4,
         total += n_iters * ((19 * b_h + B4 + 4) + (19 * b_h + B4))
         total += 4 * B4  # psi r1 + H_int w3 via the separate grad pass
 
-    # rhs build (un-padded staggered-diff of chi): ~r 2 + w 1 f32 passes
-    total += 3 * B4
-    # phi + contact-angle glue: ~r 2 w 2 (H2 assembly is gone)
-    total += 4 * B4
-
     if capillogue_fits((1, 19, *res), fg_dtype) and mac_carry:
         # capillogue (steady state): capillary stage + collide + emission
         # in ONE pass — the Laplacian, gradients, dfai/dprho and the
-        # epilogue's macro ring all stay in VMEM.
-        # r: 19f + 19g + flags + 13 f32 capillary channels (premac 9 +
-        #    pres_old + rho_ca + H2 + phi); w: 19f + 19g + 8 f32 state
-        #    channels (vel/pres/force/density) + 9 f32 next-step macros
-        total += (38 * b_fg + 4 + 13 * B4) + 38 * b_fg + 17 * B4
+        # epilogue's macro ring all stay in VMEM; the rhs build glue is
+        # gone (emit_rhs carries the next step's rhs as a premac leaf)
+        # and phi/force are elided write-only diagnostics.
+        # r: 19f + 19g + flags + 12 f32 capillary channels (premac 9 +
+        #    pres_old + rho_ca + H2) + mflags(i32);
+        # w: 19f + 19g + 5 f32 state channels (vel/pres/density) +
+        #    10 f32 emission channels (9 macros + next-step rhs)
+        total += (38 * b_fg + 2 * 4 + 12 * B4) + 38 * b_fg + 15 * B4
+        # contact-angle kernel (contact3d): r rho + flags; w rho_ca
+        total += 2 * B4 + 4
     else:
+        # rhs build (un-padded staggered-diff of chi): ~r 2 + w 1 f32
+        total += 3 * B4
+        # phi + contact-angle glue: ~r 2 w 2 (H2 assembly is gone)
+        total += 4 * B4
         # laplacian folded into capmac (lap=None): no separate pass
         # fused capillary gradmac: r 13 f32 channels + flags; w 13 f32
         # channels (gradients and recovery intermediates stay in VMEM)

@@ -7,7 +7,14 @@ kernel on the default path must earn an on-chip parity check.  The
 established bar: 30 steps f32, relative error <= 5e-5 (FMA-level) on
 every state field.
 
-Usage:  python tools/hw_validate.py [Z Y X] [steps] [fg_dtype]
+Usage:  python tools/hw_validate.py [Z Y X] [steps] [fg_dtype] [--sharded]
+
+``--sharded`` runs the shard_map slab path on a 1-device ('batch'=1,
+'z'=1) mesh instead of the single-device fast path: the ghost-plane
+kernel variants (slab capillogue/epilogue/capmac, depth-k Poisson halos)
+then COMPILE and execute on the real chip — the only hardware validation
+of the multi-chip kernels obtainable on one chip (interpret mode has
+missed DMA-semaphore bugs before).
 
 Pick the resolution to exercise the config under test:
   * 256 256 256 f32  — compact-ring mac-carry epilogue (emit_mac_mode ->
@@ -60,6 +67,8 @@ def main():
     if args and args[0].isdigit():
         steps = int(args[0])
         args = args[1:]
+    sharded = "--sharded" in args
+    args = [a for a in args if a != "--sharded"]
     if args:
         dtype = args[0]
 
@@ -95,10 +104,43 @@ def main():
           f"emit_mac_mode={emit_mac_mode(shape, dt_)} "
           f"capillogue_fits={capillogue_fits(shape, dt_)}", flush=True)
 
-    p_fast, s_fast = make(True)
-    runner_fast = SimulationRunner(p_fast, ferrofluid_step_impl)
-    s_fast = runner_fast.run(s_fast, steps)
-    print("fast path done", flush=True)
+    if sharded:
+        # shard_map slab path on a 1-device mesh: compiles + executes the
+        # ghost-variant kernels on the real chip
+        import jax
+
+        from lbm_ferrofluid_tpu.parallel.mesh import make_mesh
+        from lbm_ferrofluid_tpu.parallel.sharding import (
+            shard_state,
+            state_shardings,
+        )
+
+        mesh = make_mesh(("batch", "z"), (1, 1), devices=jax.devices()[:1])
+        p_fast = SimulationParams(
+            dim=3, density_gas=0.02381, density_fluid=0.2508,
+            rho_gas=0.02381, rho_fluid=0.2508, kappa=0.01,
+            tau_f=0.68, tau_g=0.68, gravity=1e-4, mag_strength=85.0,
+            poisson_iters=30, h_dtype=dtype, fg_dtype=dtype,
+        )
+        s_fast = shard_state(bench.build_state(p_fast, res), mesh)
+        s_fast = prime_premac(p_fast, s_fast, mesh=mesh)
+        print(f"sharded path: premac="
+              f"{len(s_fast.premac) if s_fast.premac else None}", flush=True)
+        step_s = jax.jit(
+            lambda s: ferrofluid_step_impl(p_fast, s, mesh=mesh),
+            out_shardings=state_shardings(s_fast, mesh),
+            donate_argnums=0,
+        )
+        for _ in range(steps):
+            s_fast = step_s(s_fast)
+        from lbm_ferrofluid_tpu.models.runner import sync
+        sync(s_fast)
+        print("sharded path done", flush=True)
+    else:
+        p_fast, s_fast = make(True)
+        runner_fast = SimulationRunner(p_fast, ferrofluid_step_impl)
+        s_fast = runner_fast.run(s_fast, steps)
+        print("fast path done", flush=True)
 
     p_ref, s_ref = make(False)
     runner_ref = SimulationRunner(p_ref, ferrofluid_step_impl)
@@ -121,6 +163,7 @@ def main():
     )
     print(json.dumps({
         "res": list(res), "steps": steps, "dtype": dtype,
+        "sharded": sharded,
         "tol": TOL if check else None,
         "max_rel_err": errs, "finite": finite,
         "ok": bool(ok and finite),
