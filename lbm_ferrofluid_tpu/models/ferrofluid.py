@@ -332,7 +332,11 @@ def ferrofluid_step_impl(
                 density_gas=float(params.density_gas),
                 density_fluid=float(params.density_fluid),
                 tau_f=params.tau_f, tau_g=params.tau_g, dx=dx, dt=dt,
-                emit_rhs=emit_rhs, emit_force=False,
+                # force elision must mirror prime_premac's: it nulls
+                # state.force only alongside the rhs leaf (rhs_cfg set),
+                # and the lax.scan carry must keep one structure — with
+                # emit_rhs=None (e.g. h_ext_axis=2) force stays an array
+                emit_rhs=emit_rhs, emit_force=emit_rhs is None,
                 interpret=interp_fast,
             )
             return FerrofluidState(
@@ -504,6 +508,36 @@ def ferrofluid_step_impl(
     )
 
 
+def _prime_steady(params: SimulationParams, state, density, premac):
+    """Shared tail of prime_premac: when the capillogue steady state will
+    run (gates checked by the CALLER, which must mirror the step's), carry
+    the pre-scaled Poisson rhs as a 6th premac leaf and elide the
+    write-only diagnostics — phi (its only in-step consumer was the rhs
+    chain; models.phi_field derives it from density on demand) and force
+    (the reference overwrites it unread each step,
+    LBM_collision_HCZ_3d.py:225).  lax.scan needs this structure from the
+    very first carry."""
+    import dataclasses
+
+    from ..ops.magnetic import poisson_rhs_scaled
+
+    phi = -(
+        2.0 * (density - params.density_gas)
+        / (params.density_fluid - params.density_gas) - 1.0
+    )
+    hext_static = tuple(
+        float(params.mag_strength) if d == params.h_ext_axis else 0.0
+        for d in range(3)
+    )
+    rhs = poisson_rhs_scaled(
+        phi, state.magnetic_flags, None, hext_static,
+        tau=params.tau, dx=params.dx, dt=params.dt, dim=3,
+    )
+    return dataclasses.replace(
+        state, premac=premac + (rhs,), phi=None, force=None
+    )
+
+
 def prime_premac(
     params: SimulationParams, state: FerrofluidState, mesh=None
 ):
@@ -568,23 +602,7 @@ def prime_premac(
             and len(grav) == 3
             and rhs_cfg is not None
         ):
-            from ..ops.magnetic import poisson_rhs_scaled
-
-            phi = -(
-                2.0 * (density - params.density_gas)
-                / (params.density_fluid - params.density_gas) - 1.0
-            )
-            hext_static = tuple(
-                float(params.mag_strength) if d == params.h_ext_axis else 0.0
-                for d in range(3)
-            )
-            rhs = poisson_rhs_scaled(
-                phi, state.magnetic_flags, None, hext_static,
-                tau=params.tau, dx=params.dx, dt=params.dt, dim=3,
-            )
-            return dataclasses.replace(
-                state, premac=premac + (rhs,), phi=None, force=None
-            )
+            return _prime_steady(params, state, density, premac)
         return dataclasses.replace(state, premac=premac)
 
     force_fast = (
@@ -618,29 +636,7 @@ def prime_premac(
         and len(grav) == 3
         and rhs_cfg is not None
     ):
-        from ..ops.magnetic import poisson_rhs_scaled
-
-        phi = -(
-            2.0 * (density - params.density_gas)
-            / (params.density_fluid - params.density_gas) - 1.0
-        )
-        hext_static = tuple(
-            float(params.mag_strength) if d == params.h_ext_axis else 0.0
-            for d in range(3)
-        )
-        rhs = poisson_rhs_scaled(
-            phi, state.magnetic_flags, None, hext_static,
-            tau=params.tau, dx=params.dx, dt=params.dt, dim=3,
-        )
-        # the capillogue steady state materializes neither phi (its only
-        # in-step consumer was the rhs chain the 6th leaf replaces) nor
-        # force (a write-only diagnostic; the reference overwrites it
-        # unread each step, LBM_collision_HCZ_3d.py:225) — the carry must
-        # be structure-stable under lax.scan, so prime both as None here;
-        # models.phi_field derives phi from density on demand
-        return dataclasses.replace(
-            state, premac=premac + (rhs,), phi=None, force=None
-        )
+        return _prime_steady(params, state, density, premac)
     return dataclasses.replace(state, premac=premac)
 
 

@@ -533,13 +533,20 @@ def capillogue_sharded(
             mflags = None
         _, _, Zl, Y, X = f.shape
         fg = _fg_ghosts(f, g)
-        gh_fields = [rho_pre, density_pre, pressure_old, rho_ca, flags]
-        lo = [ring_halo(x[:, :1, -1:], _Z, +1) for x in gh_fields]
-        hi = [ring_halo(x[:, :1, :1], _Z, -1) for x in gh_fields]
-        # boundary Laplacian planes: lap of the NEIGHBOR's edge
-        # density(rho_ca) plane, from a 2-plane rho_ca exchange
+        # one 2-plane rho_ca exchange serves BOTH the rho_ca window ghost
+        # (its plane -1 / Z) and the boundary-Laplacian window (plane -2 /
+        # Z+1): no separate 1-plane rho_ca exchange
         rc2_lo = ring_halo(rho_ca[:, :, -2:], _Z, +1)  # z-prev's [-2, -1]
         rc2_hi = ring_halo(rho_ca[:, :, :2], _Z, -1)   # z-next's [0, 1]
+        gh_fields = [rho_pre, density_pre, pressure_old]
+        lo = [ring_halo(x[:, :1, -1:], _Z, +1) for x in gh_fields]
+        hi = [ring_halo(x[:, :1, :1], _Z, -1) for x in gh_fields]
+        lo.append(rc2_lo[:, :, 1:])
+        hi.append(rc2_hi[:, :, :1])
+        lo.append(ring_halo(flags[:, :1, -1:], _Z, +1))
+        hi.append(ring_halo(flags[:, :1, :1], _Z, -1))
+        # boundary Laplacian planes: lap of the NEIGHBOR's edge
+        # density(rho_ca) plane
         lap_lo = _lap_plane(
             rc2_lo[0, 0, 0], rc2_lo[0, 0, 1], rho_ca[0, 0, 0], Y, X
         )[None, None, None]

@@ -142,6 +142,26 @@ def test_forced_fastpath_epilogue_emit_mac(monkeypatch):
     )
 
 
+def test_forced_fastpath_h_ext_axis_z_scan_stable(monkeypatch):
+    """h_ext_axis=2 (z-directed field): no rhs carry (the staggered
+    difference is out-of-plane, _capillogue_rhs_cfg is None), so the
+    capillogue path must KEEP phi/force as arrays — regression for the
+    scan-carry structure flip (the branch once passed emit_force=False
+    unconditionally while prime_premac primed force as an array)."""
+    from lbm_ferrofluid_tpu.models import SimulationRunner
+
+    monkeypatch.setenv("LBM_FORCE_FASTPATH", "interpret")
+    params = _params(h_ext_axis=2)
+    state = prime_premac(params, _state(params))
+    assert state.premac is not None and len(state.premac) == 5
+    assert state.phi is not None and state.force is not None
+
+    runner = SimulationRunner(params, ferrofluid_step_impl)
+    state = runner.run(state, 2)  # lax.scan: carry structure must hold
+    assert state.phi is not None and state.force is not None
+    assert np.isfinite(np.asarray(state.density)).all()
+
+
 def test_checkpoint_roundtrip_phi_none(monkeypatch, tmp_path):
     """The capillogue steady-state (phi=None, 6-leaf premac) checkpoints."""
     from lbm_ferrofluid_tpu.utils.checkpoint import (

@@ -80,14 +80,17 @@ def main():
         prime_premac,
     )
 
-    def make(use_pallas):
-        p = SimulationParams(
+    def make_params(use_pallas=True):
+        return SimulationParams(
             dim=3, density_gas=0.02381, density_fluid=0.2508,
             rho_gas=0.02381, rho_fluid=0.2508, kappa=0.01,
             tau_f=0.68, tau_g=0.68, gravity=1e-4, mag_strength=85.0,
             poisson_iters=30, h_dtype=dtype, fg_dtype=dtype,
             use_pallas=use_pallas,
         )
+
+    def make(use_pallas):
+        p = make_params(use_pallas)
         s = bench.build_state(p, res)
         if use_pallas:
             s = prime_premac(p, s)
@@ -116,12 +119,9 @@ def main():
         )
 
         mesh = make_mesh(("batch", "z"), (1, 1), devices=jax.devices()[:1])
-        p_fast = SimulationParams(
-            dim=3, density_gas=0.02381, density_fluid=0.2508,
-            rho_gas=0.02381, rho_fluid=0.2508, kappa=0.01,
-            tau_f=0.68, tau_g=0.68, gravity=1e-4, mag_strength=85.0,
-            poisson_iters=30, h_dtype=dtype, fg_dtype=dtype,
-        )
+        # the same physics constants as the jnp reference (one literal);
+        # the sharded state is primed with mesh= below instead
+        p_fast = make_params()
         s_fast = shard_state(bench.build_state(p_fast, res), mesh)
         s_fast = prime_premac(p_fast, s_fast, mesh=mesh)
         print(f"sharded path: premac="

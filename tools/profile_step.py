@@ -162,7 +162,7 @@ def main():
             "lbm_capillogue (cap+collide+emit)", capi,
             state.f, state.g, state.flags, state.rho, state.density,
             state.pressure, state.rho, state.pressure, state.density,
-            state.pressure, state.vel, state.vel, state.magnetic_flags,
+            state.vel, state.vel, state.magnetic_flags,
             chain=lambda out, a: (out[0], out[1]) + a[2:],
         )
 
