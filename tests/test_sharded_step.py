@@ -184,17 +184,25 @@ def test_fused_epilogue_sharded_emit_mac(fields, rng, compact):
         )
 
 
+@pytest.mark.parametrize("Z", [8, 10], ids=["Zl4", "Zl5"])
 @pytest.mark.parametrize("emit_rhs", [None, (1, 85.0, 0.8)],
                          ids=["plain", "emit_rhs"])
-def test_capillogue_sharded_matches(fields, rng, emit_rhs):
+def test_capillogue_sharded_matches(rng, emit_rhs, Z):
     """Slab-mode capillogue (ghost refs for f/g + the 5 stencil-window
     fields, pre-computed boundary lap planes, per-device z-clamp, jnp
-    boundary mac/rhs fix-up) == the single-device fused kernel."""
+    boundary mac/rhs fix-up) == the single-device fused kernel.
+
+    Zl=4 and Zl=5 local slabs exercise both ghost-slot aliasing patterns
+    of the 5-slot rings (slot5(-1)=4 vs slot5(Z): equal at Zl=4,
+    adjacent at Zl=5)."""
     from lbm_ferrofluid_tpu.ops.collide import MU0
     from lbm_ferrofluid_tpu.ops.pallas.capillogue import lbm_capillogue
 
-    f, flags = fields
-    Z, Y, X = 8, 8, 16
+    Y, X = 8, 16
+    f = jnp.asarray(rng.uniform(0.2, 1.0, (1, 19, Z, Y, X)), jnp.float32)
+    flags = np.full((1, 1, Z, Y, X), int(CellType.OBSTACLE), np.uint8)
+    flags[..., 1:-1, 1:-1, 1:-1] = int(CellType.FLUID)
+    flags = jnp.asarray(flags)
     g = jnp.asarray(rng.uniform(0.2, 1.0, (1, 19, Z, Y, X)), jnp.float32)
     RG, RF = 0.02381, 0.2508
     rho_pre = jnp.asarray(rng.uniform(RG, RF, (1, 1, Z, Y, X)), jnp.float32)
