@@ -556,12 +556,37 @@ def hcz_capillary(
     prho = _rep_pad_interior(pressure - RT * density)
     fai = _rep_pad_interior(eos_pressure(rho, dx=dx, dt=dt) - rho * RT)
 
-    # the GSPMD-auto path shards arrays without a mesh argument, so only a
-    # provably single-device process may drop the scatter barriers
-    rho = contact_angle_boundary(
-        rho, flags, contact_angle, dim,
-        spmd=mesh is not None or len(jax.devices()) > 1,
+    # contact angle: the ring-pipelined kernel twin where it applies (the
+    # jnp x-face dynamic-update-slices are whole-tile RMW on TPU layout,
+    # ~0.55 ms/step at 128x256^2) — single-device 3D with a concrete angle
+    import os as _os
+
+    _force_fast = (
+        _os.environ.get("LBM_FORCE_FASTPATH") == "interpret"
+        and jax.default_backend() != "tpu"
     )
+    _ca_static = None
+    if use_pallas and dim == 3 and mesh is None and (
+        jax.default_backend() == "tpu" or _force_fast
+    ) and not _os.environ.get("LBM_DISABLE_PALLAS"):
+        try:
+            _ca_static = float(np.asarray(contact_angle).reshape(()))
+        except Exception:
+            _ca_static = None  # traced angle: keep the jnp chain
+    from .pallas.contact3d import contact_angle_3d, contact_angle_3d_supported
+
+    if _ca_static is not None and contact_angle_3d_supported(rho.shape):
+        rho = contact_angle_3d(
+            rho, flags, _ca_static, interpret=_force_fast
+        )
+    else:
+        # the GSPMD-auto path shards arrays without a mesh argument, so
+        # only a provably single-device process may drop the scatter
+        # barriers
+        rho = contact_angle_boundary(
+            rho, flags, contact_angle, dim,
+            spmd=mesh is not None or len(jax.devices()) > 1,
+        )
     density = rho_to_density(
         rho,
         rho_gas=rho_gas,
