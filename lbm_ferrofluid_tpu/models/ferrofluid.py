@@ -33,6 +33,7 @@ from ..ops import (
     stream_bounce_macro,
     stream_bounce_moments,
 )
+from ..ops.pallas import force_fastpath
 from ..utils.types import CellType
 from .params import SimulationParams
 from .state import FerrofluidState
@@ -171,13 +172,7 @@ def ferrofluid_step_impl(
         params.use_pallas and lat.dim == 3
         and not os.environ.get("LBM_DISABLE_PALLAS")
     )
-    # Test hook: LBM_FORCE_FASTPATH=interpret runs the single-device fused
-    # dispatch (incl. the capillogue steady state) in Pallas interpret mode
-    # off-TPU — the only way to exercise this dispatch under pytest.
-    force_fast = (
-        os.environ.get("LBM_FORCE_FASTPATH") == "interpret"
-        and jax.default_backend() != "tpu"
-    )
+    force_fast = force_fastpath()
     fastpath = (
         pallas_on and mesh is None
         and fused_step_supported(lat, state.f.shape, params.kbc_type)
@@ -605,10 +600,7 @@ def prime_premac(
             return _prime_steady(params, state, density, premac)
         return dataclasses.replace(state, premac=premac)
 
-    force_fast = (
-        os.environ.get("LBM_FORCE_FASTPATH") == "interpret"
-        and jax.default_backend() != "tpu"
-    )
+    force_fast = force_fastpath()
     fastpath = (
         fused_step_supported(lat, state.f.shape, params.kbc_type)
         and emit_mac_fits(state.f.shape, state.f.dtype)

@@ -29,11 +29,15 @@ def model_bytes_per_cell(n_iters: int = 30, b_fg: int = 4, b_h: int = 4,
     total = 0.0
     fg_dtype = jnp.bfloat16 if b_fg == 2 else jnp.float32
     mac_carry = emit_mac_fits((1, 19, *res), fg_dtype)
+    capillogue = capillogue_fits((1, 19, *res), fg_dtype) and mac_carry
     if mac_carry:
         # mac-carry (primed premac): NO prologue pass — the previous
         # epilogue's trailing stage wrote the 9 f32 macro channels; this
-        # step only reads them (inside the consuming fusions / capmac)
-        total += 9 * B4
+        # step only reads them (inside the consuming fusions / capmac).
+        # The capillogue branch below already counts the premac reads in
+        # its own 12-channel read term — don't count them twice.
+        if not capillogue:
+            total += 9 * B4
     else:
         # VMEM-gated (f32 storage at 256^2 planes): separate ring-pipelined
         # prologue — r 19f + 19g + flags + rho + 3 vel; w 9 f32 macro
@@ -55,7 +59,7 @@ def model_bytes_per_cell(n_iters: int = 30, b_fg: int = 4, b_h: int = 4,
         total += n_iters * ((19 * b_h + B4 + 4) + (19 * b_h + B4))
         total += 4 * B4  # psi r1 + H_int w3 via the separate grad pass
 
-    if capillogue_fits((1, 19, *res), fg_dtype) and mac_carry:
+    if capillogue:
         # capillogue (steady state): capillary stage + collide + emission
         # in ONE pass — the Laplacian, gradients, dfai/dprho and the
         # epilogue's macro ring all stay in VMEM; the rhs build glue is

@@ -558,17 +558,23 @@ def hcz_capillary(
 
     # contact angle: the ring-pipelined kernel twin where it applies (the
     # jnp x-face dynamic-update-slices are whole-tile RMW on TPU layout,
-    # ~0.55 ms/step at 128x256^2) — single-device 3D with a concrete angle
+    # ~0.55 ms/step at 128x256^2) — single-device 3D with a concrete angle.
+    # Guards: f32 only (the kernel computes and returns f32; a wider rho —
+    # the f64 golden-parity runs — must keep the dtype-preserving jnp
+    # chain), and on TPU a single visible device (GSPMD-auto shards arrays
+    # without a mesh argument; a plain pallas_call must not see them).
     import os as _os
 
-    _force_fast = (
-        _os.environ.get("LBM_FORCE_FASTPATH") == "interpret"
-        and jax.default_backend() != "tpu"
-    )
+    from .pallas import force_fastpath
+
+    _force_fast = force_fastpath()
     _ca_static = None
     if use_pallas and dim == 3 and mesh is None and (
-        jax.default_backend() == "tpu" or _force_fast
-    ) and not _os.environ.get("LBM_DISABLE_PALLAS"):
+        (jax.default_backend() == "tpu" and len(jax.devices()) == 1)
+        or _force_fast
+    ) and rho.dtype == jnp.float32 and not _os.environ.get(
+        "LBM_DISABLE_PALLAS"
+    ):
         try:
             _ca_static = float(np.asarray(contact_angle).reshape(()))
         except Exception:

@@ -533,18 +533,35 @@ def capillogue_sharded(
             mflags = None
         _, _, Zl, Y, X = f.shape
         fg = _fg_ghosts(f, g)
-        # one 2-plane rho_ca exchange serves BOTH the rho_ca window ghost
-        # (its plane -1 / Z) and the boundary-Laplacian window (plane -2 /
-        # Z+1): no separate 1-plane rho_ca exchange
-        rc2_lo = ring_halo(rho_ca[:, :, -2:], _Z, +1)  # z-prev's [-2, -1]
-        rc2_hi = ring_halo(rho_ca[:, :, :2], _Z, -1)   # z-next's [0, 1]
-        gh_fields = [rho_pre, density_pre, pressure_old]
-        lo = [ring_halo(x[:, :1, -1:], _Z, +1) for x in gh_fields]
-        hi = [ring_halo(x[:, :1, :1], _Z, -1) for x in gh_fields]
+        # ONE bundled exchange per side for all the small scalar planes
+        # (each is ~Y*X*4 bytes, where collective launch latency rivals the
+        # transfer itself): rho_pre + density_pre + pressure_old edge
+        # planes, the 2-plane rho_ca window (serving BOTH the rho_ca ghost
+        # and the boundary-Laplacian window), and the flags edge plane
+        # (cast through f32 — uint8 cell codes are exact).  The 19-channel
+        # f/g exchanges stay separate: their payloads are large enough that
+        # a concat copy would cost more than the saved launches.
+        fdt = rho_pre.dtype
+        cat_lo = jnp.concatenate([
+            rho_pre[:, :1, -1:], density_pre[:, :1, -1:],
+            pressure_old[:, :1, -1:], rho_ca[:, :, -2:],
+            flags[:, :1, -1:].astype(fdt),
+        ], axis=2)
+        cat_hi = jnp.concatenate([
+            rho_pre[:, :1, :1], density_pre[:, :1, :1],
+            pressure_old[:, :1, :1], rho_ca[:, :, :2],
+            flags[:, :1, :1].astype(fdt),
+        ], axis=2)
+        bund_lo = ring_halo(cat_lo, _Z, +1)  # from z-prev
+        bund_hi = ring_halo(cat_hi, _Z, -1)  # from z-next
+        rc2_lo = bund_lo[:, :, 3:5]  # z-prev's [-2, -1]
+        rc2_hi = bund_hi[:, :, 3:5]  # z-next's [0, 1]
+        lo = [bund_lo[:, :, i:i + 1] for i in range(3)]
+        hi = [bund_hi[:, :, i:i + 1] for i in range(3)]
         lo.append(rc2_lo[:, :, 1:])
         hi.append(rc2_hi[:, :, :1])
-        lo.append(ring_halo(flags[:, :1, -1:], _Z, +1))
-        hi.append(ring_halo(flags[:, :1, :1], _Z, -1))
+        lo.append(bund_lo[:, :, 5:6].astype(flags.dtype))
+        hi.append(bund_hi[:, :, 5:6].astype(flags.dtype))
         # boundary Laplacian planes: lap of the NEIGHBOR's edge
         # density(rho_ca) plane
         lap_lo = _lap_plane(
@@ -682,20 +699,27 @@ def poisson_sweeps_sharded(
     # here; the local slab shape is global_Z/nz)
     _, nz = _mesh_sizes(mesh)
     Zl_g = h.shape[2] // nz
-    k_g = max(1, min(halo_depth, Zl_g, n_iters))
-    rounds_g, rem_g = divmod(n_iters, k_g)
-    n_final = rem_g if rem_g else k_g
-    G_g = k_g + 1
+    # One neighbor exchange can supply at most Zl real planes, so G <= Zl
+    # must hold.  Plain mode has G = k <= Zl by construction, but the h2
+    # mode's spare plane (G = k+1) needs k clamped to Zl-1 — without this
+    # _extend/_refresh_ghosts silently slice a STALE ghost plane in as
+    # real data (observed: h corrupt decaying inward from the slab edges
+    # at Zl=4 with the default depth 5).
+    k_h2 = max(1, min(halo_depth, Zl_g - 1, n_iters))
+    rounds_g, rem_g = divmod(n_iters, k_h2)
+    n_final = rem_g if rem_g else k_h2
+    G_g = k_h2 + 1
     ext_shape_h2 = (1, 19, Zl_g + 2 * G_g, h.shape[3], h.shape[4])
     do_h2 = (
         emit_h2 is not None and len(emit_h2) == 3
-        and wf_ok(ext_shape_h2, k_g)
+        and G_g <= Zl_g
+        and wf_ok(ext_shape_h2, k_h2)
         and poisson_wavefront_hint_ok(ext_shape_h2, h.dtype, n_final)
     )
 
     def body(h, flags, rhs):
         _, _, Zl, Y, X = h.shape
-        k = max(1, min(halo_depth, Zl, n_iters))
+        k = k_h2 if do_h2 else max(1, min(halo_depth, Zl, n_iters))
         G = k + 1 if do_h2 else k
         rounds, rem = divmod(n_iters, k)
         Zext = Zl + 2 * G

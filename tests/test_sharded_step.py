@@ -89,6 +89,31 @@ def test_poisson_sharded_depth_k_bitexact(fields, rng, k):
     np.testing.assert_array_equal(np.asarray(psi_s), np.asarray(psi_ref))
 
 
+@pytest.mark.parametrize("nz,n_iters", [(2, 4), (2, 30), (4, 30)])
+def test_poisson_sharded_h2_small_slab_depth_clamp(rng, nz, n_iters):
+    """Regression: at Zl-plane slabs the h2 mode's G=k+1 ghost planes must
+    satisfy G <= Zl (one neighbor exchange can supply at most Zl real
+    planes).  With the default halo_depth=5 and Zl∈{4,8}, the unclamped k
+    made _refresh_ghosts slice a STALE ghost plane in as real data — h
+    came back corrupt (rel ~1) decaying inward from the slab edges."""
+    Z, Y, X = 4 * nz, 8, 16
+    HEXT = (0.0, 85.0, 0.0)
+    h = jnp.asarray(rng.uniform(-0.1, 0.1, (1, 19, Z, Y, X)), jnp.float32)
+    flags = np.full((1, 1, Z, Y, X), int(CellType.OBSTACLE), np.uint8)
+    flags[..., 1:-1, :, 1:-1] = int(CellType.FLUID)
+    flags = jnp.asarray(flags)
+    rhs = jnp.asarray(rng.uniform(-0.01, 0.01, (1, 1, Z, Y, X)), jnp.float32)
+
+    h_ref, _ = poisson_sweeps(
+        h, flags, rhs, tau=0.8, n_iters=n_iters, interpret=True
+    )
+    out = step3d.poisson_sweeps_sharded(
+        h, flags, rhs, _mesh_z(nz), tau=0.8, n_iters=n_iters,
+        halo_depth=5, emit_h2=HEXT, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(h_ref))
+
+
 def test_fused_prologue_epilogue_sharded_match(fields, rng):
     """Slab-mode ghost wrap of the ring-pipelined fused kernels == the
     single-device periodic kernels (bit-identical plane maths)."""
