@@ -399,9 +399,13 @@ def test_ferrofluid_step_sharded_pallas_matches():
     assert "z" in str(b.f.sharding.spec)
 
 
-def test_ferrofluid_step_sharded_mac_carry_matches():
+@pytest.mark.parametrize("halo_depth", [2, 5])
+def test_ferrofluid_step_sharded_mac_carry_matches(halo_depth):
     """Full flagship step on the sharded mac-carry path (premac primed,
-    every scanned step skips its prologue) == single-device jnp steps."""
+    every scanned step skips its prologue) == single-device jnp steps.
+
+    halo_depth=5 is the DEFAULT params value: at these Zl=4 slabs it
+    exercises the h2 depth clamp (k -> Zl-1) through the whole step."""
     from lbm_ferrofluid_tpu.models import prime_premac
 
     res = (16, 8, 16)
@@ -411,6 +415,7 @@ def test_ferrofluid_step_sharded_mac_carry_matches():
 
     mesh = make_mesh(("batch", "z"), (2, 4))
     params_b, b = _flagship(res, batch=2)
+    params_b = params_b.replace(poisson_halo_depth=halo_depth)
     b = shard_state(b, mesh)
     b = prime_premac(params_b, b, mesh=mesh)
     assert b.premac is not None, "sharded mac-carry priming did not engage"
