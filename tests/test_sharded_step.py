@@ -399,6 +399,38 @@ def test_ferrofluid_step_sharded_pallas_matches():
     assert "z" in str(b.f.sharding.spec)
 
 
+def test_ferrofluid_step_sharded_z_field_matches():
+    """Sharded step with h_ext_axis=2 (z-directed field): the rhs's
+    staggered difference is out-of-plane so there is NO rhs carry — the
+    plain capillogue path must engage with premac a 5-tuple and phi/force
+    kept as arrays, and the z-crossing rhs build must match the
+    single-device jnp composition across slab boundaries."""
+    from lbm_ferrofluid_tpu.models import prime_premac
+
+    res = (16, 8, 16)
+    params, a = _flagship(res)
+    params = params.replace(h_ext_axis=2)
+    for _ in range(2):
+        a = ferrofluid_step(params.replace(use_pallas=False), a)
+
+    mesh = _mesh_z()
+    params_b, b = _flagship(res)
+    params_b = params_b.replace(h_ext_axis=2)
+    b = shard_state(b, mesh)
+    b = prime_premac(params_b, b, mesh=mesh)
+    assert b.premac is not None and len(b.premac) == 5
+    assert b.phi is not None and b.force is not None
+    for _ in range(2):
+        b = ferrofluid_step(params_b, b, mesh=mesh)
+    assert b.premac is not None and len(b.premac) == 5
+
+    for name in ("f", "g", "h", "vel", "density", "pressure"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(b, name)), np.asarray(getattr(a, name)),
+            rtol=2e-5, atol=1e-6, err_msg=name,
+        )
+
+
 @pytest.mark.parametrize("halo_depth", [2, 5])
 def test_ferrofluid_step_sharded_mac_carry_matches(halo_depth):
     """Full flagship step on the sharded mac-carry path (premac primed,
