@@ -351,13 +351,13 @@ def test_capmac_sharded_matches(fields, rng):
             )
 
 
-def _flagship(res, batch=1, poisson_iters=3):
+def _flagship(res, batch=1, poisson_iters=3, **extra):
     params = SimulationParams(
         dim=3, density_gas=0.02381, density_fluid=0.2508,
         rho_gas=0.02381, rho_fluid=0.2508, kappa=0.01,
         tau_f=0.68, tau_g=0.68, gravity=1e-4,
         mag_strength=85.0, poisson_iters=poisson_iters,
-        poisson_halo_depth=2,
+        poisson_halo_depth=2, **extra,
     )
     flags = np.full((batch, 1, *res), int(CellType.OBSTACLE), np.uint8)
     flags[..., 1:-1, 1:-1, 1:-1] = int(CellType.FLUID)
@@ -397,6 +397,34 @@ def test_ferrofluid_step_sharded_pallas_matches():
                 err_msg=f"{name}[batch={bi}]",
             )
     assert "z" in str(b.f.sharding.spec)
+
+
+def test_ferrofluid_step_sharded_turbo_tracks_single():
+    """TURBO (bf16 f/g/h storage) sharded == single-device turbo to within
+    bf16 storage rounding.  The two paths round at different points (ghost
+    planes and boundary fix-ups round-trip bf16 in different orders), so
+    the bar is coarse — but structural bugs show up orders of magnitude
+    above it (the h2 ghost-depth overflow gave rel ~1 where rounding gives
+    ~5e-3).  The same config at f32 matches at <=2e-5 (tests above)."""
+    from lbm_ferrofluid_tpu.models import prime_premac
+
+    res = (16, 8, 16)
+    params, a = _flagship(res, fg_dtype="bfloat16", h_dtype="bfloat16")
+    for _ in range(3):
+        a = ferrofluid_step(params.replace(use_pallas=False), a)
+
+    mesh = _mesh_z()
+    params_b, b = _flagship(res, fg_dtype="bfloat16", h_dtype="bfloat16")
+    b = shard_state(b, mesh)
+    b = prime_premac(params_b, b, mesh=mesh)
+    for _ in range(3):
+        b = ferrofluid_step(params_b, b, mesh=mesh)
+
+    for name in ("f", "g", "h", "vel", "density", "pressure"):
+        got = np.asarray(getattr(b, name), np.float64)
+        want = np.asarray(getattr(a, name), np.float64)
+        rel = np.abs(got - want).max() / max(np.abs(want).max(), 1e-30)
+        assert rel <= 2e-2, f"{name}: rel dev {rel:.2e}"
 
 
 def test_ferrofluid_step_sharded_z_field_matches():
