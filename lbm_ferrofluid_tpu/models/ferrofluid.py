@@ -176,7 +176,8 @@ def ferrofluid_step_impl(
     fastpath = (
         pallas_on and mesh is None
         and fused_step_supported(lat, state.f.shape, params.kbc_type)
-        and (jax.default_backend() == "tpu" or force_fast)
+        and ((jax.default_backend() == "tpu"
+              and len(jax.devices()) == 1) or force_fast)
     )
     interp_fast = force_fast and fastpath
     fastpath_sharded = False
@@ -604,7 +605,8 @@ def prime_premac(
     fastpath = (
         fused_step_supported(lat, state.f.shape, params.kbc_type)
         and emit_mac_fits(state.f.shape, state.f.dtype)
-        and (jax.default_backend() == "tpu" or force_fast)
+        and ((jax.default_backend() == "tpu"
+              and len(jax.devices()) == 1) or force_fast)
     )
     if not fastpath:
         return state
