@@ -86,6 +86,7 @@ def run(res, n_steps=20, warmup=3, h_dtype="float32", fg_dtype="float32",
         poisson_iters=POISSON_ITERS,
         h_dtype=h_dtype,
         fg_dtype=fg_dtype,
+        mag_flags_shell=True,
     )
     state = build_state(params, res)
     state = prime_premac(params, state)  # mac-carry: no prologue pass/step

@@ -19,6 +19,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import (
     eos_pressure,
@@ -104,6 +105,24 @@ def init_ferrofluid_state(
             f"{params.h_ext_axis}; set SimulationParams(h_ext_axis=...) "
             "instead"
         )
+    if params.mag_flags_shell and params.dim == 3:
+        # the psi ghost-refresh ICI shortcut reconstructs ghost h from psi
+        # at non-obstacle cells only; an obstacle outside the declared
+        # shell (x-edge columns + global z-edge planes) would silently
+        # corrupt the multi-chip solve, so verify the concrete flags here
+        # (skipped under tracing — the declaration is then trusted)
+        try:
+            mf = np.asarray(magnetic_flags)
+        except Exception:
+            mf = None
+        if mf is not None and (
+            mf[..., 1:-1, :, 1:-1] == int(CellType.OBSTACLE)
+        ).any():
+            raise ValueError(
+                "params.mag_flags_shell=True, but magnetic_flags has "
+                "OBSTACLE cells outside the x-edge columns / z-edge "
+                "planes shell; unset mag_flags_shell for this geometry"
+            )
     H_ext, H_ext_mac = make_H_ext(
         params, res, batch=rho.shape[0], dtype=rho.dtype, axis=H_ext_axis
     )
@@ -283,6 +302,7 @@ def ferrofluid_step_impl(
         halo_depth=params.poisson_halo_depth,
         rhs_scaled=rhs_pre,
         h2_ext=hext_static,
+        psi_halo=params.poisson_psi_halo and params.mag_flags_shell,
     )
 
     # Fully fused steady-state turbo path: capillary stage + HCZ collide +

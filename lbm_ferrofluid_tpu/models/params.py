@@ -57,6 +57,23 @@ class SimulationParams:
     # 30/k), trading ICI bandwidth for latency.  Bit-identical results for
     # any k (parallel/step3d.py:poisson_sweeps_sharded).
     poisson_halo_depth: int = 5
+    # Geometry declaration: True promises the obstacle set of
+    # state.magnetic_flags is contained in the x-edge columns plus (3D) the
+    # two global z-edge planes — the standard ferrofluid scene pattern
+    # mflags[..., 1:-1, :, 1:-1] = FLUID (reference
+    # demo_3d_LBM_Rosensweig_instability.py:120-121).  Validated against
+    # the concrete flags in init_ferrofluid_state.  With tau == 1 (the
+    # magnetic relaxation erases h history: post-collision h is a pure
+    # function of psi and rhs) this lets the multi-chip Poisson loop
+    # refresh its depth-G ghost zones from the 1-channel f32 psi field
+    # plus a thin true-h slice instead of 19-channel h planes — results
+    # equal to within 1-2 ulp (FMA-contraction freedom; not bit-exact) at
+    # ~2.5x less ICI volume on the step's dominant exchange
+    # (parallel/step3d.py:_psi_refresh_ghosts).
+    mag_flags_shell: bool = False
+    # Escape hatch / A-B knob for the psi ghost refresh above; only
+    # effective when mag_flags_shell is set and tau == 1.
+    poisson_psi_halo: bool = True
 
     # Fused Pallas TPU kernels.  XLA's SPMD partitioner cannot split a
     # custom call, so multi-chip runs either pass a ('batch','z') Mesh to the

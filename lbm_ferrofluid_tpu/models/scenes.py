@@ -306,7 +306,7 @@ def rosensweig_3d(res=(130, 66, 130), mag_strength=100.0, gravity=1e-4, batch=1)
     params = SimulationParams(
         dim=3, kappa=0.01, tau_f=0.68, tau_g=0.68, gravity=gravity,
         contact_angle=0.5 * math.pi, mag_strength=mag_strength,
-        poisson_iters=30, **_MP,
+        poisson_iters=30, mag_flags_shell=True, **_MP,
     )
     D, H, W = res
     flags = _obstacle_frame(res, batch)

@@ -177,6 +177,7 @@ def solve_H_int(
     halo_depth: int = 5,
     rhs_scaled=None,
     h2_ext: tuple | None = None,
+    psi_halo: bool = False,
 ):
     """Run ``n_iters`` sweeps of [stream -> bounce-back -> magnetic_sweep].
 
@@ -255,6 +256,7 @@ def solve_H_int(
                     h, magnetic_flags, rhs_scaled, mesh, tau=tau,
                     n_iters=n_iters, halo_depth=halo_depth,
                     emit_h2=h2_ext, dx=dx, interpret=interp,
+                    psi_halo=psi_halo,
                 )
                 if emitted:
                     return aux, h
@@ -263,6 +265,7 @@ def solve_H_int(
                 h, psi = poisson_sweeps_sharded(
                     h, magnetic_flags, rhs_scaled, mesh, tau=tau,
                     n_iters=n_iters, halo_depth=halo_depth, interpret=interp,
+                    psi_halo=psi_halo,
                 )
         else:
             from .pallas.poisson import (

@@ -644,9 +644,86 @@ def _refresh_ghosts(g_ext, k, Zl):
     return g_ext.at[:, :k].set(lo).at[:, -k:].set(hi)
 
 
+def _psi_refresh_ghosts(g_ext, psi, rhs_ext, G, Zl, tau):
+    """Refresh the G ghost planes per side from the 1-channel f32 psi field
+    instead of 19-channel h — the tau == 1 ICI shortcut.
+
+    With tau == 1 the relaxation coefficient a = 1 - 1/tau vanishes, so the
+    post-round h every non-obstacle cell stores is exactly what
+    ops.pallas.poisson._sweep_math computed:  h_q = w_q * (psi/tau + rhs)
+    (q=0 minus an extra psi/tau), cast to the storage dtype — a pure local
+    function of the kernel's emitted psi (always f32) and the loop-invariant
+    rhs.  Reconstructing ghost h from exchanged psi planes is therefore
+    mathematically identical to exchanging the h planes; in floats it is
+    identical to within 1-2 ulp, NOT bit-exact: the compiler is free to
+    FMA-contract  w_q * (t + rhs)  differently here than in the kernel
+    (measured: XLA:CPU contracts the kernel's form to a single rounding,
+    fl(w*t + w*rhs), while this jnp chain rounds the sum first), and the
+    kernel's dead  a*streamed  term contributes a signed zero.  The
+    perturbation enters only ghost planes of a contractive (tau=1, purely
+    diffusive) relaxation, so it stays at ulp level in the results —
+    asserted at rtol 1e-6 against the full-h exchange in
+    tests/test_sharded_step.py, orders below the step-level parity bars.
+
+    Obstacle cells carry bounce-back channel history that psi cannot
+    reproduce, so true h is still exchanged where obstacles can sit under
+    the ``mag_flags_shell`` geometry (obstacles only at the x-edge columns
+    plus the two global z-edge planes — validated against the concrete
+    flags in init_ferrofluid_state):
+
+    * the innermost ghost plane per side — the only exchanged plane that
+      can BE a global z-edge plane (it arrives over the periodic wrap:
+      slab 0's innermost lower ghost is global plane Z-1, slab N-1's
+      innermost upper ghost is global plane 0),
+    * the two x-edge columns of the outer G-1 planes.
+
+    ICI volume per side per round drops from G*19 h-planes to
+    1*19 (innermost) + (G-1) f32 psi planes + 19*(G-1)*2/X column slivers:
+    ~3.8x less at the flagship depth (G=6, X=256, bf16 h); the first round
+    of a step still exchanges full h (no psi from a previous round exists).
+    """
+    from ..lattice import D3Q19
+
+    inv_tau = 1.0 / tau
+
+    def recon(psi_band, rhs_band):
+        # mirrors _sweep_math's store arithmetic (f32 ops, then the storage
+        # cast) so reconstructed bits match the kernel's
+        t = psi_band * inv_tau
+        u = t + rhs_band
+        outs = []
+        for q in range(19):
+            v = float(D3Q19.weights[q]) * u
+            if q == 0:
+                v = v - t
+            outs.append(v)
+        return jnp.concatenate(outs, axis=0).astype(g_ext.dtype)
+
+    # innermost ghost plane per side: true h over the ring
+    lo_in = ring_halo(g_ext[:, Zl + G - 1:Zl + G], _Z, +1)
+    hi_in = ring_halo(g_ext[:, G:G + 1], _Z, -1)
+    if G > 1:
+        X = g_ext.shape[-1]
+        xcols = jnp.array([0, X - 1])
+        # outer G-1 planes: psi exchange + local reconstruction; x-edge
+        # obstacle columns as true h (sliced from the REAL region, which
+        # the ghost writes below never touch)
+        lo_psi = ring_halo(psi[:, Zl:Zl + G - 1], _Z, +1)
+        hi_psi = ring_halo(psi[:, G + 1:2 * G], _Z, -1)
+        lo_cols = ring_halo(g_ext[:, Zl:Zl + G - 1, :, xcols], _Z, +1)
+        hi_cols = ring_halo(g_ext[:, G + 1:2 * G, :, xcols], _Z, -1)
+        lo_band = recon(lo_psi, rhs_ext[:, :G - 1]).at[:, :, :, xcols].set(lo_cols)
+        hi_band = recon(hi_psi, rhs_ext[:, Zl + G + 1:]).at[:, :, :, xcols].set(hi_cols)
+        g_ext = g_ext.at[:, :G - 1].set(lo_band)
+        g_ext = g_ext.at[:, Zl + G + 1:].set(hi_band)
+    return (
+        g_ext.at[:, G - 1:G].set(lo_in).at[:, Zl + G:Zl + G + 1].set(hi_in)
+    )
+
+
 def poisson_sweeps_sharded(
     h, magnetic_flags, rhs_scaled, mesh, *, tau, n_iters, halo_depth=5,
-    emit_h2=None, dx=1.0, interpret=False,
+    emit_h2=None, dx=1.0, interpret=False, psi_halo=False,
 ):
     """Run the Poisson inner loop multi-chip with depth-k halo widening.
 
@@ -670,7 +747,17 @@ def poisson_sweeps_sharded(
     caller skips its substitution + sharded-grad passes.  Falls back to
     (h_new, psi, False) when the final round's sweep count can't satisfy
     the hint gate.
+
+    ``psi_halo`` (requires tau == 1 and the mag_flags_shell geometry —
+    callers gate on params.mag_flags_shell, which init_ferrofluid_state
+    validates): rounds after the first refresh their ghost zones from the
+    previous round's 1-channel f32 psi plus a thin true-h slice instead of
+    19-channel h (see _psi_refresh_ghosts) — results equal to within
+    1-2 ulp (FMA-contraction freedom in the reconstruction; not bit-exact),
+    ~2.5x less ICI volume over the step's Poisson exchanges at the
+    flagship config.
     """
+    use_psi = bool(psi_halo) and float(tau) == 1.0
     spec = _spec(mesh)
 
     from ..lattice import D3Q19
@@ -721,6 +808,14 @@ def poisson_sweeps_sharded(
         _, _, Zl, Y, X = h.shape
         k = k_h2 if do_h2 else max(1, min(halo_depth, Zl, n_iters))
         G = k + 1 if do_h2 else k
+        # The psi refresh needs G < Zl: at G == Zl the exchanged band spans
+        # the neighbor's WHOLE slab, so for the edge slabs its outermost
+        # ghost plane is a global z-edge OBSTACLE plane — which psi cannot
+        # reconstruct (only the innermost plane rides the wrap and is
+        # exchanged as true h).  Measured at G=Zl=4: rel ~3e-3 corruption
+        # on the slab-boundary planes.  Degenerate tiny slabs keep the
+        # full-h refresh.
+        body_psi = use_psi and G < Zl
         rounds, rem = divmod(n_iters, k)
         Zext = Zl + 2 * G
 
@@ -751,13 +846,18 @@ def poisson_sweeps_sharded(
                 jnp.where(last, G + Zl - 2, Zext - 2),
             ]).astype(jnp.int32)
 
-        def n_sweeps(carry, n, emit_final=False):
+        def n_sweeps(carry, n, emit_final=False, first=True):
             """Refresh the G ghost planes from ring neighbors, then run n
             locally-exact sweeps on the extended slab — via the wavefront /
             temporally-blocked kernels when the extended shape supports
             them (their periodic z-wrap only pollutes ghost planes)."""
             hc, psi = carry
-            hc = _refresh_ghosts(hc, G, Zl)
+            if body_psi and not first:
+                # non-first rounds hold the previous round's psi: refresh
+                # from it (1 channel + thin h slivers) instead of full h
+                hc = _psi_refresh_ghosts(hc, psi, rhs_ext, G, Zl, tau)
+            else:
+                hc = _refresh_ghosts(hc, G, Zl)
             if use_wf:
                 if emit_final:
                     h_new, h2 = poisson_wavefront(
@@ -790,15 +890,27 @@ def poisson_sweeps_sharded(
 
         carry = (hc, psi)
         n_scan = rounds - (1 if do_h2 and not rem else 0)
+        first = True
         if n_scan:
-            carry, _ = jax.lax.scan(
-                lambda c, _: (n_sweeps(c, k), None), carry, None,
-                length=n_scan,
-            )
+            if body_psi:
+                # peel round 0 (no psi exists yet — full-h refresh), scan
+                # the rest with the psi refresh
+                carry = n_sweeps(carry, k, first=True)
+                if n_scan > 1:
+                    carry, _ = jax.lax.scan(
+                        lambda c, _: (n_sweeps(c, k, first=False), None),
+                        carry, None, length=n_scan - 1,
+                    )
+            else:
+                carry, _ = jax.lax.scan(
+                    lambda c, _: (n_sweeps(c, k), None), carry, None,
+                    length=n_scan,
+                )
+            first = False
         if do_h2:
-            carry = n_sweeps(carry, n_final, emit_final=True)
+            carry = n_sweeps(carry, n_final, emit_final=True, first=first)
         elif rem:
-            carry = n_sweeps(carry, rem)
+            carry = n_sweeps(carry, rem, first=first)
         hc, aux = carry
 
         real = slice(G, G + Zl)

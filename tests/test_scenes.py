@@ -36,3 +36,34 @@ def test_scene_steps_finite(name, build, step):
     assert bool(jnp.isfinite(state.f).all()), f"{name}: non-finite f"
     assert bool(jnp.isfinite(state.vel).all()), f"{name}: non-finite vel"
     assert int(state.step) == 2
+
+
+def test_mag_flags_shell_validation():
+    """init_ferrofluid_state rejects mag_flags_shell=True when the magnetic
+    flags have OBSTACLE cells outside the x-edge-columns + z-edge-planes
+    shell (the psi ghost refresh would silently corrupt the multi-chip
+    solve there — parallel/step3d.py:_psi_refresh_ghosts)."""
+    import numpy as np
+
+    from lbm_ferrofluid_tpu import CellType
+    from lbm_ferrofluid_tpu.models import SimulationParams, init_ferrofluid_state
+
+    res = (8, 8, 8)
+    params = SimulationParams(
+        dim=3, mag_strength=10.0, poisson_iters=2, mag_flags_shell=True,
+    )
+    flags = np.full((1, 1, *res), int(CellType.OBSTACLE), np.uint8)
+    flags[..., 1:-1, 1:-1, 1:-1] = int(CellType.FLUID)
+    rho = np.full((1, 1, *res), params.rho_gas, np.float32)
+    vel = np.zeros((1, 3, *res), np.float32)
+
+    mflags = np.full((1, 1, *res), int(CellType.OBSTACLE), np.uint8)
+    mflags[..., 1:-1, :, 1:-1] = int(CellType.FLUID)
+    # the shell pattern passes
+    init_ferrofluid_state(params, rho, rho, vel, flags, mflags)
+
+    # an interior obstacle (or y-edge walls, as in two_droplets_3d) fails
+    bad = mflags.copy()
+    bad[..., 4, 4, 4] = int(CellType.OBSTACLE)
+    with pytest.raises(ValueError, match="mag_flags_shell"):
+        init_ferrofluid_state(params, rho, rho, vel, flags, bad)

@@ -89,6 +89,46 @@ def test_poisson_sharded_depth_k_bitexact(fields, rng, k):
     np.testing.assert_array_equal(np.asarray(psi_s), np.asarray(psi_ref))
 
 
+@pytest.mark.parametrize("h2", [False, True])
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_poisson_sharded_psi_halo_matches(rng, h2, dtype):
+    """tau == 1 psi ghost refresh (1-channel f32 psi exchange + local h
+    reconstruction + thin true-h slivers; ~2.5x less ICI volume on the
+    step's dominant exchange) tracks the full 19-channel h exchange.
+
+    NOT bit-exact by design: the reconstruction w_q*(psi+rhs) may be
+    FMA-contracted differently than the kernel's collision (measured 1-2
+    f32 ulp on ghost planes of the contractive relaxation — see
+    step3d._psi_refresh_ghosts), so the bar is rtol ~1e-6 (f32) / bf16
+    storage rounding.  n_iters=7 at depth 2 exercises the peeled full-h
+    first round, the psi-refresh scan, and the remainder round; the
+    obstacle geometry is the mag_flags_shell pattern (x-edge columns +
+    z-edge planes) whose true h rides the thin exchanges."""
+    Z, Y, X = 16, 8, 16
+    h = jnp.asarray(rng.uniform(-0.1, 0.1, (1, 19, Z, Y, X)), dtype)
+    flags = np.full((1, 1, Z, Y, X), int(CellType.OBSTACLE), np.uint8)
+    flags[..., 1:-1, :, 1:-1] = int(CellType.FLUID)
+    flags = jnp.asarray(flags)
+    rhs = jnp.asarray(rng.uniform(-0.01, 0.01, (1, 1, Z, Y, X)), jnp.float32)
+
+    kw = dict(tau=1.0, n_iters=7, halo_depth=2, interpret=True)
+    if h2:
+        kw["emit_h2"] = (0.0, 85.0, 0.0)
+    mesh = _mesh_z()
+    off = step3d.poisson_sweeps_sharded(h, flags, rhs, mesh,
+                                        psi_halo=False, **kw)
+    on = step3d.poisson_sweeps_sharded(h, flags, rhs, mesh,
+                                       psi_halo=True, **kw)
+    if h2:
+        assert off[2] == on[2]
+    rtol = 3e-6 if dtype == "float32" else 2e-2
+    for i, (a, b) in enumerate(zip(off[:2], on[:2])):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
+        assert rel <= rtol, f"out[{i}]: rel dev {rel:.2e}"
+
+
 @pytest.mark.parametrize("nz,n_iters", [(2, 4), (2, 30), (4, 30)])
 def test_poisson_sharded_h2_small_slab_depth_clamp(rng, nz, n_iters):
     """Regression: at Zl-plane slabs the h2 mode's G=k+1 ghost planes must
@@ -459,13 +499,21 @@ def test_ferrofluid_step_sharded_z_field_matches():
         )
 
 
-@pytest.mark.parametrize("halo_depth", [2, 5])
-def test_ferrofluid_step_sharded_mac_carry_matches(halo_depth):
+@pytest.mark.parametrize("halo_depth,psi_halo", [(2, False), (5, False),
+                                                 (2, True), (5, True)])
+def test_ferrofluid_step_sharded_mac_carry_matches(halo_depth, psi_halo):
     """Full flagship step on the sharded mac-carry path (premac primed,
     every scanned step skips its prologue) == single-device jnp steps.
 
     halo_depth=5 is the DEFAULT params value: at these Zl=4 slabs it
-    exercises the h2 depth clamp (k -> Zl-1) through the whole step."""
+    exercises the h2 depth clamp (k -> Zl-1) through the whole step.
+    psi_halo=True additionally declares mag_flags_shell (the test mflags
+    ARE the shell pattern), engaging the tau=1 psi ghost refresh in the
+    Poisson loop end-to-end — the production flagship config.  At depth 2
+    the psi refresh actually runs (G=3 < Zl=4); at depth 5 its G<Zl gate
+    falls back to the full-h refresh (G=4=Zl would put the global z-edge
+    obstacle plane at an outer ghost position psi cannot reconstruct) —
+    both paths must match the single-device run."""
     from lbm_ferrofluid_tpu.models import prime_premac
 
     res = (16, 8, 16)
@@ -474,7 +522,7 @@ def test_ferrofluid_step_sharded_mac_carry_matches(halo_depth):
         a = ferrofluid_step(params.replace(use_pallas=False), a)
 
     mesh = make_mesh(("batch", "z"), (2, 4))
-    params_b, b = _flagship(res, batch=2)
+    params_b, b = _flagship(res, batch=2, mag_flags_shell=psi_halo)
     params_b = params_b.replace(poisson_halo_depth=halo_depth)
     b = shard_state(b, mesh)
     b = prime_premac(params_b, b, mesh=mesh)

@@ -60,6 +60,7 @@ def main():
         rho_gas=0.02381, rho_fluid=0.2508, kappa=0.01,
         tau_f=0.68, tau_g=0.68, gravity=1e-4, mag_strength=85.0,
         poisson_iters=30, h_dtype="bfloat16", fg_dtype="bfloat16",
+        mag_flags_shell=True,
     )
     sites = int(np.prod(res))
 
@@ -87,30 +88,42 @@ def main():
     print(f"single-chip: {single:.1f} MLUPS", flush=True)
 
     # --- shard_map path on a 1-device mesh ------------------------------
+    # A/B the tau=1 psi ghost refresh (step3d._psi_refresh_ghosts): on one
+    # device its ring exchanges are self-permutes, so the delta isolates
+    # the reconstruction math's compute cost (the ICI saving needs a slice)
     mesh = make_mesh(("batch", "z"), (1, 1), devices=jax.devices()[:1])
-    state_s = bench.build_state(params, res)
-    state_s = shard_state(state_s, mesh)
-    state_s = prime_premac(params, state_s, mesh=mesh)
-    mac_carried = state_s.premac is not None
-    step_s = jax.jit(
-        lambda s: ferrofluid_step_impl(params, s, mesh=mesh),
-        out_shardings=state_shardings(state_s, mesh),
-        donate_argnums=0,
-    )
-    sharded = time_steps(step_s, state_s, "shard_map-on-1")
+    sharded = {}
+    for psi_on in (True, False):
+        params_s = params.replace(poisson_psi_halo=psi_on)
+        state_s = bench.build_state(params_s, res)
+        state_s = shard_state(state_s, mesh)
+        state_s = prime_premac(params_s, state_s, mesh=mesh)
+        mac_carried = state_s.premac is not None
+        step_s = jax.jit(
+            lambda s, p=params_s: ferrofluid_step_impl(p, s, mesh=mesh),
+            out_shardings=state_shardings(state_s, mesh),
+            donate_argnums=0,
+        )
+        sharded[psi_on] = time_steps(
+            step_s, state_s, f"shard_map-on-1[psi_halo={psi_on}]"
+        )
 
-    overhead = 1.0 - sharded / single
+    overhead = 1.0 - sharded[True] / single
     out = {
         "res": list(res), "steps": steps,
         "single_chip_mlups": round(single, 1),
-        "sharded_1dev_mlups": round(sharded, 1),
+        "sharded_1dev_mlups": round(sharded[True], 1),
+        "sharded_1dev_mlups_full_h_refresh": round(sharded[False], 1),
+        "psi_refresh_compute_overhead_pct": round(
+            100 * (1.0 - sharded[True] / sharded[False]), 2
+        ),
         "overhead_pct": round(100 * overhead, 2),
         "sharded_mac_carry": bool(mac_carried),
         "projection_note": "aggregate(N) = N * sharded_1dev (per-chip slab "
                            "cost measured; ICI exchange latency NOT "
                            "included — needs a real multi-chip slice)",
         "aggregate_projection": {
-            str(n): round(n * sharded, 1) for n in (4, 8, 16, 32)
+            str(n): round(n * sharded[True], 1) for n in (4, 8, 16, 32)
         },
     }
     print(json.dumps(out), flush=True)

@@ -86,7 +86,7 @@ def main():
             rho_gas=0.02381, rho_fluid=0.2508, kappa=0.01,
             tau_f=0.68, tau_g=0.68, gravity=1e-4, mag_strength=85.0,
             poisson_iters=30, h_dtype=dtype, fg_dtype=dtype,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, mag_flags_shell=True,
         )
 
     def make(use_pallas):

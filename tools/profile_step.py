@@ -92,6 +92,7 @@ def main():
         rho_gas=0.02381, rho_fluid=0.2508, kappa=0.01,
         tau_f=0.68, tau_g=0.68, gravity=1e-4, mag_strength=85.0,
         poisson_iters=30, h_dtype=dt, fg_dtype=dt,
+        mag_flags_shell=True,
     )
     # half-Z grid: keeps full 256^2 planes (lane/sublane behavior identical)
     # while fitting the profile's accumulated intermediates in 16 GB HBM

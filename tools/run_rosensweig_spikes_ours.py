@@ -57,6 +57,7 @@ def main(mode: str = "f32"):
         kappa=0.01, tau_f=0.68, tau_g=0.68,
         gravity=float(ref["gravity"]), mag_strength=float(ref["mag"]),
         poisson_iters=30, fg_dtype=dt, h_dtype=dt,
+        mag_flags_shell=True,
     )
     res = ref["flags"].shape[2:]
     vel0 = np.zeros((1, 3, *res), np.float32)
