@@ -663,7 +663,10 @@ def _psi_refresh_ghosts(g_ext, psi, rhs_ext, G, Zl, tau):
     perturbation enters only ghost planes of a contractive (tau=1, purely
     diffusive) relaxation, so it stays at ulp level in the results —
     asserted at rtol 1e-6 against the full-h exchange in
-    tests/test_sharded_step.py, orders below the step-level parity bars.
+    tests/test_sharded_step.py, orders below the step-level parity bars,
+    and it does not accumulate: a 30-full-step sharded drive stayed within
+    3.5e-7 of the full-h-exchange run, both tracking the single-device run
+    identically (~6e-7, the general f32 cross-path noise floor).
 
     Obstacle cells carry bounce-back channel history that psi cannot
     reproduce, so true h is still exchanged where obstacles can sit under
@@ -688,7 +691,7 @@ def _psi_refresh_ghosts(g_ext, psi, rhs_ext, G, Zl, tau):
 
     def recon(psi_band, rhs_band):
         # mirrors _sweep_math's store arithmetic (f32 ops, then the storage
-        # cast) so reconstructed bits match the kernel's
+        # cast); equal to the kernel's stored bits up to FMA contraction
         t = psi_band * inv_tau
         u = t + rhs_band
         outs = []

@@ -453,8 +453,11 @@ def test_ferrofluid_step_sharded_turbo_tracks_single():
     for _ in range(3):
         a = ferrofluid_step(params.replace(use_pallas=False), a)
 
+    # mag_flags_shell engages the tau=1 psi ghost refresh — the production
+    # turbo config (its bf16 reconstruction rounds inside the bar below)
     mesh = _mesh_z()
-    params_b, b = _flagship(res, fg_dtype="bfloat16", h_dtype="bfloat16")
+    params_b, b = _flagship(res, fg_dtype="bfloat16", h_dtype="bfloat16",
+                            mag_flags_shell=True)
     b = shard_state(b, mesh)
     b = prime_premac(params_b, b, mesh=mesh)
     for _ in range(3):
