@@ -72,6 +72,33 @@ def make_H_ext(params: SimulationParams, res, batch=1, dtype=jnp.float32, axis=1
     return H, tuple(staggered(H, mode="replicate"))
 
 
+def validate_mag_shell(params: SimulationParams, magnetic_flags) -> None:
+    """Verify the ``mag_flags_shell`` declaration against concrete flags.
+
+    The psi ghost-refresh ICI shortcut (parallel/step3d.py:
+    _psi_refresh_ghosts) reconstructs ghost h from psi at non-obstacle
+    cells only; an OBSTACLE outside the declared shell (x-edge columns +
+    global z-edge planes) would silently corrupt the multi-chip solve.
+    Called from init_ferrofluid_state AND prime_premac, so states that
+    bypass init (checkpoint resume, state.replace of magnetic_flags) are
+    still caught at the sharded fast path's entry point.  Under tracing
+    the flags are abstract and the declaration is trusted (documented on
+    the param).
+    """
+    if not (params.mag_flags_shell and params.dim == 3):
+        return
+    try:
+        mf = np.asarray(magnetic_flags)
+    except Exception:
+        return  # traced flags: cannot inspect values
+    if (mf[..., 1:-1, :, 1:-1] == int(CellType.OBSTACLE)).any():
+        raise ValueError(
+            "params.mag_flags_shell=True, but magnetic_flags has "
+            "OBSTACLE cells outside the x-edge columns / z-edge "
+            "planes shell; unset mag_flags_shell for this geometry"
+        )
+
+
 def init_ferrofluid_state(
     params: SimulationParams,
     rho,
@@ -105,24 +132,7 @@ def init_ferrofluid_state(
             f"{params.h_ext_axis}; set SimulationParams(h_ext_axis=...) "
             "instead"
         )
-    if params.mag_flags_shell and params.dim == 3:
-        # the psi ghost-refresh ICI shortcut reconstructs ghost h from psi
-        # at non-obstacle cells only; an obstacle outside the declared
-        # shell (x-edge columns + global z-edge planes) would silently
-        # corrupt the multi-chip solve, so verify the concrete flags here
-        # (skipped under tracing — the declaration is then trusted)
-        try:
-            mf = np.asarray(magnetic_flags)
-        except Exception:
-            mf = None
-        if mf is not None and (
-            mf[..., 1:-1, :, 1:-1] == int(CellType.OBSTACLE)
-        ).any():
-            raise ValueError(
-                "params.mag_flags_shell=True, but magnetic_flags has "
-                "OBSTACLE cells outside the x-edge columns / z-edge "
-                "planes shell; unset mag_flags_shell for this geometry"
-            )
+    validate_mag_shell(params, magnetic_flags)
     H_ext, H_ext_mac = make_H_ext(
         params, res, batch=rho.shape[0], dtype=rho.dtype, axis=H_ext_axis
     )
@@ -577,6 +587,10 @@ def prime_premac(
         fused_step_supported,
         lbm_prologue,
     )
+
+    # catch shell-declaration violations for states that bypassed
+    # init_ferrofluid_state (checkpoint resume, replaced flags)
+    validate_mag_shell(params, state.magnetic_flags)
 
     if os.environ.get("LBM_DISABLE_PALLAS") or not (
         params.use_pallas and lat.dim == 3

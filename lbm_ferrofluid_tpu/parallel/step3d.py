@@ -684,6 +684,10 @@ def _psi_refresh_ghosts(g_ext, psi, rhs_ext, G, Zl, tau):
     1*19 (innermost) + (G-1) f32 psi planes + 19*(G-1)*2/X column slivers:
     ~3.8x less at the flagship depth (G=6, X=256, bf16 h); the first round
     of a step still exchanges full h (no psi from a previous round exists).
+    Collective count per side per round is 2 (one h-dtype bundle, one f32
+    psi band) vs the full refresh's 1 — the extra launch has no data
+    dependence on the other and can overlap; params.poisson_psi_halo is
+    the A/B knob for measuring the trade on a real slice.
     """
     from ..lattice import D3Q19
 
@@ -702,21 +706,54 @@ def _psi_refresh_ghosts(g_ext, psi, rhs_ext, G, Zl, tau):
             outs.append(v)
         return jnp.concatenate(outs, axis=0).astype(g_ext.dtype)
 
-    # innermost ghost plane per side: true h over the ring
-    lo_in = ring_halo(g_ext[:, Zl + G - 1:Zl + G], _Z, +1)
-    hi_in = ring_halo(g_ext[:, G:G + 1], _Z, -1)
+    _, _, Y, X = g_ext.shape
+
+    def xcols(band):
+        # x-edge obstacle columns via basic slices (advanced indexing here
+        # would lower to a lane-dim gather + whole-tile RMW scatter)
+        return jnp.concatenate([band[..., :1], band[..., X - 1:]], axis=-1)
+
+    def bundle(plane, c):
+        # one h-dtype collective per side instead of two: innermost ghost
+        # plane ‖ x-edge column slivers, flattened (reshape of contiguous
+        # arrays is free; the concat copies only the tiny sliver)
+        return jnp.concatenate(
+            [plane.reshape(19, -1), c.reshape(19, -1)], axis=-1
+        )
+
+    def unbundle(b):
+        return (
+            b[:, :Y * X].reshape(19, 1, Y, X),
+            b[:, Y * X:].reshape(19, G - 1, Y, 2),
+        )
+
+    # per side: one h-dtype exchange (innermost plane + column slivers,
+    # all sliced from the REAL region, which the ghost writes below never
+    # touch) and one f32 psi-band exchange — 2 collectives/side/round vs
+    # the full refresh's 1, for ~4x fewer bytes (docs/PERFORMANCE.md)
+    lo_h = ring_halo(
+        bundle(g_ext[:, Zl + G - 1:Zl + G], xcols(g_ext[:, Zl:Zl + G - 1])),
+        _Z, +1,
+    )
+    hi_h = ring_halo(
+        bundle(g_ext[:, G:G + 1], xcols(g_ext[:, G + 1:2 * G])), _Z, -1
+    )
+    lo_in, lo_cols = unbundle(lo_h)
+    hi_in, hi_cols = unbundle(hi_h)
     if G > 1:
-        X = g_ext.shape[-1]
-        xcols = jnp.array([0, X - 1])
-        # outer G-1 planes: psi exchange + local reconstruction; x-edge
-        # obstacle columns as true h (sliced from the REAL region, which
-        # the ghost writes below never touch)
+        # outer G-1 planes: psi exchange + local reconstruction, with the
+        # true-h column slivers spliced in (concat, not scatter: a fancy-
+        # index .at[].set on the lane dim is a whole-tile RMW)
         lo_psi = ring_halo(psi[:, Zl:Zl + G - 1], _Z, +1)
         hi_psi = ring_halo(psi[:, G + 1:2 * G], _Z, -1)
-        lo_cols = ring_halo(g_ext[:, Zl:Zl + G - 1, :, xcols], _Z, +1)
-        hi_cols = ring_halo(g_ext[:, G + 1:2 * G, :, xcols], _Z, -1)
-        lo_band = recon(lo_psi, rhs_ext[:, :G - 1]).at[:, :, :, xcols].set(lo_cols)
-        hi_band = recon(hi_psi, rhs_ext[:, Zl + G + 1:]).at[:, :, :, xcols].set(hi_cols)
+
+        def splice(rec, c):
+            return jnp.concatenate(
+                [c[..., :1], rec[..., 1:X - 1], c[..., 1:]], axis=-1
+            )
+
+        lo_band = splice(recon(lo_psi, rhs_ext[:, :G - 1]), lo_cols)
+        hi_band = splice(recon(hi_psi, rhs_ext[:, Zl + G + 1:]), hi_cols)
         g_ext = g_ext.at[:, :G - 1].set(lo_band)
         g_ext = g_ext.at[:, Zl + G + 1:].set(hi_band)
     return (

@@ -67,3 +67,14 @@ def test_mag_flags_shell_validation():
     bad[..., 4, 4, 4] = int(CellType.OBSTACLE)
     with pytest.raises(ValueError, match="mag_flags_shell"):
         init_ferrofluid_state(params, rho, rho, vel, flags, bad)
+
+    # prime_premac re-validates, catching states that bypassed init (e.g.
+    # checkpoint resume or a replaced flags field under a shell-declaring
+    # params)
+    from lbm_ferrofluid_tpu.models import prime_premac
+
+    state = init_ferrofluid_state(
+        params.replace(mag_flags_shell=False), rho, rho, vel, flags, bad
+    )
+    with pytest.raises(ValueError, match="mag_flags_shell"):
+        prime_premac(params, state)

@@ -127,6 +127,13 @@ def test_poisson_sharded_psi_halo_matches(rng, h2, dtype):
         b = np.asarray(b, np.float64)
         rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
         assert rel <= rtol, f"out[{i}]: rel dev {rel:.2e}"
+        if dtype == "bfloat16":
+            # a bf16 max-rel bar alone cannot distinguish rounding noise
+            # (sparse straddle flips, in practice zero) from structural
+            # ghost corruption (whole boundary planes, ~2/Zl of cells):
+            # bound the FRACTION of differing cells too
+            frac = (np.abs(a - b) > 1e-12).mean()
+            assert frac <= 1e-3, f"out[{i}]: {frac:.2%} of cells differ"
 
 
 @pytest.mark.parametrize("nz,n_iters", [(2, 4), (2, 30), (4, 30)])

@@ -93,12 +93,14 @@ def main():
     # the reconstruction math's compute cost (the ICI saving needs a slice)
     mesh = make_mesh(("batch", "z"), (1, 1), devices=jax.devices()[:1])
     sharded = {}
+    mac_carried = False
     for psi_on in (True, False):
         params_s = params.replace(poisson_psi_halo=psi_on)
         state_s = bench.build_state(params_s, res)
         state_s = shard_state(state_s, mesh)
         state_s = prime_premac(params_s, state_s, mesh=mesh)
-        mac_carried = state_s.premac is not None
+        if psi_on:  # report the production config's priming status
+            mac_carried = state_s.premac is not None
         step_s = jax.jit(
             lambda s, p=params_s: ferrofluid_step_impl(p, s, mesh=mesh),
             out_shardings=state_shardings(state_s, mesh),
