@@ -200,11 +200,15 @@ def _mac_plane_jnp(fw, gw, flags_p, rho_old, vel_old, mac_consts):
     the same sequential moment accumulation), used to fix up the two slab
     boundary planes the in-kernel emission cannot cover.
 
-    ``fw``/``gw``: (plane z-1, plane z, plane z+1) of the collided
-    distributions, each [1, 19, Y, X] in the storage dtype; ``flags_p``
-    [1, 1, Y, X]; ``rho_old`` [1, 1, Y, X]; ``vel_old`` [1, 3, Y, X].
-    Returns the f32 mac plane as the 5-tuple (rho, vel, density, m0g,
-    m1g), matching the kernel's separate-array emission.
+    ``fw``/``gw``: (plane z-1 CHANNELS 9:14 only, plane z, plane z+1
+    CHANNELS 14:19 only) of the collided distributions in the storage
+    dtype — the pull-stream at plane z reads the up-moving group (rows
+    9:14) from z-1 and the down-moving group (rows 14:19) from z+1 and
+    nothing else, so the ring exchange that feeds the z-1/z+1 slots only
+    carries those 5 channels (19 -> 5 per direction per array over ICI);
+    ``flags_p`` [1, 1, Y, X]; ``rho_old`` [1, 1, Y, X]; ``vel_old``
+    [1, 3, Y, X].  Returns the f32 mac plane as the 5-tuple (rho, vel,
+    density, m0g, m1g), matching the kernel's separate-array emission.
     """
     from ..lattice import D3Q19
     from ..utils.types import CellType
@@ -214,11 +218,16 @@ def _mac_plane_jnp(fw, gw, flags_p, rho_old, vel_old, mac_consts):
     is_obs = flags_p[:, 0].astype(jnp.int32) == int(CellType.OBSTACLE)
 
     def stream19(win):
-        pm, p0, pp = win
+        pm_up, p0, pp_dn = win  # [1,5,..], [1,19,..], [1,5,..]
         streamed = []
         for q in range(19):
-            src = p0 if q < 9 else (pm if q < 14 else pp)
-            v = src[:, q].astype(jnp.float32)
+            if q < 9:
+                v = p0[:, q]
+            elif q < 14:
+                v = pm_up[:, q - 9]
+            else:
+                v = pp_dn[:, q - 14]
+            v = v.astype(jnp.float32)
             ex, ey = int(lat.e[q][0]), int(lat.e[q][1])
             if ey:
                 v = jnp.roll(v, ey, axis=-2)
@@ -303,18 +312,21 @@ def fused_epilogue_sharded(
         )
         # collided boundary planes from the ring neighbors (one more
         # exchange over ICI — 2x19 planes each way)
-        f_lo = ring_halo(f_n[:, :, -1], _Z, +1)   # z-prev's last plane
-        f_hi = ring_halo(f_n[:, :, 0], _Z, -1)    # z-next's first plane
-        g_lo = ring_halo(g_n[:, :, -1], _Z, +1)
-        g_hi = ring_halo(g_n[:, :, 0], _Z, -1)
+        # only the z-crossing channel groups are ever pulled from the
+        # neighbor planes (up group 9:14 from z-1, down group 14:19 from
+        # z+1) — exchange 5 channels per direction per array, not 19
+        f_lo = ring_halo(f_n[:, 9:14, -1], _Z, +1)   # z-prev's last plane
+        f_hi = ring_halo(f_n[:, 14:19, 0], _Z, -1)   # z-next's first plane
+        g_lo = ring_halo(g_n[:, 9:14, -1], _Z, +1)
+        g_hi = ring_halo(g_n[:, 14:19, 0], _Z, -1)
         mac0 = _mac_plane_jnp(
-            (f_lo, f_n[:, :, 0], f_n[:, :, 1]),
-            (g_lo, g_n[:, :, 0], g_n[:, :, 1]),
+            (f_lo, f_n[:, :, 0], f_n[:, 14:19, 1]),
+            (g_lo, g_n[:, :, 0], g_n[:, 14:19, 1]),
             flags[:, :, 0], rho[:, :, 0], vel[:, :, 0], mac_consts,
         )
         macZ = _mac_plane_jnp(
-            (f_n[:, :, -2], f_n[:, :, -1], f_hi),
-            (g_n[:, :, -2], g_n[:, :, -1], g_hi),
+            (f_n[:, 9:14, -2], f_n[:, :, -1], f_hi),
+            (g_n[:, 9:14, -2], g_n[:, :, -1], g_hi),
             flags[:, :, -1], rho[:, :, -1], vel[:, :, -1], mac_consts,
         )
         mac = tuple(
@@ -590,18 +602,19 @@ def capillogue_sharded(
         # boundary mac planes from one exchange of the collided edges
         # (the kernel emitted interiors only); rho_old/vel_old of the
         # emission are rho_ca and THIS kernel's recovered velocity
-        f_lo2 = ring_halo(f_n[:, :, -1], _Z, +1)
-        f_hi2 = ring_halo(f_n[:, :, 0], _Z, -1)
-        g_lo2 = ring_halo(g_n[:, :, -1], _Z, +1)
-        g_hi2 = ring_halo(g_n[:, :, 0], _Z, -1)
+        # 5-channel fix-up exchange (see fused_epilogue_sharded)
+        f_lo2 = ring_halo(f_n[:, 9:14, -1], _Z, +1)
+        f_hi2 = ring_halo(f_n[:, 14:19, 0], _Z, -1)
+        g_lo2 = ring_halo(g_n[:, 9:14, -1], _Z, +1)
+        g_hi2 = ring_halo(g_n[:, 14:19, 0], _Z, -1)
         mac0 = _mac_plane_jnp(
-            (f_lo2, f_n[:, :, 0], f_n[:, :, 1]),
-            (g_lo2, g_n[:, :, 0], g_n[:, :, 1]),
+            (f_lo2, f_n[:, :, 0], f_n[:, 14:19, 1]),
+            (g_lo2, g_n[:, :, 0], g_n[:, 14:19, 1]),
             flags[:, :, 0], rho_ca[:, :, 0], vel[:, :, 0], mac_consts,
         )
         macZ = _mac_plane_jnp(
-            (f_n[:, :, -2], f_n[:, :, -1], f_hi2),
-            (g_n[:, :, -2], g_n[:, :, -1], g_hi2),
+            (f_n[:, 9:14, -2], f_n[:, :, -1], f_hi2),
+            (g_n[:, 9:14, -2], g_n[:, :, -1], g_hi2),
             flags[:, :, -1], rho_ca[:, :, -1], vel[:, :, -1], mac_consts,
         )
         fixed = [
