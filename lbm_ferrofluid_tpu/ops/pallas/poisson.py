@@ -864,7 +864,7 @@ def poisson_wavefront_supported(lat, h_shape, h_dtype, n_iters):
 
 
 def _wavefront_kernel(tau, k, Z, h_dtype, stage_dtype, emit, inv12dx,
-                      h_ext, slab, FR, *refs):
+                      h_ext, slab, FR, ghost, bands, *refs):
     """``emit``: None (h only), "psi" (+psi volume), "hint" (+H_int =
     -grad(psi_sub), computed by a trailing pipeline stage — the psi volume
     never touches HBM), or "h2" (the same trailing stage combines the
@@ -876,30 +876,83 @@ def _wavefront_kernel(tau, k, Z, h_dtype, stage_dtype, emit, inv12dx,
     z-clamp bounds so the same SPMD program clamps the grad only at true
     domain edges (multi-chip ghost-zone slabs, parallel/step3d.py); the
     bounds are always within [1, Z-2] so the stage never indexes outside
-    its rings."""
+    its rings.
+
+    ``ghost``: ``(G, Zl)`` selects ghost-ref mode for multi-chip slabs
+    (parallel/step3d.py): ``h_ref`` holds only the Zl REAL planes (aliased
+    in-place with the output), while the G ghost planes per side arrive
+    in two separate read-only band refs — the jnp DUS ghost refresh on a
+    big extended array (which forced a full-volume defensive copy per
+    round at the aliasing boundary) disappears.  The sweep schedule is
+    unchanged (``Z`` = Zl+2G extended planes, same window math), so real-
+    plane results are bit-identical to the extended-array form; ghost-
+    plane outputs are dead (re-exchanged every round) and never stored.
+    The wrap re-reads of extended planes [0, k) land in the lo band ref
+    (k <= G), which is never written — no seam stash needed."""
     clamp_ref = None
     if slab:
         clamp_ref = refs[0]
         refs = refs[1:]
     hint_ref = hint_store = psi4 = psirep4 = sem_hint = None
+    psi_ref = psi_ring = sem_p = seam_ref = None
+    glo_ref = ghi_ref = None
+    # inputs: h, flags, rhs [, ghost_lo, ghost_hi]
+    h_ref, flags_ref, rhs_ref = refs[:3]
+    refs = refs[3:]
+    if ghost is not None:
+        glo_ref, ghi_ref = refs[:2]
+        refs = refs[2:]
+    # outputs: h_out [, psi | hint] [, band_lo, band_hi] [, seam]
+    out_ref = refs[0]
+    refs = refs[1:]
     if emit == "psi":
-        (h_ref, flags_ref, rhs_ref, out_ref, psi_ref, seam_ref,
-         in_ring, f_ring, r_ring, store_ring, psi_ring,
-         *stage_rings, sem_h, sem_f, sem_r, sem_o, sem_p, sem_s) = refs
+        psi_ref = refs[0]
+        refs = refs[1:]
     elif emit in ("hint", "h2"):
-        (h_ref, flags_ref, rhs_ref, out_ref, hint_ref, seam_ref,
-         in_ring, f_ring, r_ring, store_ring, psi4, psirep4, hint_store,
-         *stage_rings, sem_h, sem_f, sem_r, sem_o, sem_hint, sem_s) = refs
-        psi_ref = psi_ring = sem_p = None
-    else:
-        (h_ref, flags_ref, rhs_ref, out_ref, seam_ref,
-         in_ring, f_ring, r_ring, store_ring,
-         *stage_rings, sem_h, sem_f, sem_r, sem_o, sem_s) = refs
-        psi_ref = psi_ring = sem_p = None
+        hint_ref = refs[0]
+        refs = refs[1:]
+    blo_ref = bhi_ref = None
+    if bands:
+        blo_ref, bhi_ref = refs[:2]
+        refs = refs[2:]
+    if ghost is None:
+        seam_ref = refs[0]
+        refs = refs[1:]
+    # scratch: rings, stage rings, semaphores
+    in_ring, f_ring, r_ring, store_ring = refs[:4]
+    refs = refs[4:]
+    if emit == "psi":
+        psi_ring = refs[0]
+        refs = refs[1:]
+    elif emit in ("hint", "h2"):
+        psi4, psirep4, hint_store = refs[:3]
+        refs = refs[3:]
+    stage_rings = list(refs[:k - 1])
+    refs = refs[k - 1:]
+    sem_h, sem_f, sem_r, sem_o = refs[:4]
+    refs = refs[4:]
+    if emit == "psi":
+        sem_p = refs[0]
+        refs = refs[1:]
+    elif emit in ("hint", "h2"):
+        sem_hint = refs[0]
+        refs = refs[1:]
+    sem_bl = sem_bh = None
+    if bands:
+        sem_bl, sem_bh = refs[:2]
+        refs = refs[2:]
+    if ghost is None:
+        (sem_s,) = refs
     emit_psi = emit == "psi"
     lat = D3Q19
     Y, X = h_ref.shape[2], h_ref.shape[3]
     P = Z + 2 * k
+    if ghost is not None:
+        G_g, Zl_g = ghost
+        out_base = k + G_g          # first stored window plane
+        out_end = k + G_g + Zl_g    # one past the last
+    else:
+        out_base, out_end = k, k + Z
     # FR (flags/rhs ring size) is chosen by the wrapper: k+2 for the
     # sweep stages alone; k+6 with the trailing H_int grad stage (lag 2
     # behind the final sweep, which itself lags the input by 2k-1 — flags
@@ -911,6 +964,13 @@ def _wavefront_kernel(tau, k, Z, h_dtype, stage_dtype, emit, inv12dx,
         # index dtype (int64 when jax_enable_x64 is on in tests)
         a = jnp.asarray(a)
         return jax.lax.rem(a, jnp.asarray(n, a.dtype))
+
+    def _h_copy(src_ref, idx, plane):
+        return pltpu.make_async_copy(
+            src_ref.at[:, pl.ds(idx, 1)],
+            in_ring.at[:, pl.ds(rem_(plane, 4), 1)],
+            sem_h.at[rem_(plane, 4)],
+        )
 
     def in_copies(plane, h_from_seam=False):
         """Async copies of window plane ``plane`` of h/flags/rhs (wrapped).
@@ -925,12 +985,11 @@ def _wavefront_kernel(tau, k, Z, h_dtype, stage_dtype, emit, inv12dx,
         """
         src = rem_(plane + (Z - k), Z)
         h_src = seam_ref if h_from_seam else h_ref
+        return (_h_copy(h_src, src, plane), *_fr_copies(plane))
+
+    def _fr_copies(plane):
+        src = rem_(plane + (Z - k), Z)
         return (
-            pltpu.make_async_copy(
-                h_src.at[:, pl.ds(src, 1)],
-                in_ring.at[:, pl.ds(rem_(plane, 4), 1)],
-                sem_h.at[rem_(plane, 4)],
-            ),
             pltpu.make_async_copy(
                 flags_ref.at[:, pl.ds(src, 1)],
                 f_ring.at[:, pl.ds(rem_(plane, FR), 1)],
@@ -943,37 +1002,85 @@ def _wavefront_kernel(tau, k, Z, h_dtype, stage_dtype, emit, inv12dx,
             ),
         )
 
+    def start_in(plane):
+        """Start window plane ``plane``'s input copies — ghost-ref mode:
+        extended plane e < G comes from the lo band, e >= G+Zl from the hi
+        band, else the real h ref.  The wrap re-reads (window >= Z+k, e in
+        [0, k) ⊂ [0, G)) hit the lo band, which is read-only — pristine by
+        construction.  All variants move identical byte counts, so the
+        shared wait descriptor in ``in_copies`` stays valid."""
+        if ghost is None:
+            for cp in in_copies(plane):
+                cp.start()
+            return
+        e = rem_(plane + (Z - k), Z)
+
+        @pl.when(e < G_g)
+        def _():
+            _h_copy(glo_ref, e, plane).start()
+
+        @pl.when((e >= G_g) & (e < G_g + Zl_g))
+        def _():
+            _h_copy(h_ref, e - G_g, plane).start()
+
+        @pl.when(e >= G_g + Zl_g)
+        def _():
+            _h_copy(ghi_ref, e - (G_g + Zl_g), plane).start()
+
+        for cp in _fr_copies(plane):
+            cp.start()
+
     def out_copy(w):
         return pltpu.make_async_copy(
             store_ring.at[:, pl.ds(rem_(w, 2), 1)],
-            out_ref.at[:, pl.ds(w - k, 1)],
+            out_ref.at[:, pl.ds(w - out_base, 1)],
             sem_o.at[rem_(w, 2)],
         )
 
     def psi_copy(w):
         return pltpu.make_async_copy(
             psi_ring.at[:, pl.ds(rem_(w, 2), 1)],
-            psi_ref.at[:, pl.ds(w - k, 1)],
+            psi_ref.at[:, pl.ds(w - out_base, 1)],
             sem_p.at[rem_(w, 2)],
         )
 
     def hint_copy(p):
         return pltpu.make_async_copy(
             hint_store.at[:, pl.ds(rem_(p, 2), 1)],
-            hint_ref.at[:, pl.ds(p, 1)],
+            hint_ref.at[:, pl.ds(p - (out_base - k), 1)],
             sem_hint.at[rem_(p, 2)],
         )
 
+    def band_lo_copy(w):
+        # second destination of the just-stored plane: the final values of
+        # real planes [0, G) — the next exchange round reads THESE small
+        # outputs instead of slicing h (any jnp read of the in-place-
+        # aliased h around the while carry makes XLA insert a full-volume
+        # defensive copy per round; measured 8.2 ms/step at 256^3)
+        return pltpu.make_async_copy(
+            store_ring.at[:, pl.ds(rem_(w, 2), 1)],
+            blo_ref.at[:, pl.ds(w - out_base, 1)],
+            sem_bl.at[rem_(w, 2)],
+        )
+
+    def band_hi_copy(w):
+        return pltpu.make_async_copy(
+            store_ring.at[:, pl.ds(rem_(w, 2), 1)],
+            bhi_ref.at[:, pl.ds(w - out_base - (Zl_g - G_g), 1)],
+            sem_bh.at[rem_(w, 2)],
+        )
+
     # ---- preamble: stash the seam planes, planes 0 and 1 in flight ------
-    seam_cp = pltpu.make_async_copy(
-        h_ref.at[:, pl.ds(0, k)], seam_ref, sem_s
-    )
-    seam_cp.start()
-    for plane in (0, 1):  # window planes 0,1 always read h_ref (< Z+k)
-        for cp in in_copies(plane):
-            cp.start()
-    # the stash must land before plane 0's in-place write at t=k
-    seam_cp.wait()
+    if ghost is None:
+        seam_cp = pltpu.make_async_copy(
+            h_ref.at[:, pl.ds(0, k)], seam_ref, sem_s
+        )
+        seam_cp.start()
+    for plane in (0, 1):  # window planes 0,1 always read pristine refs
+        start_in(plane)
+    if ghost is None:
+        # the stash must land before plane 0's in-place write at t=k
+        seam_cp.wait()
     for cp in in_copies(0):
         cp.wait()
 
@@ -982,19 +1089,25 @@ def _wavefront_kernel(tau, k, Z, h_dtype, stage_dtype, emit, inv12dx,
         @pl.when(t + 1 <= P - 1)
         def _():
             # the wait only touches the semaphore + byte count, which are
-            # identical for the seam and h_ref variants
+            # identical for the seam/band and h_ref variants
             for cp in in_copies(t + 1):
                 cp.wait()
 
-        @pl.when((t + 2 <= P - 1) & (t + 2 < Z + k))
-        def _():
-            for cp in in_copies(t + 2):
-                cp.start()
+        if ghost is not None:
+            # band routing inside start_in covers the wrap re-reads too
+            @pl.when(t + 2 <= P - 1)
+            def _():
+                start_in(t + 2)
+        else:
+            @pl.when((t + 2 <= P - 1) & (t + 2 < Z + k))
+            def _():
+                for cp in in_copies(t + 2):
+                    cp.start()
 
-        @pl.when((t + 2 >= Z + k) & (t + 2 <= P - 1))
-        def _():
-            for cp in in_copies(t + 2, h_from_seam=True):
-                cp.start()
+            @pl.when((t + 2 >= Z + k) & (t + 2 <= P - 1))
+            def _():
+                for cp in in_copies(t + 2, h_from_seam=True):
+                    cp.start()
 
         # ---- pipeline stages, in order --------------------------------
         for s in range(k):
@@ -1034,31 +1147,58 @@ def _wavefront_kernel(tau, k, Z, h_dtype, stage_dtype, emit, inv12dx,
                     for q in range(19):
                         stage_rings[s][q, ws] = out[q].astype(stage_dtype)
                 else:
-                    # final sweep: stream interior planes back to HBM
-                    @pl.when((w >= k) & (w < k + Z))
-                    def _():
-                        # slot w%2 was last used by plane w-2's store
-                        @pl.when(w - 2 >= k)
+                    if emit in ("hint", "h2"):
+                        # keep psi (+ its ring-replicated pad) in VMEM for
+                        # the trailing grad stage; 5 slots cover its lag-2
+                        # window.  Fills the EXTENDED plane range: in
+                        # ghost-ref mode the grad of boundary real planes
+                        # reads ghost-plane psi from these rings
+                        @pl.when((w >= k) & (w < k + Z))
                         def _():
-                            out_copy(w - 2).wait()
-                            if emit_psi:
-                                psi_copy(w - 2).wait()
-                        slot = rem_(w, 2)
-                        for q in range(19):
-                            store_ring[q, slot] = out[q].astype(h_dtype)
-                        out_copy(w).start()
-                        if emit_psi:
-                            psi_ring[0, slot] = psi
-                            psi_copy(w).start()
-                        if emit in ("hint", "h2"):
-                            # keep psi (+ its ring-replicated pad) in VMEM
-                            # for the trailing grad stage; 5 slots cover
-                            # its lag-2 window
                             g5 = rem_(w - k, 5)
                             psi4[0, g5] = psi
                             psirep4[0, g5] = _ring_replicate_plane(
                                 psi, Y, X
                             )
+
+                    # final sweep: stream stored planes back to HBM (all
+                    # extended planes, or only the real slab in ghost-ref
+                    # mode — ghost outputs are re-exchanged anyway)
+                    @pl.when((w >= out_base) & (w < out_end))
+                    def _():
+                        # slot w%2 was last used by plane w-2's store
+                        @pl.when(w - 2 >= out_base)
+                        def _():
+                            out_copy(w - 2).wait()
+                            if emit_psi:
+                                psi_copy(w - 2).wait()
+                            if bands:
+                                e2 = w - 2 - out_base
+
+                                @pl.when(e2 < G_g)
+                                def _():
+                                    band_lo_copy(w - 2).wait()
+
+                                @pl.when(e2 >= Zl_g - G_g)
+                                def _():
+                                    band_hi_copy(w - 2).wait()
+                        slot = rem_(w, 2)
+                        for q in range(19):
+                            store_ring[q, slot] = out[q].astype(h_dtype)
+                        out_copy(w).start()
+                        if bands:
+                            e0 = w - out_base
+
+                            @pl.when(e0 < G_g)
+                            def _():
+                                band_lo_copy(w).start()
+
+                            @pl.when(e0 >= Zl_g - G_g)
+                            def _():
+                                band_hi_copy(w).start()
+                        if emit_psi:
+                            psi_ring[0, slot] = psi
+                            psi_copy(w).start()
 
         if emit in ("hint", "h2"):
             # trailing stage: H_int plane p = -grad(psi_sub)(p), the
@@ -1066,8 +1206,15 @@ def _wavefront_kernel(tau, k, Z, h_dtype, stage_dtype, emit, inv12dx,
             # solve_H_int's grad_fields(ring_fix) done in register.
             # psi of global plane G lands at body G+2k-1 (the final sweep
             # lags the input window by 2k-1); the p=0 output needs psi
-            # plane 2, so the grad stage lags by a further 2
-            @pl.when((t >= 2 * k + 1) & (t <= Z + 2 * k))
+            # plane 2, so the grad stage lags by a further 2.  Ghost-ref
+            # mode emits only the real planes [G, G+Zl) (their stencils
+            # read ghost psi from the VMEM rings, filled extended-range)
+            hbase = out_base - k
+            hend = hbase + (out_end - out_base)
+
+            @pl.when(
+                (t >= 2 * k + 1 + hbase) & (t <= 2 * k + hend)
+            )
             def _():
                 p = t - 2 * k - 1
                 if slab:
@@ -1087,7 +1234,7 @@ def _wavefront_kernel(tau, k, Z, h_dtype, stage_dtype, emit, inv12dx,
                     ))
                 planes3 = {-1: sub[0], 0: sub[1], 1: sub[2]}
 
-                @pl.when(p - 2 >= 0)
+                @pl.when(p - 2 >= hbase)
                 def _():
                     hint_copy(p - 2).wait()
 
@@ -1124,13 +1271,19 @@ def _wavefront_kernel(tau, k, Z, h_dtype, stage_dtype, emit, inv12dx,
     # is produced at t = Z+2k = P; other pl.when gates exclude t >= P
     jax.lax.fori_loop(0, P + (1 if emit in ("hint", "h2") else 0), body, 0)
 
-    # drain the last two stores
+    # drain the last two stores (ghost-ref mode: the last two REAL planes)
     for d in (2, 1):
-        out_copy(k + Z - d).wait()
+        out_copy(out_end - d).wait()
         if emit_psi:
-            psi_copy(k + Z - d).wait()
+            psi_copy(out_end - d).wait()
         if emit in ("hint", "h2"):
-            hint_copy(Z - d).wait()
+            hint_copy(out_end - k - d).wait()
+        if bands:
+            # membership is compile-time: e = Zl - d
+            if Zl_g - d < G_g:
+                band_lo_copy(out_end - d).wait()
+            if Zl_g - d >= Zl_g - G_g:
+                band_hi_copy(out_end - d).wait()
 
 
 def poisson_wavefront_hint_ok(h_shape, h_dtype, n_iters) -> bool:
@@ -1142,7 +1295,8 @@ def poisson_wavefront_hint_ok(h_shape, h_dtype, n_iters) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "tau", "n_iters", "interpret", "stage_dtype", "emit", "dx", "h_ext"
+    "tau", "n_iters", "interpret", "stage_dtype", "emit", "dx", "h_ext",
+    "emit_bands",
 ))
 def poisson_wavefront(
     h: jnp.ndarray,
@@ -1157,6 +1311,8 @@ def poisson_wavefront(
     dx: float = 1.0,
     h_ext: tuple | None = None,
     slab_clamp=None,
+    ghosts=None,
+    emit_bands: bool = False,
 ):
     """Time-skewed wavefront variant of :func:`poisson_sweeps` (same
     contract, same per-sweep arithmetic, interior bit-identical when
@@ -1178,9 +1334,47 @@ def poisson_wavefront(
     ``slab_clamp`` (int32 [2], traced) overrides the trailing grad
     stage's z-clamp bounds for multi-chip ghost-zone slabs
     (parallel/step3d.py) — both values must lie in [1, Z-2].
+
+    ``ghosts`` = (lo, hi) — ghost-ref slab mode (parallel/step3d.py):
+    ``h`` holds only the Zl real planes (aliased in-place with the
+    output) and the two [19, G, Y, X] bands hold the G exchanged ghost
+    planes per side; ``magnetic_flags``/``rhs_scaled`` must arrive
+    EXTENDED ([1, 1, Zl+2G, Y, X]).  The sweep schedule runs over the
+    same extended plane space, so real-plane results are bit-identical
+    to padding h to [Zl+2G] and slicing — without the big-array ghost
+    DUS that forced a full-volume defensive copy at the in-place
+    aliasing boundary (measured: the bulk of the 38-48%% sharded-on-1
+    overhead).  Requires a single pass (the plan's k == n_iters, G >= k,
+    Zl >= 2): multi-pass validity would need the ghost-plane OUTPUTS the
+    kernel deliberately drops.  Returns real-only (h, aux).
+
+    ``emit_bands`` (ghost mode only): additionally return the final
+    values of real planes [0, G) and [Zl-G, Zl) as two separate
+    [19, G, Y, X] outputs — the next exchange round reads THESE instead
+    of slicing h, so h has no jnp consumers at all around the in-place
+    while carry (any such read makes XLA insert a full-volume defensive
+    copy per round; measured 8.2 ms/step at 256^3).  Returns
+    (h, aux, (band_lo, band_hi)).
     """
-    _, _, Z, Y, X = h.shape
-    k, stage_dt = _wf_plan_full(h.shape, h.dtype, n_iters, stage_dtype)
+    if emit_bands and ghosts is None:
+        raise ValueError("emit_bands requires ghost mode")
+    if ghosts is not None:
+        glo, ghi = ghosts
+        G = glo.shape[1]
+        _, _, Zl, Y, X = h.shape
+        Z = Zl + 2 * G
+        plan_shape = (1, 19, Z, Y, X)
+        if magnetic_flags.shape[2] != Z or rhs_scaled.shape[2] != Z:
+            raise ValueError("ghost mode needs EXTENDED flags/rhs")
+    else:
+        _, _, Z, Y, X = h.shape
+        plan_shape = h.shape
+    k, stage_dt = _wf_plan_full(plan_shape, h.dtype, n_iters, stage_dtype)
+    if ghosts is not None and not (k == n_iters and G >= k and Zl >= 2):
+        raise ValueError(
+            f"ghost mode requires a single pass: plan k={k} vs "
+            f"n_iters={n_iters}, G={G}, Zl={Zl}"
+        )
     if emit in ("hint", "h2") and not (
         k >= 2 and n_iters % k == 0 and Z >= 4
     ):
@@ -1202,16 +1396,19 @@ def poisson_wavefront(
         # as late as body q+2k+3; the slot's overwriting DMA starts at
         # body q+k+FR-2, so retention needs FR >= k+6
         FR = k + 6 if emit_mode in ("hint", "h2") else k + 2
+        Zout = Zl if ghosts is not None else Z
         scratch = [
             pltpu.VMEM((19, 4, Y, X), h.dtype),     # input ring
             pltpu.VMEM((1, FR, Y, X), jnp.int32),   # flags ring
             pltpu.VMEM((1, FR, Y, X), jnp.float32),  # rhs ring
             pltpu.VMEM((19, 2, Y, X), h.dtype),     # store ring
         ]
-        out_shape = [jax.ShapeDtypeStruct((19, Z, Y, X), h.dtype)]
+        out_shape = [jax.ShapeDtypeStruct((19, Zout, Y, X), h.dtype)]
         if emit_mode == "psi":
             scratch.append(pltpu.VMEM((1, 2, Y, X), jnp.float32))
-            out_shape.append(jax.ShapeDtypeStruct((1, Z, Y, X), jnp.float32))
+            out_shape.append(
+                jax.ShapeDtypeStruct((1, Zout, Y, X), jnp.float32)
+            )
         elif emit_mode in ("hint", "h2"):
             nc = 3 if emit_mode == "hint" else 1
             scratch += [
@@ -1220,12 +1417,20 @@ def poisson_wavefront(
                 pltpu.VMEM((nc, 2, Y, X), jnp.float32),  # H_int/H2 store
             ]
             out_shape.append(
-                jax.ShapeDtypeStruct((nc, Z, Y, X), jnp.float32)
+                jax.ShapeDtypeStruct((nc, Zout, Y, X), jnp.float32)
             )
-        # HBM stash of the seam planes [0, k): h aliases the output (the
-        # pass runs in place, saving a full 19-channel copy per pass), so
-        # the wrap re-reads at window planes >= Z+k read this instead
-        out_shape.append(jax.ShapeDtypeStruct((19, k, Y, X), h.dtype))
+        if emit_bands:
+            out_shape += [
+                jax.ShapeDtypeStruct((19, G, Y, X), h.dtype),
+                jax.ShapeDtypeStruct((19, G, Y, X), h.dtype),
+            ]
+        if ghosts is None:
+            # HBM stash of the seam planes [0, k): h aliases the output
+            # (the pass runs in place, saving a full 19-channel copy per
+            # pass), so the wrap re-reads at window planes >= Z+k read
+            # this instead.  Ghost-ref mode reads the wrap planes from
+            # the read-only lo band — no stash.
+            out_shape.append(jax.ShapeDtypeStruct((19, k, Y, X), h.dtype))
         scratch += [pltpu.VMEM((19, 3, Y, X), stage_dt) for _ in range(k - 1)]
         scratch += [
             pltpu.SemaphoreType.DMA((4,)),
@@ -1235,9 +1440,16 @@ def poisson_wavefront(
         ]
         if emit_mode in ("psi", "hint", "h2"):
             scratch.append(pltpu.SemaphoreType.DMA((2,)))
-        scratch.append(pltpu.SemaphoreType.DMA(()))
+        if emit_bands:
+            scratch += [
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        if ghosts is None:
+            scratch.append(pltpu.SemaphoreType.DMA(()))
         slab = slab_clamp is not None and emit_mode in ("hint", "h2")
-        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
+        n_in = 5 if ghosts is not None else 3
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_in
         if slab:
             in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
         call = pl.pallas_call(
@@ -1245,7 +1457,8 @@ def poisson_wavefront(
                 _wavefront_kernel, tau, k, Z, h.dtype, stage_dt,
                 emit_mode, 1.0 / (12.0 * dx),
                 tuple(float(v) for v in h_ext) if h_ext else None,
-                slab, FR,
+                slab, FR, (G, Zl) if ghosts is not None else None,
+                emit_bands,
             ),
             grid=(1,),
             in_specs=in_specs,
@@ -1258,9 +1471,12 @@ def poisson_wavefront(
             ),
             interpret=interpret,
         )
+        extra = (glo, ghi) if ghosts is not None else ()
         if slab:
             clamp = jnp.asarray(slab_clamp, jnp.int32)
-            return lambda *a: call(clamp, *a)
+            return lambda *a: call(clamp, *a, *extra)
+        if extra:
+            return lambda *a: call(*a, *extra)
         return call
 
     call_nopsi = make_call(None)
@@ -1271,8 +1487,10 @@ def poisson_wavefront(
 
     hc = jax.lax.fori_loop(0, n_nopsi, one_pass, h[0])
     if rem == 0:
-        hc, aux, _ = make_call(emit)(hc, flags_i32, rhs_k)
-        return hc[None], aux[None]
+        outs = make_call(emit)(hc, flags_i32, rhs_k)
+        if emit_bands:
+            return outs[0][None], outs[1][None], (outs[2], outs[3])
+        return outs[0][None], outs[1][None]
 
     psi = jnp.zeros((1, Z, Y, X), jnp.float32)
     sweep = make_sweep_call(Z, Y, X, h.dtype, tau, interpret)

@@ -774,6 +774,78 @@ def _psi_refresh_ghosts(g_ext, psi, rhs_ext, G, Zl, tau):
     )
 
 
+def _psi_ghost_bands(blo, bhi, psi, rhs_ext, G, tau):
+    """Ghost-ref twin of :func:`_psi_refresh_ghosts`: build the two
+    [19, G, Y, X] ghost BANDS for the wavefront's ghost-ref mode instead
+    of DUSing an extended array (each of those DUSes forced a full-
+    extended-volume defensive copy at the kernel's in-place aliasing
+    boundary — the bulk of the measured 38-48% sharded-on-1 overhead).
+    Same exchanges, same reconstruction arithmetic, same obstacle
+    carve-outs.  ``blo``/``bhi`` are the kernel's emit_bands outputs (the
+    final values of real planes [0, G) / [Zl-G, Zl)) and ``psi`` is the
+    REAL-only psi — h itself is never sliced here (any jnp read of the
+    in-place-aliased h around the while carry reintroduces the defensive
+    copy).  Band plane order: lo band j in [0, G) is extended plane j
+    (outermost first, innermost = true-h last); hi band j is extended
+    plane Zl+G+j (innermost = true-h first)."""
+    from ..lattice import D3Q19
+
+    inv_tau = 1.0 / tau
+    _, Zl, Y, X = psi.shape
+
+    def recon(psi_band, rhs_band):
+        t = psi_band * inv_tau
+        u = t + rhs_band
+        outs = []
+        for q in range(19):
+            v = float(D3Q19.weights[q]) * u
+            if q == 0:
+                v = v - t
+            outs.append(v)
+        return jnp.concatenate(outs, axis=0).astype(blo.dtype)
+
+    def xcols(band):
+        return jnp.concatenate([band[..., :1], band[..., X - 1:]], axis=-1)
+
+    def bundle(plane, c):
+        return jnp.concatenate(
+            [plane.reshape(19, -1), c.reshape(19, -1)], axis=-1
+        )
+
+    def unbundle(b):
+        return (
+            b[:, :Y * X].reshape(19, 1, Y, X),
+            b[:, Y * X:].reshape(19, G - 1, Y, 2),
+        )
+
+    if G == 1:
+        return (
+            ring_halo(bhi, _Z, +1),
+            ring_halo(blo, _Z, -1),
+        )
+
+    lo_h = ring_halo(
+        bundle(bhi[:, G - 1:G], xcols(bhi[:, :G - 1])), _Z, +1
+    )
+    hi_h = ring_halo(bundle(blo[:, 0:1], xcols(blo[:, 1:G])), _Z, -1)
+    lo_in, lo_cols = unbundle(lo_h)
+    hi_in, hi_cols = unbundle(hi_h)
+    lo_psi = ring_halo(psi[:, Zl - G:Zl - 1], _Z, +1)
+    hi_psi = ring_halo(psi[:, 1:G], _Z, -1)
+
+    def splice(rec, c):
+        return jnp.concatenate(
+            [c[..., :1], rec[..., 1:X - 1], c[..., 1:]], axis=-1
+        )
+
+    lo_band = splice(recon(lo_psi, rhs_ext[:, :G - 1]), lo_cols)
+    hi_band = splice(recon(hi_psi, rhs_ext[:, Zl + G + 1:]), hi_cols)
+    return (
+        jnp.concatenate([lo_band, lo_in], axis=1),
+        jnp.concatenate([hi_in, hi_band], axis=1),
+    )
+
+
 def poisson_sweeps_sharded(
     h, magnetic_flags, rhs_scaled, mesh, *, tau, n_iters, halo_depth=5,
     emit_h2=None, dx=1.0, interpret=False, psi_halo=False,
@@ -875,11 +947,82 @@ def poisson_sweeps_sharded(
         flags_ext = _extend(flags[0].astype(jnp.int32), G)
         rhs_ext = _extend(rhs[0].astype(jnp.float32), G)
 
-        hc = jnp.pad(h[0], ((0, 0), (G, G), (0, 0), (0, 0)))
-        psi = jnp.zeros((1, Zext, Y, X), jnp.float32)
-
         ext_shape = (1, 19, Zext, Y, X)
         use_wf = wf_ok(ext_shape, k)
+
+        # Ghost-ref fast flow: h stays a REAL-only carry aliased in-place
+        # by the kernel; ghosts ride as separate exchanged bands.  The
+        # extended-array flow below DUSes ghost planes into a padded
+        # volume each round, and every DUS output feeding the aliased
+        # pallas input costs a full-extended-volume defensive copy
+        # (XLA copy-insertion; measured as the bulk of the 38-48%
+        # sharded-on-1 overhead, docs/PERFORMANCE.md).  Requires a
+        # single-pass plan (k == plan) and no remainder round.
+        if (
+            use_wf and rem == 0 and G <= Zl and Zl >= 2
+            and _wf_plan(ext_shape, h.dtype, k) == k
+        ):
+            hr = h[0]
+            if do_h2:
+                iz = jax.lax.axis_index(_Z)
+                first_d = iz == 0
+                last_d = iz == jax.lax.psum(1, _Z) - 1
+                clamp_g = jnp.stack([
+                    jnp.where(first_d, G + 1, 1),
+                    jnp.where(last_d, G + Zl - 2, Zext - 2),
+                ]).astype(jnp.int32)
+
+            def run_round(hr, gb, emit_final):
+                if emit_final:
+                    h_new, aux = poisson_wavefront(
+                        hr[None], flags_ext[None], rhs_ext[None], tau=tau,
+                        n_iters=k, interpret=interpret, emit="h2", dx=dx,
+                        h_ext=tuple(float(v) for v in emit_h2),
+                        slab_clamp=clamp_g, ghosts=gb,
+                    )
+                    return h_new[0], aux[0]
+                h_new, aux, bands = poisson_wavefront(
+                    hr[None], flags_ext[None], rhs_ext[None], tau=tau,
+                    n_iters=k, interpret=interpret, ghosts=gb,
+                    emit_bands=True,
+                )
+                return h_new[0], aux[0], bands
+
+            # Kernel-first iteration order, with the kernel itself
+            # emitting the two G-plane boundary bands as separate small
+            # outputs (emit_bands): the exchange reads THOSE, so h has no
+            # jnp consumers at all around the in-place while carry — any
+            # such read (a slice for the exchange, a DUS refresh) makes
+            # XLA insert a full-volume defensive copy per round inside
+            # the scan body (measured 8.2 ms/step at 256^3 on-chip).
+            def scan_body(carry, _):
+                hr, psi_r, gb = carry
+                hr, psi_r, (blo, bhi) = run_round(hr, gb, emit_final=False)
+                if body_psi:
+                    gb = _psi_ghost_bands(blo, bhi, psi_r, rhs_ext, G, tau)
+                else:
+                    gb = (ring_halo(bhi, _Z, +1), ring_halo(blo, _Z, -1))
+                return (hr, psi_r, gb), None
+
+            # first round's bands slice the incoming h directly (one-time;
+            # h is still pristine — no in-place pass has run yet)
+            gb = (
+                ring_halo(hr[:, -G:], _Z, +1),
+                ring_halo(hr[:, :G], _Z, -1),
+            )
+            psi_r = jnp.zeros((1, Zl, Y, X), jnp.float32)
+            if rounds > 1:
+                (hr, psi_r, gb), _ = jax.lax.scan(
+                    scan_body, (hr, psi_r, gb), None, length=rounds - 1
+                )
+            if do_h2:
+                hr, aux = run_round(hr, gb, emit_final=True)
+            else:
+                hr, aux, _ = run_round(hr, gb, emit_final=False)
+            return hr[None], aux[None]
+
+        hc = jnp.pad(h[0], ((0, 0), (G, G), (0, 0), (0, 0)))
+        psi = jnp.zeros((1, Zext, Y, X), jnp.float32)
         use_ms = not use_wf and poisson_multisweep_supported(
             D3Q19, ext_shape, h.dtype, k
         )

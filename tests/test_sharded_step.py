@@ -320,6 +320,61 @@ def test_capillogue_sharded_matches(rng, emit_rhs, Z):
         )
 
 
+def test_poisson_sharded_ghost_flow_bitexact(rng):
+    """The ghost-ref fast flow (single-pass plan, rem==0: real-only h
+    carry aliased in-place, exchanged ghost BANDS as separate kernel
+    operands — no extended-array pad/DUS/slice) is bit-identical to the
+    single-device kernel.  n_iters=6 at depth 2 keeps rem==0 so the flow
+    engages (the depth-k tests above use n_iters=7, which exercises the
+    extended-array fallback)."""
+    Z, Y, X = 16, 8, 16
+    h = jnp.asarray(rng.uniform(-0.1, 0.1, (1, 19, Z, Y, X)), jnp.float32)
+    flags = np.full((1, 1, Z, Y, X), int(CellType.OBSTACLE), np.uint8)
+    flags[..., 1:-1, :, 1:-1] = int(CellType.FLUID)
+    flags = jnp.asarray(flags)
+    rhs = jnp.asarray(rng.uniform(-0.01, 0.01, (1, 1, Z, Y, X)), jnp.float32)
+
+    h_ref, psi_ref = poisson_sweeps(
+        h, flags, rhs, tau=0.8, n_iters=6, interpret=True
+    )
+    h_s, psi_s = step3d.poisson_sweeps_sharded(
+        h, flags, rhs, _mesh_z(2), tau=0.8, n_iters=6, halo_depth=2,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(h_s), np.asarray(h_ref))
+    np.testing.assert_array_equal(np.asarray(psi_s), np.asarray(psi_ref))
+
+
+@pytest.mark.parametrize("h2", [False, True])
+def test_poisson_sharded_ghost_flow_psi_halo(rng, h2):
+    """psi ghost refresh through the ghost-ref flow (_psi_ghost_bands:
+    bands built from exchanged psi + thin true-h slivers instead of
+    DUSing an extended array) tracks the full-h band exchange at the
+    same ulp-level bar as the extended-array version above."""
+    Z, Y, X = 16, 8, 16
+    h = jnp.asarray(rng.uniform(-0.1, 0.1, (1, 19, Z, Y, X)), jnp.float32)
+    flags = np.full((1, 1, Z, Y, X), int(CellType.OBSTACLE), np.uint8)
+    flags[..., 1:-1, :, 1:-1] = int(CellType.FLUID)
+    flags = jnp.asarray(flags)
+    rhs = jnp.asarray(rng.uniform(-0.01, 0.01, (1, 1, Z, Y, X)), jnp.float32)
+
+    kw = dict(tau=1.0, n_iters=6, halo_depth=2, interpret=True)
+    if h2:
+        kw["emit_h2"] = (0.0, 85.0, 0.0)
+    mesh = _mesh_z(2)
+    off = step3d.poisson_sweeps_sharded(h, flags, rhs, mesh,
+                                        psi_halo=False, **kw)
+    on = step3d.poisson_sweeps_sharded(h, flags, rhs, mesh,
+                                       psi_halo=True, **kw)
+    if h2:
+        assert off[2] == on[2]
+    for i, (a, b) in enumerate(zip(off[:2], on[:2])):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
+        assert rel <= 3e-6, f"out[{i}]: rel dev {rel:.2e}"
+
+
 def test_poisson_sharded_h2_emission(rng):
     """emit_h2 sharded: the wavefront's h2-emitting final round (per-device
     SMEM edge clamps + one spare ghost plane) == the single-device
