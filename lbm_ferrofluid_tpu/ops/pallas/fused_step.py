@@ -774,12 +774,12 @@ def lbm_prologue(
 
 @functools.partial(jax.jit, static_argnames=(
     "tau_f", "tau_g", "dx", "dt", "emit_mac", "mac_consts", "compact",
-    "interpret",
+    "rebatch", "interpret",
 ))
 def lbm_epilogue(
     f, g, flags, rho, vel, density, pressure, force, dfai, dprho,
     ghosts=None, *, tau_f, tau_g, dx=1.0, dt=1.0, emit_mac=False,
-    mac_consts=None, compact=False, interpret=False,
+    mac_consts=None, compact=False, rebatch=True, interpret=False,
 ):
     """Re-stream f and g and apply the fused HCZ collision in one pass.
 
@@ -900,8 +900,18 @@ def lbm_epilogue(
         ),
         interpret=interpret,
     )(f[0], g[0], flags_i32, *macs, *extra)
+    # rebatch=False returns rank-4 [C, Z, Y, X] outputs: the sharded
+    # wrapper slices boundary planes off f'/g' for the mac fix-up, and
+    # slicing the [None] re-batch makes XLA layout-assign the broadcast
+    # z-outer and transpose it back for the output — two full 19-channel
+    # volume passes per array (see ops/pallas/capillogue.py:lbm_capillogue
+    # for the device-traced account of the same pattern).
     if emit_mac:
         f_new, g_new = out[0], out[1]
+        if not rebatch:
+            return f_new, g_new, tuple(out[2:7])
         return f_new[None], g_new[None], tuple(m[None] for m in out[2:7])
     f_new, g_new = out
+    if not rebatch:
+        return f_new, g_new
     return f_new[None], g_new[None]

@@ -308,32 +308,36 @@ def fused_epilogue_sharded(
             f, g, flags, rho, vel, density, pressure, force, dfai, dprho,
             _fg_ghosts(f, g), tau_f=tau_f, tau_g=tau_g, dx=dx, dt=dt,
             emit_mac=True, mac_consts=mac_consts, compact=compact,
-            interpret=interpret,
+            rebatch=False, interpret=interpret,
         )
+        # rebatch=False: rank-4 [C, Zl, Y, X] outputs — slice the raw
+        # pallas results (layouts pinned) and re-batch only on return,
+        # else XLA pays a z-outer layout round-trip per 19-ch array
+        # (see capillogue_sharded).
         # collided boundary planes from the ring neighbors (one more
         # exchange over ICI — 2x19 planes each way)
         # only the z-crossing channel groups are ever pulled from the
         # neighbor planes (up group 9:14 from z-1, down group 14:19 from
         # z+1) — exchange 5 channels per direction per array, not 19
-        f_lo = ring_halo(f_n[:, 9:14, -1], _Z, +1)   # z-prev's last plane
-        f_hi = ring_halo(f_n[:, 14:19, 0], _Z, -1)   # z-next's first plane
-        g_lo = ring_halo(g_n[:, 9:14, -1], _Z, +1)
-        g_hi = ring_halo(g_n[:, 14:19, 0], _Z, -1)
+        f_lo = ring_halo(f_n[None, 9:14, -1], _Z, +1)  # z-prev's last
+        f_hi = ring_halo(f_n[None, 14:19, 0], _Z, -1)  # z-next's first
+        g_lo = ring_halo(g_n[None, 9:14, -1], _Z, +1)
+        g_hi = ring_halo(g_n[None, 14:19, 0], _Z, -1)
         mac0 = _mac_plane_jnp(
-            (f_lo, f_n[:, :, 0], f_n[:, 14:19, 1]),
-            (g_lo, g_n[:, :, 0], g_n[:, 14:19, 1]),
+            (f_lo, f_n[None, :, 0], f_n[None, 14:19, 1]),
+            (g_lo, g_n[None, :, 0], g_n[None, 14:19, 1]),
             flags[:, :, 0], rho[:, :, 0], vel[:, :, 0], mac_consts,
         )
         macZ = _mac_plane_jnp(
-            (f_n[:, 9:14, -2], f_n[:, :, -1], f_hi),
-            (g_n[:, 9:14, -2], g_n[:, :, -1], g_hi),
+            (f_n[None, 9:14, -2], f_n[None, :, -1], f_hi),
+            (g_n[None, 9:14, -2], g_n[None, :, -1], g_hi),
             flags[:, :, -1], rho[:, :, -1], vel[:, :, -1], mac_consts,
         )
         mac = tuple(
-            m.at[:, :, 0].set(m0).at[:, :, -1].set(mZ)
+            m.at[:, 0].set(m0[0]).at[:, -1].set(mZ[0])[None]
             for m, m0, mZ in zip(mac, mac0, macZ)
         )
-        return f_n, g_n, mac
+        return f_n[None], g_n[None], mac
 
     out_specs = (spec, spec, (spec,) * 5) if emit_mac else (spec, spec)
     fn = shard_map(
@@ -597,38 +601,45 @@ def capillogue_sharded(
             rho_gas=rho_gas, rho_fluid=rho_fluid, density_gas=density_gas,
             density_fluid=density_fluid, tau_f=tau_f, tau_g=tau_g,
             dx=dx, dt=dt, emit_rhs=emit_rhs, emit_force=False,
-            interpret=interpret,
+            rebatch=False, interpret=interpret,
         )
+        # rebatch=False: rank-4 [C, Zl, Y, X] outputs.  The edge-plane
+        # slices below MUST read the raw pallas results (layouts pinned);
+        # slicing the [None] re-batch makes XLA give the broadcast a
+        # z-outer layout for the slices and transpose it back for the
+        # output — 2 full 19-ch volume passes per array (~8.9 ms/step at
+        # 256^3, device-traced).  Re-batch only on return.
         # boundary mac planes from one exchange of the collided edges
         # (the kernel emitted interiors only); rho_old/vel_old of the
         # emission are rho_ca and THIS kernel's recovered velocity
         # 5-channel fix-up exchange (see fused_epilogue_sharded)
-        f_lo2 = ring_halo(f_n[:, 9:14, -1], _Z, +1)
-        f_hi2 = ring_halo(f_n[:, 14:19, 0], _Z, -1)
-        g_lo2 = ring_halo(g_n[:, 9:14, -1], _Z, +1)
-        g_hi2 = ring_halo(g_n[:, 14:19, 0], _Z, -1)
+        f_lo2 = ring_halo(f_n[None, 9:14, -1], _Z, +1)
+        f_hi2 = ring_halo(f_n[None, 14:19, 0], _Z, -1)
+        g_lo2 = ring_halo(g_n[None, 9:14, -1], _Z, +1)
+        g_hi2 = ring_halo(g_n[None, 14:19, 0], _Z, -1)
         mac0 = _mac_plane_jnp(
-            (f_lo2, f_n[:, :, 0], f_n[:, 14:19, 1]),
-            (g_lo2, g_n[:, :, 0], g_n[:, 14:19, 1]),
-            flags[:, :, 0], rho_ca[:, :, 0], vel[:, :, 0], mac_consts,
+            (f_lo2, f_n[None, :, 0], f_n[None, 14:19, 1]),
+            (g_lo2, g_n[None, :, 0], g_n[None, 14:19, 1]),
+            flags[:, :, 0], rho_ca[:, :, 0], vel[None, :, 0], mac_consts,
         )
         macZ = _mac_plane_jnp(
-            (f_n[:, 9:14, -2], f_n[:, :, -1], f_hi2),
-            (g_n[:, 9:14, -2], g_n[:, :, -1], g_hi2),
-            flags[:, :, -1], rho_ca[:, :, -1], vel[:, :, -1], mac_consts,
+            (f_n[None, 9:14, -2], f_n[None, :, -1], f_hi2),
+            (g_n[None, 9:14, -2], g_n[None, :, -1], g_hi2),
+            flags[:, :, -1], rho_ca[:, :, -1], vel[None, :, -1],
+            mac_consts,
         )
         fixed = [
-            m.at[:, :, 0].set(m0).at[:, :, -1].set(mZ)
+            m.at[:, 0].set(m0[0]).at[:, -1].set(mZ[0])[None]
             for m, m0, mZ in zip(premac[:5], mac0, macZ)
         ]
         if emit_rhs is not None:
             rhs = premac[5]
             rhs0 = _rhs_plane(mac0[2][0, 0], mflags[0, 0, 0], Y, X)
             rhsZ = _rhs_plane(macZ[2][0, 0], mflags[0, 0, -1], Y, X)
-            rhs = rhs.at[:, :, 0].set(rhs0[None, None])
-            rhs = rhs.at[:, :, -1].set(rhsZ[None, None])
-            fixed.append(rhs)
-        return f_n, g_n, vel, pres, den, tuple(fixed)
+            rhs = rhs.at[:, 0].set(rhs0[None]).at[:, -1].set(rhsZ[None])
+            fixed.append(rhs[None])
+        return (f_n[None], g_n[None], vel[None], pres[None], den[None],
+                tuple(fixed))
 
     n_mac = 6 if emit_rhs is not None else 5
     fn = shard_map(
