@@ -559,8 +559,13 @@ def _prime_steady(params: SimulationParams, state, density, premac):
         phi, state.magnetic_flags, None, hext_static,
         tau=params.tau, dx=params.dx, dt=params.dt, dim=3,
     )
+    # H_ext is likewise elided: no step path reads the stored volume (H2
+    # folds the static params.h_ext_axis field in-kernel; the rhs chain
+    # uses H_ext_mac), and carrying it as a donated passthrough costs a
+    # 3-channel buffer-shuffle copy every step (~0.6 ms at 256^3,
+    # device-traced).  make_H_ext rebuilds it on demand.
     return dataclasses.replace(
-        state, premac=premac + (rhs,), phi=None, force=None
+        state, premac=premac + (rhs,), phi=None, force=None, H_ext=None
     )
 
 

@@ -76,7 +76,12 @@ class FerrofluidState:
     phi: jax.Array | None
     flags: jax.Array
     magnetic_flags: jax.Array
-    H_ext: jax.Array  # [B, dim, *res] constant external field
+    # [B, dim, *res] constant external field.  None on the mac-carried
+    # capillogue steady state: the step never reads it (H2 folds the
+    # static params.h_ext_axis field; the rhs uses H_ext_mac), and as a
+    # dead donated passthrough it costs a full-volume buffer-shuffle copy
+    # per step.  models.make_H_ext rebuilds it on demand.
+    H_ext: jax.Array | None
     H_ext_mac: tuple  # staggered components (x, y[, z])
     step: jax.Array
     # mac-carry fast path (models/ferrofluid.py:prime_premac): the previous

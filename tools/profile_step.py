@@ -240,7 +240,15 @@ def main():
         H_tot = H_ext + H_int
         return jnp.sum(H_tot * H_tot, axis=1, keepdims=True)
 
-    H2 = timeit("H2", h2_fn, state.H_ext, H_int,
+    H_ext = state.H_ext
+    if H_ext is None:  # elided on the steady state; rebuild on demand
+        from lbm_ferrofluid_tpu.models import make_H_ext
+
+        H_ext = make_H_ext(
+            params, state.density.shape[2:], batch=state.density.shape[0],
+            axis=params.h_ext_axis,
+        )[0]
+    H2 = timeit("H2", h2_fn, H_ext, H_int,
                 chain=lambda out, a: (a[0], a[1] + out))
 
     cap = partial(
