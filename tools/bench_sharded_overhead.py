@@ -20,8 +20,6 @@ import json
 import os
 import pathlib
 import sys
-import time
-
 import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
@@ -52,8 +50,7 @@ def main():
         prime_premac,
     )
     from lbm_ferrofluid_tpu.parallel.mesh import make_mesh
-    from lbm_ferrofluid_tpu.parallel.sharding import shard_state, state_shardings
-    from lbm_ferrofluid_tpu.models.runner import sync
+    from lbm_ferrofluid_tpu.parallel.sharding import shard_state
 
     params = SimulationParams(
         dim=3, density_gas=0.02381, density_fluid=0.2508,
@@ -63,21 +60,6 @@ def main():
         mag_flags_shell=True,
     )
     sites = int(np.prod(res))
-
-    def time_steps(step_fn, state, label):
-        # warmup (compile) + timed chunk; sync via host readback (CLAUDE.md:
-        # block_until_ready does not block under the tunneled backend)
-        state = step_fn(state)
-        sync(state)
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            state = step_fn(state)
-        sync(state)
-        dt = time.perf_counter() - t0
-        mlups = sites * steps / dt / 1e6
-        print(f"{label}: {mlups:.1f} MLUPS ({dt:.2f}s/{steps} steps)",
-              flush=True)
-        return mlups
 
     # --- single-chip fast path ------------------------------------------
     state = bench.build_state(params, res)
@@ -91,6 +73,15 @@ def main():
     # A/B the tau=1 psi ghost refresh (step3d._psi_refresh_ghosts): on one
     # device its ring exchanges are self-permutes, so the delta isolates
     # the reconstruction math's compute cost (the ICI saving needs a slice)
+    #
+    # Scan-chunked through the SAME SimulationRunner as the single-chip
+    # leg: a per-step Python dispatch pays a tunnel RPC per step (~4 ms
+    # at 256^3, measured), which a production run — scanned on either
+    # path — never pays.  Timing the sharded leg per-step while the
+    # single leg scanned overstated the slab overhead (25.7% dispatched
+    # per-step vs 19.1% scanned, and it charged the psi-halo mode a
+    # phantom 6.6% "recompute" cost that is actually dispatch: scanned,
+    # psi-halo and full-h run within 0.3% of each other, 2026-08-19).
     mesh = make_mesh(("batch", "z"), (1, 1), devices=jax.devices()[:1])
     sharded = {}
     mac_carried = False
@@ -101,14 +92,16 @@ def main():
         state_s = prime_premac(params_s, state_s, mesh=mesh)
         if psi_on:  # report the production config's priming status
             mac_carried = state_s.premac is not None
-        step_s = jax.jit(
-            lambda s, p=params_s: ferrofluid_step_impl(p, s, mesh=mesh),
-            out_shardings=state_shardings(state_s, mesh),
-            donate_argnums=0,
+        runner_s = SimulationRunner(
+            params_s, lambda p, s, m=mesh: ferrofluid_step_impl(p, s, mesh=m)
         )
-        sharded[psi_on] = time_steps(
-            step_s, state_s, f"shard_map-on-1[psi_halo={psi_on}]"
+        _, stats_s = runner_s.benchmark(
+            state_s, n_steps=steps, warmup=2, repeats=1
         )
+        sharded[psi_on] = stats_s["mlups"]
+        print(f"shard_map-on-1[psi_halo={psi_on}]: "
+              f"{sharded[psi_on]:.1f} MLUPS "
+              f"({stats_s['seconds']:.2f}s/{steps} steps)", flush=True)
 
     overhead = 1.0 - sharded[True] / single
     out = {
