@@ -993,18 +993,17 @@ def lbm_capillogue(
         # output DMA writes trail at planes <= t-2 — reads lead writes by
         # >= 3 planes on every aliased pair (same read-ahead argument as
         # the f/g in-place collide).
-        # Slab mode keeps only the f/g/H2 aliases: under shard_map the
-        # premac/pressure operands have SECOND readers (the wrapper's
-        # boundary exchange glue slices them), so aliasing them forces a
-        # full defensive copy of each before the kernel may write in
-        # place (~1.8 ms/step at 256^3, device-traced) — strictly worse
-        # than the fresh output allocations the aliases were meant to
-        # avoid.
+        # The full map applies in slab mode too.  A trimmed slab map
+        # (f/g/H2 only) was tried to dodge the defensive copies that the
+        # wrapper's boundary fix-up glue (a second reader of the
+        # premac/pressure operands) forces in a SINGLE-STEP dispatch —
+        # but production runs scan steps into one while loop, where the
+        # carry slot of each leaf is a fixed buffer: a fresh (unaliased)
+        # kernel output then has to be copied back into its carry slot
+        # every iteration, which costs MORE than the dispatch-mode
+        # defensive copies ever did (scanned sharded-on-1 at 256^3:
+        # 378.1 MLUPS full map vs 364.3 trimmed, measured 2026-08-19).
         input_output_aliases={
-            0: oi["f"],      # f       -> f'
-            1: oi["g"],      # g       -> g'
-            7: oi["den"],    # H2      -> density(rho_ca)
-        } if slab else {
             0: oi["f"],      # f       -> f'
             1: oi["g"],      # g       -> g'
             3: oi["mrho"],   # rho_pre -> mac rho

@@ -16,7 +16,29 @@ import time
 import jax
 import numpy as np
 
-__all__ = ["trace", "StepTimer"]
+__all__ = ["trace", "StepTimer", "enable_compile_cache"]
+
+
+def enable_compile_cache(path: str | None = None) -> None:
+    """Point JAX's persistent compilation cache at the repo-local
+    ``.jax_cache`` (or ``path``).
+
+    The tunneled TPU backend compiles through a remote compile server at
+    minutes per big program; with the cache enabled a re-run of the same
+    program is near-instant.  Harmless on backends that can't serialize
+    executables.  bench.py and __graft_entry__ already do this inline;
+    measurement tools (tools/*.py) should call this before building
+    state.
+    """
+    import os
+    import pathlib
+
+    if path is None:
+        path = str(pathlib.Path(__file__).resolve().parents[2] /
+                   ".jax_cache")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
 @contextlib.contextmanager

@@ -43,6 +43,9 @@ def main():
     import jax
 
     import bench
+
+    from lbm_ferrofluid_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
     from lbm_ferrofluid_tpu.models import (
         SimulationParams,
         SimulationRunner,

@@ -73,6 +73,9 @@ def main():
         dtype = args[0]
 
     import bench
+
+    from lbm_ferrofluid_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
     from lbm_ferrofluid_tpu.models import (
         SimulationParams,
         SimulationRunner,
