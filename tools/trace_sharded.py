@@ -9,7 +9,14 @@ the analysis survives a TPU-worker crash.
 
 Usage:
     PYTHONPATH=/root/.axon_site:/root/repo python tools/trace_sharded.py \
-        [single|sharded|sharded-fullh] [Z Y X] [steps]
+        [single|sharded|sharded-fullh][-scan] [Z Y X] [steps]
+
+A ``-scan`` suffix traces the PRODUCTION form — one jitted lax.scan chunk
+of ``steps`` steps (same shape as SimulationRunner._chunk) — instead of
+per-step dispatch.  Scanned and dispatched runs differ materially: each
+dispatch pays a tunnel RPC (~4 ms at 256^3) and buffer-donation pins
+differ inside a while carry (docs/PERFORMANCE.md, scan-vs-dispatch
+aliasing), so overhead attribution must come from the scanned trace.
 
 Traces land in /tmp/trace_<mode>/ ; the summary in /tmp/trace_<mode>.json.
 """
@@ -82,6 +89,10 @@ def main():
     if args:
         steps = int(args[0])
 
+    scan = mode.endswith("-scan")
+    if scan:
+        mode = mode[: -len("-scan")]
+
     import jax
 
     import bench
@@ -106,9 +117,8 @@ def main():
     if mode == "single":
         state = bench.build_state(params, res)
         state = prime_premac(params, state)
-        step = jax.jit(
-            lambda s: ferrofluid_step_impl(params, s), donate_argnums=0
-        )
+        step1 = lambda s: ferrofluid_step_impl(params, s)  # noqa: E731
+        out_sh = None
     else:
         from lbm_ferrofluid_tpu.parallel.mesh import make_mesh
         from lbm_ferrofluid_tpu.parallel.sharding import (
@@ -121,45 +131,58 @@ def main():
         state = bench.build_state(params, res)
         state = shard_state(state, mesh)
         state = prime_premac(params, state, mesh=mesh)
-        step = jax.jit(
-            lambda s: ferrofluid_step_impl(params, s, mesh=mesh),
-            out_shardings=state_shardings(state, mesh),
-            donate_argnums=0,
-        )
+        step1 = lambda s: ferrofluid_step_impl(params, s, mesh=mesh)  # noqa: E731
+        out_sh = state_shardings(state, mesh)
+
+    tag = f"{mode}-scan" if scan else mode
+    if scan:
+        # the production form: one XLA program advancing `steps` steps
+        def chunk_fn(s):
+            s, _ = jax.lax.scan(lambda c, _: (step1(c), None), s, None,
+                                length=steps)
+            return s
+
+        step = jax.jit(chunk_fn, donate_argnums=0,
+                       **({"out_shardings": out_sh} if out_sh else {}))
+        per_call_steps = steps
+    else:
+        step = jax.jit(step1, donate_argnums=0,
+                       **({"out_shardings": out_sh} if out_sh else {}))
+        per_call_steps = 1
 
     # warmup/compile
     t0 = time.perf_counter()
     state = step(state)
     sync(state)
-    print(f"[{mode}] compiled+step0 in {time.perf_counter()-t0:.1f}s",
+    print(f"[{tag}] compiled+call0 in {time.perf_counter()-t0:.1f}s",
           flush=True)
     t0 = time.perf_counter()
     state = step(state)
     sync(state)
-    per = time.perf_counter() - t0
+    per = (time.perf_counter() - t0) / per_call_steps
     sites = int(np.prod(res))
-    print(f"[{mode}] {per*1e3:.1f} ms/step = {sites/per/1e6:.1f} MLUPS",
+    print(f"[{tag}] {per*1e3:.1f} ms/step = {sites/per/1e6:.1f} MLUPS",
           flush=True)
 
-    logdir = f"/tmp/trace_{mode}"
+    logdir = f"/tmp/trace_{tag}"
     jax.profiler.start_trace(logdir)
-    for _ in range(steps):
+    for _ in range(steps if not scan else 1):
         state = step(state)
     sync(state)
     jax.profiler.stop_trace()
 
     rows = parse_trace(logdir)
-    out = {"mode": mode, "res": list(res), "steps": steps,
+    out = {"mode": tag, "res": list(res), "steps": steps,
            "ms_per_step": round(per * 1e3, 2),
            "mlups": round(sites / per / 1e6, 1), "top_ops": rows}
-    with open(f"/tmp/trace_{mode}.json", "w") as f:
+    with open(f"/tmp/trace_{tag}.json", "w") as f:
         json.dump(out, f, indent=1)
     total = sum(r["total_us"] for r in rows)
     print(f"top ops (sum {total/1e3:.1f} ms over {steps} steps):")
     for r in rows[:30]:
         print(f"  {r['total_us']/1e3/steps:8.3f} ms/step  x{r['count']:<4d}"
               f" {r['name'][:90]}")
-    print(json.dumps({"trace_summary": f"/tmp/trace_{mode}.json"}))
+    print(json.dumps({"trace_summary": f"/tmp/trace_{tag}.json"}))
 
 
 if __name__ == "__main__":
