@@ -940,6 +940,34 @@ def poisson_sweeps_sharded(
         and poisson_wavefront_hint_ok(ext_shape_h2, h.dtype, n_final)
     )
 
+    # Round-count bump: a slightly larger depth can cut the number of
+    # exchange+launch rounds at near-constant total sweep work AND ICI
+    # volume (rounds x G planes: e.g. 30 iters at k=5 -> 6x6=36 exchanged
+    # planes/side, at k=6 -> 5x7=35) — each round saved is one wavefront
+    # pipeline fill, one ghost exchange's collectives, and one scan-glue
+    # iteration.  bf16 h at 256^2 planes fits k=6; f32's VMEM plan caps at
+    # 5 (probed via _wf_plan, which the bump requires to equal k so the
+    # ghost-ref in-place flow stays eligible — the padded fallback flow
+    # pays defensive copies that would eat the gain).
+    if do_h2:
+        rounds_cur = rounds_g + (1 if rem_g else 0)
+        for kc in (halo_depth + 2, halo_depth + 1):
+            kc = min(kc, Zl_g - 1, n_iters)
+            Gc = kc + 1
+            extc = (1, 19, Zl_g + 2 * Gc, h.shape[3], h.shape[4])
+            if (
+                kc > k_h2
+                and n_iters % kc == 0
+                and n_iters // kc < rounds_cur
+                and Gc <= Zl_g
+                and wf_ok(extc, kc)
+                and _wf_plan(extc, h.dtype, kc) == kc
+                and poisson_wavefront_hint_ok(extc, h.dtype, kc)
+            ):
+                k_h2, G_g, ext_shape_h2 = kc, Gc, extc
+                rounds_g, rem_g, n_final = n_iters // kc, 0, kc
+                break
+
     def body(h, flags, rhs):
         _, _, Zl, Y, X = h.shape
         k = k_h2 if do_h2 else max(1, min(halo_depth, Zl, n_iters))
