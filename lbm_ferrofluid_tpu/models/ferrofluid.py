@@ -385,13 +385,26 @@ def ferrofluid_step_impl(
         and len(state.premac) > 5
     ):
         from ..ops.collide import MU0, contact_angle_boundary
-        from ..parallel.step3d import capillogue_sharded
+        from ..parallel.step3d import (
+            capillogue_sharded,
+            contact3d_sharded,
+            contact3d_sharded_ok,
+        )
 
         grav = tuple(float(gv) for gv in params.gravity_vec().reshape(-1))
-        rho_ca = contact_angle_boundary(
-            rho, state.flags, params.contact_angle, 3,
-            spmd=mesh.devices.size > 1,
-        )
+        if contact3d_sharded_ok(mesh, rho.shape, rho.dtype, interp):
+            # slab twin of the jnp scatter chain (1 rho ghost plane per
+            # side; the x-face dynamic-update-slices are whole-tile RMW
+            # on TPU layout, ~0.55 ms/step at 128x256^2)
+            rho_ca = contact3d_sharded(
+                rho, state.flags, float(params.contact_angle), mesh,
+                interpret=interp,
+            )
+        else:
+            rho_ca = contact_angle_boundary(
+                rho, state.flags, params.contact_angle, 3,
+                spmd=mesh.devices.size > 1,
+            )
         emit_rhs = _capillogue_rhs_cfg(params)
         f, g, vel, pressure, density, premac = capillogue_sharded(
             state.f, state.g, state.flags, rho, density, state.pressure,

@@ -569,30 +569,49 @@ def hcz_capillary(
 
     _force_fast = force_fastpath()
     _ca_static = None
-    if use_pallas and dim == 3 and mesh is None and (
-        (jax.default_backend() == "tpu" and len(jax.devices()) == 1)
+    if use_pallas and dim == 3 and rho.dtype == jnp.float32 and (
+        mesh is not None
+        or (jax.default_backend() == "tpu" and len(jax.devices()) == 1)
         or _force_fast
-    ) and rho.dtype == jnp.float32 and not _os.environ.get(
-        "LBM_DISABLE_PALLAS"
-    ):
+    ) and not _os.environ.get("LBM_DISABLE_PALLAS"):
         try:
             _ca_static = float(np.asarray(contact_angle).reshape(()))
         except Exception:
             _ca_static = None  # traced angle: keep the jnp chain
     from .pallas.contact3d import contact_angle_3d, contact_angle_3d_supported
 
-    if _ca_static is not None and contact_angle_3d_supported(rho.shape):
+    if (
+        _ca_static is not None
+        and mesh is None
+        and contact_angle_3d_supported(rho.shape)
+    ):
         rho = contact_angle_3d(
             rho, flags, _ca_static, interpret=_force_fast
         )
     else:
-        # the GSPMD-auto path shards arrays without a mesh argument, so
-        # only a provably single-device process may drop the scatter
-        # barriers
-        rho = contact_angle_boundary(
-            rho, flags, contact_angle, dim,
-            spmd=mesh is not None or len(jax.devices()) > 1,
-        )
+        _ca_done = False
+        if _ca_static is not None and mesh is not None:
+            # slab twin under shard_map (1 rho ghost plane per side)
+            from ..parallel.step3d import (
+                contact3d_sharded,
+                contact3d_sharded_ok,
+                default_interpret,
+            )
+
+            _interp = default_interpret()
+            if contact3d_sharded_ok(mesh, rho.shape, rho.dtype, _interp):
+                rho = contact3d_sharded(
+                    rho, flags, _ca_static, mesh, interpret=_interp
+                )
+                _ca_done = True
+        if not _ca_done:
+            # the GSPMD-auto path shards arrays without a mesh argument,
+            # so only a provably single-device process may drop the
+            # scatter barriers
+            rho = contact_angle_boundary(
+                rho, flags, contact_angle, dim,
+                spmd=mesh is not None or len(jax.devices()) > 1,
+            )
     density = rho_to_density(
         rho,
         rho_gas=rho_gas,

@@ -21,6 +21,17 @@ read interior columns the face writes never touch) or to the neighbor
 plane's post-face values, which this kernel RECOMPUTES in-register for
 the two edge planes (planes 1 and Z-2 are interior planes, so the
 recomputation equals their actual output at the cells read).
+
+Multi-chip slab mode (``ghosts``/``clamp``): every cross-plane read is a
+PRE-update value, so a local slab needs exactly one neighbor rho plane
+per side (flags ghosts are never read — the surgery only tests the
+target plane's own flags).  ``clamp`` is an int32 [2] SMEM array of
+(is_global_bottom, is_global_top): the edge surgery (z-face copy +
+edge-line/corner averages) runs only on true domain-edge planes; a slab
+boundary plane of an interior device takes the interior path reading the
+ghost.  The edge plane's in-register neighbor recomputation reads planes
+0..2 / Z-3..Z-1, all local at Z >= 4 (parallel/step3d.py:
+contact3d_sharded is the shard_map wrapper).
 """
 
 from __future__ import annotations
@@ -131,8 +142,14 @@ def _edge_plane(base, nb, Y, X):
     return jnp.where(corner, (x_in + y_in + nb) / 3.0, e2)
 
 
-def _kernel(t, Z, rho_ref, fl_ref, out_ref, rho_ring, fl_ring, store,
-            sem_r, sem_f, sem_o):
+def _kernel(t, Z, has_ghosts, *refs):
+    if has_ghosts:
+        (clamp_ref, rho_ref, fl_ref, gm_ref, gp_ref, out_ref, rho_ring,
+         fl_ring, store, sem_r, sem_f, sem_o) = refs
+    else:
+        (rho_ref, fl_ref, out_ref, rho_ring, fl_ring, store,
+         sem_r, sem_f, sem_o) = refs
+        clamp_ref = gm_ref = gp_ref = None
     Y, X = rho_ref.shape[2], rho_ref.shape[3]
 
     def slot(q):
@@ -158,6 +175,15 @@ def _kernel(t, Z, rho_ref, fl_ref, out_ref, rho_ring, fl_ring, store,
         return pltpu.make_async_copy(
             store.at[:, pl.ds(s, 1)], out_ref.at[:, pl.ds(p, 1)],
             sem_o.at[s],
+        )
+
+    def ghost_copy(ref, q):
+        # rho ghost plane into ring slot slot(q) (q = -1 below, Z above);
+        # same shape as a regular rho plane copy, so the semaphore
+        # accounting matches a plane wait on that slot
+        s = slot(q)
+        return pltpu.make_async_copy(
+            ref.at[:, pl.ds(0, 1)], rho_ring.at[:, pl.ds(s, 1)], sem_r.at[s]
         )
 
     def rplane(q):
@@ -194,12 +220,18 @@ def _kernel(t, Z, rho_ref, fl_ref, out_ref, rho_ring, fl_ring, store,
         return _edge_plane(base, nb, Y, X)
 
     def body(tb, _):
-        # planes 0..2 are waited in the preamble; every plane in [3, Z-1]
-        # is waited exactly once here
+        # planes 0..2 (slab: -1..2) are waited in the preamble; every
+        # plane in [3, Z-1] (slab: plus the upper ghost at index Z) is
+        # waited exactly once here
         @pl.when((tb >= 3) & (tb <= Z - 1))
         def _():
             for cp in in_copies(tb):
                 cp.wait()
+
+        if has_ghosts:
+            @pl.when(tb == Z)
+            def _():
+                ghost_copy(gp_ref, Z).wait()
 
         p = tb - 2
 
@@ -213,13 +245,35 @@ def _kernel(t, Z, rho_ref, fl_ref, out_ref, rho_ring, fl_ring, store,
         def _():
             store[0, s] = interior(p)
 
-        @pl.when(p == 0)
-        def _():
-            store[0, s] = edge(0, 1, 2)
+        if has_ghosts:
+            is_bot = clamp_ref[0] == 1
+            is_top = clamp_ref[1] == 1
 
-        @pl.when(p == Z - 1)
-        def _():
-            store[0, s] = edge(Z - 1, Z - 2, Z - 3)
+            @pl.when((p == 0) & is_bot)
+            def _():
+                store[0, s] = edge(0, 1, 2)
+
+            @pl.when((p == 0) & jnp.logical_not(is_bot))
+            def _():
+                # slab boundary of an interior device: plain interior
+                # surgery reading the lower ghost as plane -1
+                store[0, s] = interior(0)
+
+            @pl.when((p == Z - 1) & is_top)
+            def _():
+                store[0, s] = edge(Z - 1, Z - 2, Z - 3)
+
+            @pl.when((p == Z - 1) & jnp.logical_not(is_top))
+            def _():
+                store[0, s] = interior(Z - 1)
+        else:
+            @pl.when(p == 0)
+            def _():
+                store[0, s] = edge(0, 1, 2)
+
+            @pl.when(p == Z - 1)
+            def _():
+                store[0, s] = edge(Z - 1, Z - 2, Z - 3)
 
         out_copy(p).start()
 
@@ -228,14 +282,23 @@ def _kernel(t, Z, rho_ref, fl_ref, out_ref, rho_ring, fl_ring, store,
             for cp in in_copies(tb + 2):
                 cp.start()
 
+        if has_ghosts:
+            @pl.when(tb + 2 == Z)
+            def _():
+                ghost_copy(gp_ref, Z).start()
+
         return 0
 
     for q in (0, 1, 2, 3):
         for cp in in_copies(q):
             cp.start()
+    if has_ghosts:
+        ghost_copy(gm_ref, -1).start()
     for q in (0, 1, 2):
         for cp in in_copies(q):
             cp.wait()
+    if has_ghosts:
+        ghost_copy(gm_ref, -1).wait()
 
     jax.lax.fori_loop(2, Z + 2, body, 0)
     for d in (2, 1):
@@ -243,14 +306,31 @@ def _kernel(t, Z, rho_ref, fl_ref, out_ref, rho_ring, fl_ring, store,
 
 
 @functools.partial(jax.jit, static_argnames=("contact_angle", "interpret"))
-def contact_angle_3d(rho, flags, contact_angle, interpret=False):
-    """Kernel twin of contact_angle_boundary(rho, flags, angle, dim=3)."""
+def contact_angle_3d(rho, flags, contact_angle, ghosts=None, clamp=None,
+                     interpret=False):
+    """Kernel twin of contact_angle_boundary(rho, flags, angle, dim=3).
+
+    ghosts / clamp: slab mode (parallel/step3d.py:contact3d_sharded) —
+        ``ghosts`` is (rho_lo, rho_hi), one pre-update neighbor rho plane
+        per side, [1, 1, 1, Y, X] each, and ``clamp`` an int32 [2] array
+        of (is_global_bottom, is_global_top) so only true domain-edge
+        planes get the edge surgery.  Requires Z >= 4.
+    """
     _, _, Z, Y, X = rho.shape
+    has_ghosts = ghosts is not None
+    assert not has_ghosts or Z >= 4, "slab mode needs >= 4 local planes"
     t = math.tan(math.pi / 2.0 - contact_angle)
+    args = [rho[0].astype(jnp.float32), flags[0].astype(jnp.int32)]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
+    if has_ghosts:
+        args += [gh[0].astype(jnp.float32) for gh in ghosts]
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 2
+        args = [jnp.asarray(clamp, jnp.int32)] + args
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
     out = pl.pallas_call(
-        functools.partial(_kernel, t, Z),
+        functools.partial(_kernel, t, Z, has_ghosts),
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((1, Z, Y, X), jnp.float32),
         scratch_shapes=[
@@ -265,5 +345,5 @@ def contact_angle_3d(rho, flags, contact_angle, interpret=False):
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(rho[0].astype(jnp.float32), flags[0].astype(jnp.int32))
+    )(*args)
     return out[None]

@@ -416,6 +416,55 @@ def capmac_sharded(
     return fn(*args)
 
 
+def contact3d_sharded_ok(mesh, shape, dtype, interpret) -> bool:
+    """Slab contact-angle kernel gate: f32 rho (the kernel computes and
+    returns f32; wider dtypes keep the dtype-preserving jnp chain), local
+    slabs of >= 4 planes, supported local plane shape."""
+    from ..ops.pallas.contact3d import contact_angle_3d_supported
+
+    if len(shape) != 5 or dtype != jnp.float32:
+        return False
+    if not sharded3d_ok(mesh, shape, interpret):
+        return False
+    nb, nz = _mesh_sizes(mesh)
+    Zl = shape[2] // nz
+    return Zl >= 4 and contact_angle_3d_supported(
+        (shape[0] // nb, shape[1], Zl, shape[3], shape[4])
+    )
+
+
+def contact3d_sharded(rho, flags, contact_angle, mesh, *, interpret=False):
+    """shard_map slab version of ops.pallas.contact3d.contact_angle_3d.
+
+    Every cross-plane read in the contact-angle surgery is a PRE-update
+    value (contact3d.py module docstring), so one pre-exchange of a single
+    rho plane per side is exact; the edge surgery is gated per-device to
+    the true domain edges via the (is_bottom, is_top) SMEM pair.
+    """
+    from ..ops.pallas.contact3d import contact_angle_3d
+
+    spec = _spec(mesh)
+
+    def body(rho, flags):
+        gm = ring_halo(rho[:, :, -1:], _Z, +1)  # z-prev device's last plane
+        gp = ring_halo(rho[:, :, :1], _Z, -1)  # z-next device's first plane
+        iz = jax.lax.axis_index(_Z)
+        nz = jax.lax.psum(1, _Z)
+        clamp = jnp.stack([
+            jnp.where(iz == 0, 1, 0), jnp.where(iz == nz - 1, 1, 0),
+        ]).astype(jnp.int32)
+        return contact_angle_3d(
+            rho, flags, contact_angle, ghosts=(gm, gp), clamp=clamp,
+            interpret=interpret,
+        )
+
+    fn = shard_map(
+        body, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+        check_vma=False,
+    )
+    return fn(rho, flags)
+
+
 # ----------------------------------------------------------------------
 # Fused capillogue (capillary + collide + mac emission) on slabs
 # ----------------------------------------------------------------------
