@@ -13,7 +13,9 @@ The workload is the reference's north-star configuration
 HCZ multiphase + magnetic Poisson sub-solve (30 inner sweeps/step) +
 gravity + Kelvin force.  MLUPS counts *outer* steps x cells.
 
-Modes (headline first; repeats via LBM_BENCH_REPEATS, default 1):
+Modes (headline first; repeats via LBM_BENCH_REPEATS, default 1; timed
+scan-chunk length via LBM_BENCH_STEPS, default 100 — long chunks match
+production dispatch and amortize the ~25 ms/call tunnel constant):
   * turbo  — bf16 storage for f, g, h (f32 in-register compute; long-horizon
     physics tracking asserted in tests/test_bf16_physics.py) — the headline,
   * bf16-h — bf16 h only (round-1 headline mode),
@@ -60,8 +62,15 @@ def build_state(params, res):
     return init_ferrofluid_state(params, rho, den, vel, flags, mflags)
 
 
-def run(res, n_steps=20, warmup=3, h_dtype="float32", fg_dtype="float32",
+def run(res, n_steps=None, warmup=3, h_dtype="float32", fg_dtype="float32",
         repeats=1):
+    # One timed lax.scan chunk of n_steps.  Production runs dispatch long
+    # scan chunks (SimulationRunner), so the chunk must be long enough to
+    # amortize the per-call dispatch constant (~25 ms/call under the
+    # tunneled backend, measured — a 20-step chunk under-reports steady
+    # MLUPS by ~3% at 256^3).
+    if n_steps is None:
+        n_steps = int(os.environ.get("LBM_BENCH_STEPS", "100"))
     import jax
 
     from lbm_ferrofluid_tpu.models import (
