@@ -103,6 +103,24 @@ def _spec(mesh: Mesh) -> P:
              None, None)
 
 
+def _dp_dispatch(mesh: Mesh) -> bool:
+    """True when the mesh's z axis is 1: pure data-parallel over batch (or
+    a 1-device evidence mesh).  Every device then holds the FULL z domain,
+    the periodic wrap is local, and the single-device kernel stack applies
+    unchanged inside shard_map — no ghost extension, no exchange rounds,
+    no boundary fix-ups (the slab round structure costs ~9% of step time
+    at 256^3, docs/PERFORMANCE.md).  LBM_SLAB_FORCE=1 keeps the slab
+    machinery active at nz == 1 so the 1-device evidence tools
+    (bench_sharded_overhead, hw_validate --sharded, trace_sharded) can
+    keep measuring/validating the ghost-variant kernels."""
+    import os
+
+    if os.environ.get("LBM_SLAB_FORCE"):
+        return False
+    _, nz = _mesh_sizes(mesh)
+    return nz == 1
+
+
 # ----------------------------------------------------------------------
 # Streaming (f and g): one ghost plane per direction per pass
 # ----------------------------------------------------------------------
@@ -110,10 +128,16 @@ def stream_bounce_moments_sharded(f, flags, mesh, *, interpret=False):
     """shard_map slab version of ops.pallas.stream3d.stream_bounce_moments."""
     spec = _spec(mesh)
 
-    def body(f, flags):
-        up_ghost = ring_halo(f[:, 9:14, -1:], _Z, +1)  # from z-prev
-        dn_ghost = ring_halo(f[:, 14:19, :1], _Z, -1)  # from z-next
-        return _pk_moments(f, flags, up_ghost, dn_ghost, interpret=interpret)
+    if _dp_dispatch(mesh):
+        def body(f, flags):
+            return _pk_moments(f, flags, interpret=interpret)
+    else:
+        def body(f, flags):
+            up_ghost = ring_halo(f[:, 9:14, -1:], _Z, +1)  # from z-prev
+            dn_ghost = ring_halo(f[:, 14:19, :1], _Z, -1)  # from z-next
+            return _pk_moments(
+                f, flags, up_ghost, dn_ghost, interpret=interpret
+            )
 
     fn = shard_map(
         body, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec, spec),
@@ -129,14 +153,20 @@ def stream_bounce_macro_sharded(
     """shard_map slab version of ops.pallas.stream3d.stream_bounce_macro."""
     spec = _spec(mesh)
 
-    def body(f, flags, rho_old, vel_old):
-        up_ghost = ring_halo(f[:, 9:14, -1:], _Z, +1)
-        dn_ghost = ring_halo(f[:, 14:19, :1], _Z, -1)
-        return _pk_macro(
-            f, flags, rho_old, vel_old, up_ghost, dn_ghost, c=c,
-            rho_gas=rho_gas, rho_fluid=rho_fluid, density_gas=density_gas,
-            density_fluid=density_fluid, interpret=interpret,
-        )
+    kw = dict(c=c, rho_gas=rho_gas, rho_fluid=rho_fluid,
+              density_gas=density_gas, density_fluid=density_fluid,
+              interpret=interpret)
+
+    if _dp_dispatch(mesh):
+        def body(f, flags, rho_old, vel_old):
+            return _pk_macro(f, flags, rho_old, vel_old, **kw)
+    else:
+        def body(f, flags, rho_old, vel_old):
+            up_ghost = ring_halo(f[:, 9:14, -1:], _Z, +1)
+            dn_ghost = ring_halo(f[:, 14:19, :1], _Z, -1)
+            return _pk_macro(
+                f, flags, rho_old, vel_old, up_ghost, dn_ghost, **kw
+            )
 
     fn = shard_map(
         body, mesh=mesh, in_specs=(spec,) * 4, out_specs=(spec,) * 4,
@@ -180,12 +210,16 @@ def fused_prologue_sharded(
     """shard_map slab version of ops.pallas.fused_step.lbm_prologue."""
     spec = _spec(mesh)
 
-    def body(f, g, flags, rho, vel):
-        return lbm_prologue(
-            f, g, flags, rho, vel, _fg_ghosts(f, g), c=c, rho_gas=rho_gas,
-            rho_fluid=rho_fluid, density_gas=density_gas,
-            density_fluid=density_fluid, interpret=interpret,
-        )
+    kw = dict(c=c, rho_gas=rho_gas, rho_fluid=rho_fluid,
+              density_gas=density_gas, density_fluid=density_fluid,
+              interpret=interpret)
+
+    if _dp_dispatch(mesh):
+        def body(f, g, flags, rho, vel):
+            return lbm_prologue(f, g, flags, rho, vel, **kw)
+    else:
+        def body(f, g, flags, rho, vel):
+            return lbm_prologue(f, g, flags, rho, vel, _fg_ghosts(f, g), **kw)
 
     fn = shard_map(
         body, mesh=mesh, in_specs=(spec,) * 5, out_specs=(spec,) * 5,
@@ -297,6 +331,26 @@ def fused_epilogue_sharded(
     """
     spec = _spec(mesh)
 
+    if _dp_dispatch(mesh):
+        # the single-device kernel's wrap DMAs + full in-kernel emission
+        # replace the ghost exchanges + boundary fix-up
+        def body_dp(f, g, flags, rho, vel, density, pressure, force, dfai,
+                    dprho):
+            return lbm_epilogue(
+                f, g, flags, rho, vel, density, pressure, force, dfai,
+                dprho, tau_f=tau_f, tau_g=tau_g, dx=dx, dt=dt,
+                emit_mac=emit_mac, mac_consts=mac_consts, compact=compact,
+                interpret=interpret,
+            )
+
+        out_specs = (spec, spec, (spec,) * 5) if emit_mac else (spec, spec)
+        fn = shard_map(
+            body_dp, mesh=mesh, in_specs=(spec,) * 10, out_specs=out_specs,
+            check_vma=False,
+        )
+        return fn(f, g, flags, rho, vel, density, pressure, force, dfai,
+                  dprho)
+
     def body(f, g, flags, rho, vel, density, pressure, force, dfai, dprho):
         if not emit_mac:
             return lbm_epilogue(
@@ -380,15 +434,33 @@ def capmac_sharded(
     args = [lap, rho_pre, density_pre, pressure, rho_ca]
     args += [H2, phi] if has_h2 else []
     args += [flags, g_sum, g_mom, vel_old]
+    kw = dict(kappa=kappa, gravity=gravity, mu0_half=mu0_half,
+              rho_gas=rho_gas, rho_fluid=rho_fluid, density_gas=density_gas,
+              density_fluid=density_fluid, dx=dx, dt=dt, interpret=interpret)
+
+    def _unpack(a):
+        if has_h2:
+            return a
+        (lap, rho_pre, density_pre, pressure, rho_ca, flags,
+         g_sum, g_mom, vel_old) = a
+        return (lap, rho_pre, density_pre, pressure, rho_ca, None, None,
+                flags, g_sum, g_mom, vel_old)
+
+    # Pure-DP dispatch (nz == 1): the single-device kernel's wrap/clamp
+    # handling replaces the ghost exchanges (see _dp_dispatch)
+    if _dp_dispatch(mesh):
+        def body_dp(*a):
+            return hcz_capillary_gradmac(*_unpack(a), **kw)
+
+        fn = shard_map(
+            body_dp, mesh=mesh, in_specs=(spec,) * len(args),
+            out_specs=(spec,) * 5, check_vma=False,
+        )
+        return fn(*args)
 
     def body(*a):
-        if has_h2:
-            (lap, rho_pre, density_pre, pressure, rho_ca, H2, phi, flags,
-             g_sum, g_mom, vel_old) = a
-        else:
-            (lap, rho_pre, density_pre, pressure, rho_ca, flags,
-             g_sum, g_mom, vel_old) = a
-            H2 = phi = None
+        (lap, rho_pre, density_pre, pressure, rho_ca, H2, phi, flags,
+         g_sum, g_mom, vel_old) = _unpack(a)
         Zl = lap.shape[2]
         gh_fields = [lap, rho_pre, density_pre, pressure]
         gh_fields += [phi] if has_h2 else []
@@ -445,18 +517,24 @@ def contact3d_sharded(rho, flags, contact_angle, mesh, *, interpret=False):
 
     spec = _spec(mesh)
 
-    def body(rho, flags):
-        gm = ring_halo(rho[:, :, -1:], _Z, +1)  # z-prev device's last plane
-        gp = ring_halo(rho[:, :, :1], _Z, -1)  # z-next device's first plane
-        iz = jax.lax.axis_index(_Z)
-        nz = jax.lax.psum(1, _Z)
-        clamp = jnp.stack([
-            jnp.where(iz == 0, 1, 0), jnp.where(iz == nz - 1, 1, 0),
-        ]).astype(jnp.int32)
-        return contact_angle_3d(
-            rho, flags, contact_angle, ghosts=(gm, gp), clamp=clamp,
-            interpret=interpret,
-        )
+    if _dp_dispatch(mesh):
+        def body(rho, flags):
+            return contact_angle_3d(
+                rho, flags, contact_angle, interpret=interpret
+            )
+    else:
+        def body(rho, flags):
+            gm = ring_halo(rho[:, :, -1:], _Z, +1)  # z-prev's last plane
+            gp = ring_halo(rho[:, :, :1], _Z, -1)  # z-next's first plane
+            iz = jax.lax.axis_index(_Z)
+            nz = jax.lax.psum(1, _Z)
+            clamp = jnp.stack([
+                jnp.where(iz == 0, 1, 0), jnp.where(iz == nz - 1, 1, 0),
+            ]).astype(jnp.int32)
+            return contact_angle_3d(
+                rho, flags, contact_angle, ghosts=(gm, gp), clamp=clamp,
+                interpret=interpret,
+            )
 
     fn = shard_map(
         body, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
@@ -587,6 +665,30 @@ def capillogue_sharded(
             g_sum, g_mom, vel_old]
     if has_mf:
         args.append(magnetic_flags)
+    n_mac = 6 if emit_rhs is not None else 5
+
+    # Pure-DP dispatch (nz == 1): the single-device capillogue runs
+    # unchanged inside shard_map — wrap DMAs instead of ghost exchanges,
+    # full in-kernel mac/rhs emission instead of the interior-only
+    # emission + jnp boundary fix-up (see _dp_dispatch).
+    if _dp_dispatch(mesh):
+        def body_dp(*a):
+            mflags = a[11] if has_mf else None
+            f_n, g_n, vel, pres, _force, den, premac = lbm_capillogue(
+                *a[:11], mflags, kappa=kappa, gravity=gravity,
+                mu0_half=mu0_half, rho_gas=rho_gas, rho_fluid=rho_fluid,
+                density_gas=density_gas, density_fluid=density_fluid,
+                tau_f=tau_f, tau_g=tau_g, dx=dx, dt=dt, emit_rhs=emit_rhs,
+                emit_force=False, interpret=interpret,
+            )
+            return f_n, g_n, vel, pres, den, premac
+
+        fn = shard_map(
+            body_dp, mesh=mesh, in_specs=(spec,) * len(args),
+            out_specs=(spec, spec, spec, spec, spec, (spec,) * n_mac),
+            check_vma=False,
+        )
+        return fn(*args)
 
     def body(*a):
         if has_mf:
@@ -690,7 +792,6 @@ def capillogue_sharded(
         return (f_n[None], g_n[None], vel[None], pres[None], den[None],
                 tuple(fixed))
 
-    n_mac = 6 if emit_rhs is not None else 5
     fn = shard_map(
         body, mesh=mesh, in_specs=(spec,) * len(args),
         out_specs=(spec, spec, spec, spec, spec, (spec,) * n_mac),
@@ -1017,6 +1118,35 @@ def poisson_sweeps_sharded(
                 rounds_g, rem_g, n_final = n_iters // kc, 0, kc
                 break
 
+    # Pure-DP dispatch (nz == 1): the single-device wavefront solve runs
+    # unchanged inside shard_map — no ghost extension, no rounds, no
+    # exchanges (see _dp_dispatch).
+    if _dp_dispatch(mesh) and wf_ok(h.shape, n_iters):
+        do_h2_dp = (
+            emit_h2 is not None and len(emit_h2) == 3
+            and poisson_wavefront_hint_ok(h.shape, h.dtype, n_iters)
+        )
+
+        def body_dp(h, flags, rhs):
+            if do_h2_dp:
+                return poisson_wavefront(
+                    h, flags, rhs, tau=tau, n_iters=n_iters, emit="h2",
+                    dx=dx, h_ext=tuple(float(v) for v in emit_h2),
+                    interpret=interpret,
+                )
+            return poisson_wavefront(
+                h, flags, rhs, tau=tau, n_iters=n_iters, interpret=interpret,
+            )
+
+        fn = shard_map(
+            body_dp, mesh=mesh, in_specs=(spec, spec, spec),
+            out_specs=(spec, spec), check_vma=False,
+        )
+        h_new, aux = fn(h, magnetic_flags, rhs_scaled)
+        if emit_h2 is not None:
+            return h_new, aux, do_h2_dp
+        return h_new, aux
+
     def body(h, flags, rhs):
         _, _, Zl, Y, X = h.shape
         k = k_h2 if do_h2 else max(1, min(halo_depth, Zl, n_iters))
@@ -1233,6 +1363,15 @@ def grad_fields_sharded(fields, mesh, *, dx=1.0, interpret=False):
     """shard_map slab version of ops.pallas.stencil3d.grad_fields."""
     spec = _spec(mesh)
 
+    if _dp_dispatch(mesh):
+        # single-device mode applies the full boundary-ring replicate
+        # itself (== the xy fix + global-z fix composition below)
+        fn = shard_map(
+            lambda x: grad_fields(x, dx=dx, interpret=interpret),
+            mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False,
+        )
+        return fn(fields)
+
     def body(x):
         glo = ring_halo(x[:, :, -1:], _Z, +1)
         ghi = ring_halo(x[:, :, :1], _Z, -1)
@@ -1253,6 +1392,13 @@ def grad_fields_sharded(fields, mesh, *, dx=1.0, interpret=False):
 def laplacian_field_sharded(field, mesh, *, dx=1.0, interpret=False):
     """shard_map slab version of ops.pallas.stencil3d.laplacian_field."""
     spec = _spec(mesh)
+
+    if _dp_dispatch(mesh):
+        fn = shard_map(
+            lambda x: laplacian_field(x, dx=dx, interpret=interpret),
+            mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False,
+        )
+        return fn(field)
 
     def body(x):
         glo = ring_halo(x[:, :, -1:], _Z, +1)

@@ -658,3 +658,38 @@ def test_sharded_checkpoint_resume_seamless(tmp_path):
             np.asarray(getattr(resumed, name), np.float32),
             err_msg=name,
         )
+
+
+def test_ferrofluid_step_dp_dispatch_matches():
+    """Pure data-parallel mesh (('batch','z') = (2, 1)): every wrapper
+    dispatches the single-device kernel stack inside shard_map
+    (step3d._dp_dispatch — the z domain is whole per device, so the
+    periodic wrap is local and no ghost exchange/round machinery runs),
+    and the full mac-carried steady state matches single-device jnp
+    steps."""
+    from lbm_ferrofluid_tpu.models import prime_premac
+
+    res = (16, 8, 16)
+    params, a = _flagship(res)
+    for _ in range(3):
+        a = ferrofluid_step(params.replace(use_pallas=False), a)
+
+    mesh = make_mesh(("batch", "z"), (2, 1), devices=jax.devices()[:2])
+    assert step3d._dp_dispatch(mesh)
+    params_b, b = _flagship(res, batch=2, mag_flags_shell=True)
+    b = shard_state(b, mesh)
+    b = prime_premac(params_b, b, mesh=mesh)
+    assert b.premac is not None, "DP mac-carry priming did not engage"
+    assert len(b.premac) == 6 and b.phi is None and b.force is None
+    for _ in range(3):
+        b = ferrofluid_step(params_b, b, mesh=mesh)
+    assert b.premac is not None and len(b.premac) == 6
+
+    for name in ("f", "g", "h", "vel", "density", "pressure"):
+        got = np.asarray(getattr(b, name))
+        want = np.asarray(getattr(a, name))
+        for bi in range(2):
+            np.testing.assert_allclose(
+                got[bi : bi + 1], want, rtol=2e-5, atol=1e-6,
+                err_msg=f"{name}[batch={bi}]",
+            )

@@ -85,6 +85,10 @@ def main():
     # per-step vs 19.1% scanned, and it charged the psi-halo mode a
     # phantom 6.6% "recompute" cost that is actually dispatch: scanned,
     # psi-halo and full-h run within 0.3% of each other, 2026-08-19).
+    # Slab machinery under test: at nz == 1 the wrappers would otherwise
+    # dispatch the single-device kernels (pure-DP dispatch, step3d.py:
+    # _dp_dispatch) and measure nothing
+    os.environ["LBM_SLAB_FORCE"] = "1"
     mesh = make_mesh(("batch", "z"), (1, 1), devices=jax.devices()[:1])
     sharded = {}
     mac_carried = False
@@ -106,6 +110,22 @@ def main():
               f"{sharded[psi_on]:.1f} MLUPS "
               f"({stats_s['seconds']:.2f}s/{steps} steps)", flush=True)
 
+    # Pure-DP leg: same 1-device mesh with the DP dispatch active (the
+    # wrappers run the single-device kernels inside shard_map) — the
+    # per-chip cost of data-parallel scaling, expected ~= single-chip
+    del os.environ["LBM_SLAB_FORCE"]
+    params_dp = params
+    state_dp = bench.build_state(params_dp, res)
+    state_dp = shard_state(state_dp, mesh)
+    state_dp = prime_premac(params_dp, state_dp, mesh=mesh)
+    runner_dp = SimulationRunner(
+        params_dp, lambda p, s, m=mesh: ferrofluid_step_impl(p, s, mesh=m)
+    )
+    _, stats_dp = runner_dp.benchmark(state_dp, n_steps=steps, warmup=2,
+                                      repeats=1)
+    dp = stats_dp["mlups"]
+    print(f"shard_map-on-1[dp_dispatch]: {dp:.1f} MLUPS", flush=True)
+
     overhead = 1.0 - sharded[True] / single
     out = {
         "res": list(res), "steps": steps,
@@ -115,6 +135,8 @@ def main():
         "psi_refresh_compute_overhead_pct": round(
             100 * (1.0 - sharded[True] / sharded[False]), 2
         ),
+        "dp_dispatch_mlups": round(dp, 1),
+        "dp_overhead_pct": round(100 * (1.0 - dp / single), 2),
         "overhead_pct": round(100 * overhead, 2),
         "sharded_mac_carry": bool(mac_carried),
         "projection_note": "aggregate(N) = N * sharded_1dev (per-chip slab "

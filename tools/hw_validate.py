@@ -68,7 +68,14 @@ def main():
         steps = int(args[0])
         args = args[1:]
     sharded = "--sharded" in args
-    args = [a for a in args if a != "--sharded"]
+    dp = "--dp" in args
+    args = [a for a in args if a not in ("--sharded", "--dp")]
+    sharded = sharded or dp
+    if sharded and not dp:
+        # validate the SLAB kernels: at nz == 1 the wrappers would
+        # otherwise dispatch the single-device kernels (pure-DP dispatch);
+        # --dp validates that dispatch instead
+        os.environ["LBM_SLAB_FORCE"] = "1"
     if args:
         dtype = args[0]
 

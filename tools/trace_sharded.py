@@ -92,6 +92,10 @@ def main():
     scan = mode.endswith("-scan")
     if scan:
         mode = mode[: -len("-scan")]
+    if mode.startswith("sharded"):
+        # trace the SLAB kernels: at nz == 1 the wrappers would otherwise
+        # dispatch the single-device kernels (pure-DP dispatch)
+        os.environ["LBM_SLAB_FORCE"] = "1"
 
     import jax
 
