@@ -1,0 +1,541 @@
+"""Pallas TPU wavefront kernel for the SCALAR tau==1 magnetic Poisson solve.
+
+At tau == 1 the 19-channel Poisson-LBM system (ops/pallas/poisson.py;
+reference src/LBM/LBM_magnetic/LBM_magnetic_3d.py:108-188) collapses exactly
+to a 1-channel stencil with a one-sweep history (ops/scalar_poisson.py,
+verified bitwise vs the channel dynamics):
+
+    psi^{t+1}(x) = 1.5 * sum_{q>=1} w_q * s^t(x - e_q)   [s == 0 at obstacles]
+                   + c(x) * s^{t-1}(x)
+    s^{t+1}    = (psi^{t+1} + rhs_scaled) * fluid_mask
+
+This kernel runs the same time-skewed wavefront schedule as the channel
+kernel (window [-k, Z+k), P = Z+2k bodies, stage s lags stage s-1 by one
+plane, wrap planes re-read from an HBM seam stash) but on ONE channel
+instead of 19: HBM traffic per sweep drops ~19x and the per-cell VPU work
+~6x.  Specifics:
+
+* s and s_prev ride as ONE fused [2, Z, Y, X] f32 array (``s2``): one DMA
+  stream in, one aliased in-place output (ch0 = sweep k's s, ch1 = sweep
+  k-1's s = the next pass's s_prev), one seam stash.
+* stage s's s_prev at plane w is stage s-2's RAW output at plane w — still
+  live in its 3-slot ring (write head w+2, so slots hold w, w+1, w+2).
+  ring[-1] = the input s stream, ring[-2] = the input s_prev stream.
+* the 18-tap stencil is factored per plane into two cached partials
+  (computed ONCE when a plane is produced, consumed three times as the
+  z-window slides — the capmac.py lesson):
+      cross(P) = P(x+-1) + P(y+-1)          (4 rolls)
+      diag4(P) = cross-y of Sx               (2 rolls)
+      W(P) = w1*P + w2*cross(P)              [side-plane contribution]
+      U(P) = w1*cross(P) + w2*diag4(P)       [center-plane contribution]
+      psi   = U(P_z) + W(P_{z-1}) + W(P_{z+1}) + c * s_prev
+  with w1 = f32(1.5/18), w2 = f32(1.5/36) — the same tap values as
+  scalar_sweeps_jnp(order="fast"), reassociated (ulp-level shift per
+  sweep, contracted by the Jacobi iteration; tests are tolerance-based).
+* obstacles ride in the cmask field: cmask = -1 at obstacle cells and
+  c(x) >= 0 (the wall-weight of ops/scalar_poisson.py:wall_weight_field)
+  at fluid cells — one static stream carries both the fluid mask and the
+  wall taps, and the flags stream of the channel kernel disappears.
+* emit="h2": the trailing in-kernel grad stage of the channel kernel
+  (psi substitution at obstacles + isotropic grad + |H_ext + H_int|^2),
+  verbatim on the scalar psi rings — psi never touches HBM.
+
+Valid only under the scalar-collapse preconditions (tau == 1, canonical
+start, fluid-masked s/s_prev — established at prime time by
+models/ferrofluid.py; obstacle geometry shell-only for the grad
+substitution, validated by validate_mag_shell).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .stencil3d import _GRAD_TAPS, _ring_replicate_plane, _shift_replicate
+
+__all__ = [
+    "scalar_wavefront",
+    "scalar_wavefront_supported",
+    "scalar_wavefront_hint_ok",
+    "scalar_sweeps_cmask",
+]
+
+_W1 = np.float32(1.5 / 18.0)
+_W2 = np.float32(1.5 / 36.0)
+
+
+def _sp_vmem_budget():
+    return int(os.environ.get("LBM_SP_VMEM", 88 * 1024 * 1024))
+
+
+def _sp_plan(s2_shape, n_iters):
+    """Pipeline depth k: prefer k | n_iters (no remainder sweeps), then
+    deeper.  VMEM = in rings (2x4 raw + 4 W + 4 U) + 9(k-1) stage planes
+    (raw, W, U x 3 slots) + 6 store + 2(k+6) cmask/rhs + 12 psi/grad."""
+    _, _, Z, Y, X = s2_shape
+    plane = Y * X * 4
+    kmax = min(n_iters, (Z - 2) // 2)
+    budget = _sp_vmem_budget()
+    for k in sorted(range(2, kmax + 1), key=lambda k: (n_iters % k != 0, -k)):
+        need = plane * (16 + 9 * (k - 1) + 6 + 2 * (k + 6) + 12)
+        if need <= budget:
+            return k
+    return 0
+
+
+def scalar_wavefront_supported(s2_shape, s2_dtype, n_iters) -> bool:
+    B, C, Z, Y, X = s2_shape
+    if not (B == 1 and C == 2 and X % 128 == 0 and Y % 8 == 0):
+        return False
+    if jnp.dtype(s2_dtype) != jnp.float32:
+        return False
+    return _sp_plan(s2_shape, n_iters) >= 2
+
+
+def scalar_wavefront_hint_ok(s2_shape, s2_dtype, n_iters) -> bool:
+    """True when the trailing grad stage can emit H2 directly (needs a
+    remainder-free pass schedule, like the channel kernel's hint gate)."""
+    if not scalar_wavefront_supported(s2_shape, s2_dtype, n_iters):
+        return False
+    _, _, Z, _, _ = s2_shape
+    k = _sp_plan(s2_shape, n_iters)
+    return k >= 2 and n_iters % k == 0 and Z >= 4
+
+
+def _scalar_wavefront_kernel(k, Z, emit, inv12dx, h_ext, FR, *refs):
+    """One pass of k pipelined scalar sweeps over ascending z.
+
+    ``emit``: None (s2 only), "psi" (+psi volume of the last sweep), or
+    "h2" (+|h_ext - grad(psi_sub)|^2 from the trailing grad stage)."""
+    s2_ref, c_ref, r_ref = refs[:3]
+    refs = refs[3:]
+    out_ref = refs[0]
+    refs = refs[1:]
+    psi_ref = hint_ref = None
+    if emit == "psi":
+        psi_ref = refs[0]
+        refs = refs[1:]
+    elif emit == "h2":
+        hint_ref = refs[0]
+        refs = refs[1:]
+    seam_ref = refs[0]
+    refs = refs[1:]
+    in_ring, inW, inU, c_ring, r_ring, store_ring = refs[:6]
+    refs = refs[6:]
+    psi_ring = psi5 = psirep5 = hint_store = None
+    if emit == "psi":
+        psi_ring = refs[0]
+        refs = refs[1:]
+    elif emit == "h2":
+        psi5, psirep5, hint_store = refs[:3]
+        refs = refs[3:]
+    stage_rings = list(refs[: k - 1])
+    refs = refs[k - 1:]
+    sem_in, sem_c, sem_r, sem_o = refs[:4]
+    refs = refs[4:]
+    sem_p = sem_hint = None
+    if emit == "psi":
+        sem_p = refs[0]
+        refs = refs[1:]
+    elif emit == "h2":
+        sem_hint = refs[0]
+        refs = refs[1:]
+    (sem_s,) = refs
+
+    Y, X = s2_ref.shape[2], s2_ref.shape[3]
+    P = Z + 2 * k
+    out_base, out_end = k, k + Z
+
+    def rem_(a, n):
+        a = jnp.asarray(a)
+        return jax.lax.rem(a, jnp.asarray(n, a.dtype))
+
+    def _s_copy(src_ref, idx, plane):
+        return pltpu.make_async_copy(
+            src_ref.at[:, pl.ds(idx, 1)],
+            in_ring.at[:, pl.ds(rem_(plane, 4), 1)],
+            sem_in.at[rem_(plane, 4)],
+        )
+
+    def in_copies(plane, s_from_seam=False):
+        # window plane -> wrapped source plane; the wrap re-reads at
+        # window >= Z+k come from the pristine seam stash (s2 aliases the
+        # output and those planes were already overwritten in place)
+        src = rem_(plane + (Z - k), Z)
+        s_src = seam_ref if s_from_seam else s2_ref
+        return (
+            _s_copy(s_src, src, plane),
+            pltpu.make_async_copy(
+                c_ref.at[:, pl.ds(src, 1)],
+                c_ring.at[:, pl.ds(rem_(plane, FR), 1)],
+                sem_c.at[rem_(plane, 2)],
+            ),
+            pltpu.make_async_copy(
+                r_ref.at[:, pl.ds(src, 1)],
+                r_ring.at[:, pl.ds(rem_(plane, FR), 1)],
+                sem_r.at[rem_(plane, 2)],
+            ),
+        )
+
+    def partials(v):
+        """cross/diag4 stencil partials of one plane (6 rolls)."""
+        Sx = pltpu.roll(v, 1, 1) + pltpu.roll(v, X - 1, 1)
+        Sy = pltpu.roll(v, 1, 0) + pltpu.roll(v, Y - 1, 0)
+        cross = Sx + Sy
+        diag4 = pltpu.roll(Sx, 1, 0) + pltpu.roll(Sx, Y - 1, 0)
+        return _W1 * v + _W2 * cross, _W1 * cross + _W2 * diag4
+
+    def fill_in_cache(plane):
+        slot = rem_(plane, 4)
+        Wp, Up = partials(in_ring[0, slot])
+        inW[0, slot] = Wp
+        inU[0, slot] = Up
+
+    def out_copy(w):
+        return pltpu.make_async_copy(
+            store_ring.at[:, pl.ds(rem_(w, 3), 1)],
+            out_ref.at[:, pl.ds(w - out_base, 1)],
+            sem_o.at[rem_(w, 3)],
+        )
+
+    def psi_copy(w):
+        return pltpu.make_async_copy(
+            psi_ring.at[:, pl.ds(rem_(w, 2), 1)],
+            psi_ref.at[:, pl.ds(w - out_base, 1)],
+            sem_p.at[rem_(w, 2)],
+        )
+
+    def hint_copy(p):
+        return pltpu.make_async_copy(
+            hint_store.at[:, pl.ds(rem_(p, 2), 1)],
+            hint_ref.at[:, pl.ds(p, 1)],
+            sem_hint.at[rem_(p, 2)],
+        )
+
+    # ---- preamble: seam stash; planes 0,1 in flight; plane-0 cache -----
+    seam_cp = pltpu.make_async_copy(
+        s2_ref.at[:, pl.ds(0, k)], seam_ref, sem_s
+    )
+    seam_cp.start()
+    for plane in (0, 1):
+        for cp in in_copies(plane):
+            cp.start()
+    seam_cp.wait()  # must land before plane 0's in-place write at t=k
+    for cp in in_copies(0):
+        cp.wait()
+    fill_in_cache(0)
+
+    def body(t, _):
+        # ---- input pipeline: land plane t+1 (+cache), launch t+2 ------
+        @pl.when(t + 1 <= P - 1)
+        def _():
+            for cp in in_copies(t + 1):
+                cp.wait()
+            fill_in_cache(t + 1)
+
+        @pl.when((t + 2 <= P - 1) & (t + 2 < Z + k))
+        def _():
+            for cp in in_copies(t + 2):
+                cp.start()
+
+        @pl.when((t + 2 >= Z + k) & (t + 2 <= P - 1))
+        def _():
+            for cp in in_copies(t + 2, s_from_seam=True):
+                cp.start()
+
+        # ---- pipeline stages, ascending (stage s reads s-1's write) ---
+        for s in range(k):
+
+            @pl.when(t >= 2 * s)
+            def _(s=s):
+                w = t - s
+                fr = rem_(w, FR)
+                cm = c_ring[0, fr]
+                rhs = r_ring[0, fr]
+                if s == 0:
+                    wm = jnp.maximum(w - 1, 0)
+                    wp = jnp.minimum(w + 1, P - 1)
+                    Uc = inU[0, rem_(w, 4)]
+                    Wm = inW[0, rem_(wm, 4)]
+                    Wp_ = inW[0, rem_(wp, 4)]
+                    sprev = in_ring[1, rem_(w, 4)]
+                else:
+                    ring = stage_rings[s - 1]
+                    Uc = ring[2, rem_(w, 3)]
+                    Wm = ring[1, rem_(w - 1, 3)]
+                    Wp_ = ring[1, rem_(w + 1, 3)]
+                    if s == 1:
+                        sprev = in_ring[0, rem_(w, 4)]
+                    else:
+                        sprev = stage_rings[s - 2][0, rem_(w, 3)]
+                psi = Uc + Wm + Wp_ + jnp.maximum(cm, 0.0) * sprev
+                s_new = jnp.where(cm >= 0.0, psi + rhs, 0.0)
+
+                if s < k - 1:
+                    ws = rem_(w, 3)
+                    Wn, Un = partials(s_new)
+                    stage_rings[s][0, ws] = s_new
+                    stage_rings[s][1, ws] = Wn
+                    stage_rings[s][2, ws] = Un
+                    if s == k - 2:
+                        # sweep k-1's s = the next pass's s_prev -> ch1 of
+                        # the fused output.  One body ahead of ch0, so the
+                        # slot-reuse wait lives here (3-slot ring).
+                        @pl.when((w >= out_base) & (w < out_end))
+                        def _():
+                            @pl.when(w - 3 >= out_base)
+                            def _():
+                                out_copy(w - 3).wait()
+
+                            store_ring[1, rem_(w, 3)] = s_new
+                else:
+                    if emit == "h2":
+                        # psi (+ its ring-replicated pad) for the trailing
+                        # grad stage; 5 slots cover its lag-2 window
+                        @pl.when((w >= k) & (w < k + Z))
+                        def _():
+                            g5 = rem_(w - k, 5)
+                            psi5[0, g5] = psi
+                            psirep5[0, g5] = _ring_replicate_plane(
+                                psi, Y, X
+                            )
+
+                    @pl.when((w >= out_base) & (w < out_end))
+                    def _():
+                        store_ring[0, rem_(w, 3)] = s_new
+                        out_copy(w).start()
+                        if emit == "psi":
+                            @pl.when(w - 2 >= out_base)
+                            def _():
+                                psi_copy(w - 2).wait()
+
+                            psi_ring[0, rem_(w, 2)] = psi
+                            psi_copy(w).start()
+
+        if emit == "h2":
+            # trailing stage: H2 plane p = |h_ext - grad(psi_sub)(p)|^2,
+            # with the OBSTACLE substitution and boundary-ring semantics
+            # of solve_H_int's grad composition done in register (same
+            # math as poisson.py's channel trailing stage; is_obs comes
+            # from the cmask sign).  psi of global plane p lands at body
+            # p+2k-1; the grad stage lags a further 2.
+            @pl.when((t >= 2 * k + 1) & (t <= 2 * k + Z))
+            def _():
+                p = t - 2 * k - 1
+                z_lo, z_hi = 1, Z - 2
+                pc = jnp.clip(p, z_lo, z_hi)
+                qs = [pc - 1, pc, pc + 1]
+                sub = []
+                for q in qs:
+                    cq = jnp.clip(q, z_lo, z_hi)
+                    is_obs_q = c_ring[0, rem_(q + k, FR)] < 0.0
+                    sub.append(jnp.where(
+                        is_obs_q,
+                        psirep5[0, rem_(cq, 5)],
+                        psi5[0, rem_(q, 5)],
+                    ))
+                planes3 = {-1: sub[0], 0: sub[1], 1: sub[2]}
+
+                @pl.when(p - 2 >= 0)
+                def _():
+                    hint_copy(p - 2).wait()
+
+                slot2 = rem_(p, 2)
+                h2 = None
+                for d in range(3):
+                    acc = None
+                    for (oz, oy, ox), wgt in _GRAD_TAPS[d]:
+                        tp = _shift_replicate(
+                            planes3[oz], -oy, -ox, Y, X
+                        ) * wgt
+                        acc = tp if acc is None else acc + tp
+                    tot = acc * (-inv12dx)
+                    if h_ext[d]:
+                        tot = tot + h_ext[d]
+                    sq = tot * tot
+                    h2 = sq if h2 is None else h2 + sq
+                hint_store[0, slot2] = _ring_replicate_plane(h2, Y, X)
+                hint_copy(p).start()
+
+        return 0
+
+    # h2 runs one extra body: the p = Z-1 output lands at t = Z+2k = P
+    jax.lax.fori_loop(0, P + (1 if emit == "h2" else 0), body, 0)
+
+    # drain: out uses a 3-slot ring (waited through out_end-4 in-body),
+    # psi/hint 2-slot rings (waited through out_end-3)
+    for d in (3, 2, 1):
+        out_copy(out_end - d).wait()
+    if emit == "psi":
+        for d in (2, 1):
+            psi_copy(out_end - d).wait()
+    if emit == "h2":
+        for d in (2, 1):
+            hint_copy(Z - d).wait()
+
+
+def _cmask_sweeps_jnp(s, s_prev, c_k, r_k, n_iters):
+    """jnp fallback / remainder sweeps on [Z,Y,X] planes-first arrays,
+    fast tap order (grouped weights), cmask-encoded obstacles."""
+    mask = (c_k >= 0.0).astype(jnp.float32)
+    c_pos = jnp.maximum(c_k, 0.0)
+
+    def roll3(x, sz, sy, sx):
+        return jnp.roll(x, (sz, sy, sx), axis=(0, 1, 2))
+
+    axis_sh = [(0, 0, 1), (0, 0, -1), (0, 1, 0), (0, -1, 0),
+               (1, 0, 0), (-1, 0, 0)]
+    diag_sh = [(0, 1, 1), (0, 1, -1), (0, -1, 1), (0, -1, -1),
+               (1, 0, 1), (1, 0, -1), (-1, 0, 1), (-1, 0, -1),
+               (1, 1, 0), (1, -1, 0), (-1, 1, 0), (-1, -1, 0)]
+
+    def sweep(carry):
+        psi_, s, s_prev = carry
+        A = None
+        for sh in axis_sh:
+            t = roll3(s, *sh)
+            A = t if A is None else A + t
+        D = None
+        for sh in diag_sh:
+            t = roll3(s, *sh)
+            D = t if D is None else D + t
+        psi = A * _W1 + D * _W2 + c_pos * s_prev
+        return psi, (psi + r_k) * mask, s
+
+    def body(_, carry):
+        return sweep(carry)
+
+    psi0 = jnp.zeros_like(s)
+    return jax.lax.fori_loop(0, n_iters, body, (psi0, s, s_prev))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_iters", "emit", "dx", "h_ext", "interpret",
+))
+def scalar_wavefront(
+    s2: jnp.ndarray,
+    cmask: jnp.ndarray,
+    rhs_scaled: jnp.ndarray,
+    *,
+    n_iters: int,
+    emit: str = "psi",
+    dx: float = 1.0,
+    h_ext: tuple | None = None,
+    interpret: bool = False,
+):
+    """n_iters scalar Poisson sweeps on the fused (s, s_prev) pair.
+
+    ``s2``: [1, 2, Z, Y, X] f32 — ch0 = s, ch1 = s_prev, both fluid-masked
+    (exact zeros at obstacle cells).  ``cmask``: [1, 1, Z, Y, X] f32 with
+    -1.0 at obstacles, the wall-weight c(x) >= 0 at fluid cells.
+    ``rhs_scaled``: [1, 1, Z, Y, X] f32 (the pre-scaled Poisson source;
+    obstacle values are ignored).
+
+    Returns (s2', psi) for emit="psi" or (s2', H2) for emit="h2" (requires
+    :func:`scalar_wavefront_hint_ok` and a static 3-tuple ``h_ext``); both
+    aux outputs are [1, 1, Z, Y, X] f32.  s2' aliases s2 in place.
+    """
+    _, C, Z, Y, X = s2.shape
+    assert C == 2, "s2 carries (s, s_prev) as 2 channels"
+    if emit == "h2" and (h_ext is None or len(h_ext) != 3):
+        raise ValueError("emit='h2' requires a static 3-tuple h_ext")
+    k = _sp_plan(s2.shape, n_iters)
+    c_k = cmask[0].astype(jnp.float32)
+    r_k = rhs_scaled[0].astype(jnp.float32)
+
+    if k < 2:
+        psi, s, sp = _cmask_sweeps_jnp(
+            s2[0, 0], s2[0, 1], c_k[0], r_k[0], n_iters
+        )
+        s2o = jnp.stack([s, sp])[None]
+        if emit == "h2":
+            raise ValueError("emit='h2' requires a pipelined plan (k >= 2)")
+        return s2o, psi[None, None]
+
+    passes, rem = divmod(n_iters, k)
+    if emit == "h2" and rem != 0:
+        raise ValueError("emit='h2' requires a remainder-free schedule")
+
+    def make_call(emit_mode):
+        FR = k + 6 if emit_mode == "h2" else k + 2
+        scratch = [
+            pltpu.VMEM((2, 4, Y, X), jnp.float32),   # raw s/s_prev in ring
+            pltpu.VMEM((1, 4, Y, X), jnp.float32),   # W cache of in planes
+            pltpu.VMEM((1, 4, Y, X), jnp.float32),   # U cache of in planes
+            pltpu.VMEM((1, FR, Y, X), jnp.float32),  # cmask ring
+            pltpu.VMEM((1, FR, Y, X), jnp.float32),  # rhs ring
+            pltpu.VMEM((2, 3, Y, X), jnp.float32),   # fused store ring
+        ]
+        out_shape = [jax.ShapeDtypeStruct((2, Z, Y, X), jnp.float32)]
+        if emit_mode == "psi":
+            scratch.append(pltpu.VMEM((1, 2, Y, X), jnp.float32))
+            out_shape.append(jax.ShapeDtypeStruct((1, Z, Y, X), jnp.float32))
+        elif emit_mode == "h2":
+            scratch += [
+                pltpu.VMEM((1, 5, Y, X), jnp.float32),  # psi ring
+                pltpu.VMEM((1, 5, Y, X), jnp.float32),  # psi pad ring
+                pltpu.VMEM((1, 2, Y, X), jnp.float32),  # H2 store ring
+            ]
+            out_shape.append(jax.ShapeDtypeStruct((1, Z, Y, X), jnp.float32))
+        # HBM seam stash of planes [0, k) (in-place wrap re-reads)
+        out_shape.append(jax.ShapeDtypeStruct((2, k, Y, X), jnp.float32))
+        scratch += [
+            pltpu.VMEM((3, 3, Y, X), jnp.float32) for _ in range(k - 1)
+        ]
+        scratch += [
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
+        ]
+        if emit_mode in ("psi", "h2"):
+            scratch.append(pltpu.SemaphoreType.DMA((2,)))
+        scratch.append(pltpu.SemaphoreType.DMA(()))
+        return pl.pallas_call(
+            functools.partial(
+                _scalar_wavefront_kernel, k, Z, emit_mode,
+                1.0 / (12.0 * dx),
+                tuple(float(v) for v in h_ext) if h_ext else None,
+                FR,
+            ),
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(out_shape),
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            input_output_aliases={0: 0},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )
+
+    call_plain = make_call(None)
+    n_plain = passes - (1 if rem == 0 else 0)
+
+    def one_pass(_, sc):
+        return call_plain(sc, c_k, r_k)[0]
+
+    sc = jax.lax.fori_loop(0, n_plain, one_pass, s2[0])
+    if rem == 0:
+        outs = make_call(emit)(sc, c_k, r_k)
+        return outs[0][None], outs[1][None]
+
+    # remainder sweeps in jnp (rare configs; emit="psi" only)
+    psi, s, sp = _cmask_sweeps_jnp(sc[0], sc[1], c_k[0], r_k[0], rem)
+    return jnp.stack([s, sp])[None], psi[None, None]
+
+
+def scalar_sweeps_cmask(s2, cmask, rhs_scaled, n_iters):
+    """Pure-jnp scalar sweeps on the fused layout (testing / fallback)."""
+    psi, s, sp = _cmask_sweeps_jnp(
+        s2[0, 0], s2[0, 1], cmask[0, 0].astype(jnp.float32),
+        rhs_scaled[0, 0].astype(jnp.float32), n_iters,
+    )
+    return jnp.stack([s, sp])[None], psi[None, None]

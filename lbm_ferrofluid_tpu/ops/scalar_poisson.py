@@ -71,6 +71,7 @@ __all__ = [
     "INV_1MW0",
     "fluid_mask",
     "wall_weight_field",
+    "make_cmask",
     "scalar_from_h",
     "s_prev_from_h",
     "h_from_scalar",
@@ -109,6 +110,15 @@ def wall_weight_field(magnetic_flags, dtype=jnp.float32):
         c = t if c is None else c + t
     c = c * np.float32(INV_1MW0) * fluid_mask(magnetic_flags)
     return c.astype(dtype)
+
+
+def make_cmask(magnetic_flags, dtype=jnp.float32):
+    """Fused static field for the Pallas scalar kernel: -1.0 at obstacle
+    cells, the wall-weight c(x) >= 0 at fluid cells (one stream carries
+    both the fluid mask and the wall taps; ops/pallas/scalar_poisson.py)."""
+    mask = fluid_mask(magnetic_flags)
+    c = wall_weight_field(magnetic_flags)
+    return (c * mask - (1.0 - mask)).astype(dtype)
 
 
 def scalar_from_h(h, magnetic_flags):
