@@ -297,23 +297,48 @@ def ferrofluid_step_impl(
         float(params.mag_strength) if d == params.h_ext_axis else 0.0
         for d in range(lat.dim)
     )
-    H2, h = solve_H_int(
-        lat,
-        state.h,
-        phi,
-        state.magnetic_flags,
-        list(state.H_ext_mac),
-        tau=params.tau,
-        n_iters=params.poisson_iters,
-        dx=dx,
-        dt=dt,
-        use_pallas=params.use_pallas,
-        mesh=mesh,
-        halo_depth=params.poisson_halo_depth,
-        rhs_scaled=rhs_pre,
-        h2_ext=hext_static,
-        psi_halo=params.poisson_psi_halo and params.mag_flags_shell,
-    )
+    if state.h.shape[1] == 2:
+        # scalar Poisson carry (tau == 1 collapse, _prime_steady): h is
+        # the fused (s, s_prev) pair and the solve runs the 1-channel
+        # wavefront kernel — ~19x less HBM traffic and ~6x fewer VPU ops
+        # per sweep than the channel form (ops/pallas/scalar_poisson.py)
+        from ..ops.magnetic import poisson_rhs_scaled, solve_H_int_scalar
+
+        if mesh is not None:
+            raise NotImplementedError(
+                "scalar Poisson carry is single-device; prime with "
+                "prime_premac(params, state, mesh=mesh) for sharded runs"
+            )
+        rhs_sc = rhs_pre
+        if rhs_sc is None:
+            rhs_sc = poisson_rhs_scaled(
+                _phi(), state.magnetic_flags, list(state.H_ext_mac),
+                hext_static, tau=params.tau, dx=dx, dt=dt, dim=3,
+            )
+            phi = _phi()
+        H2, h = solve_H_int_scalar(
+            state.h, state.cmask, state.magnetic_flags, rhs_sc,
+            n_iters=params.poisson_iters, dx=dx, h2_ext=hext_static,
+            use_pallas=params.use_pallas, interpret=interp_fast,
+        )
+    else:
+        H2, h = solve_H_int(
+            lat,
+            state.h,
+            phi,
+            state.magnetic_flags,
+            list(state.H_ext_mac),
+            tau=params.tau,
+            n_iters=params.poisson_iters,
+            dx=dx,
+            dt=dt,
+            use_pallas=params.use_pallas,
+            mesh=mesh,
+            halo_depth=params.poisson_halo_depth,
+            rhs_scaled=rhs_pre,
+            h2_ext=hext_static,
+            psi_halo=params.poisson_psi_halo and params.mag_flags_shell,
+        )
 
     # Fully fused steady-state turbo path: capillary stage + HCZ collide +
     # next-step mac emission in ONE kernel — dfai/dprho never leave VMEM,
@@ -371,6 +396,7 @@ def ferrofluid_step_impl(
                 flags=state.flags, magnetic_flags=state.magnetic_flags,
                 H_ext=state.H_ext, H_ext_mac=state.H_ext_mac,
                 step=state.step + 1, premac=premac,
+                cmask=state.cmask,
             )
 
     # Sharded steady-state capillogue: when the sharded premac carries the
@@ -424,6 +450,7 @@ def ferrofluid_step_impl(
             flags=state.flags, magnetic_flags=state.magnetic_flags,
             H_ext=state.H_ext, H_ext_mac=state.H_ext_mac,
             step=state.step + 1, premac=premac,
+                cmask=state.cmask,
         )
 
     if phi is None:
@@ -544,10 +571,34 @@ def ferrofluid_step_impl(
         H_ext_mac=state.H_ext_mac,
         step=state.step + 1,
         premac=premac,
+        cmask=state.cmask,
     )
 
 
-def _prime_steady(params: SimulationParams, state, density, premac):
+def _scalar_carry_ok(params: SimulationParams, h_shape) -> bool:
+    """True when the magnetic solve can ride the scalar tau==1 collapse
+    (ops/scalar_poisson.py): the step then carries the fused (s, s_prev)
+    pair instead of the 19-channel h and solves with the 1-channel
+    wavefront kernel.  Requires tau == 1 (no rank-one collapse otherwise)
+    and shell-only obstacles (the grad substitution discards obstacle psi
+    only at domain edges; interior-obstacle psi differs between forms).
+    Gated to the fused-kernel shapes so the carry only changes form when
+    the Pallas scalar path will actually run."""
+    from ..ops.pallas.scalar_poisson import scalar_wavefront_hint_ok
+
+    if not (float(params.tau) == 1.0 and params.mag_flags_shell):
+        return False
+    if params.h_ext_axis not in (0, 1, 2):
+        return False
+    B = h_shape[0]
+    s2_shape = (B, 2, *h_shape[2:])
+    return B == 1 and scalar_wavefront_hint_ok(
+        s2_shape, jnp.float32, params.poisson_iters
+    )
+
+
+def _prime_steady(params: SimulationParams, state, density, premac,
+                  mesh=None):
     """Shared tail of prime_premac: when the capillogue steady state will
     run (gates checked by the CALLER, which must mirror the step's), carry
     the pre-scaled Poisson rhs as a 6th premac leaf and elide the
@@ -577,8 +628,28 @@ def _prime_steady(params: SimulationParams, state, density, premac):
     # uses H_ext_mac), and carrying it as a donated passthrough costs a
     # 3-channel buffer-shuffle copy every step (~0.6 ms at 256^3,
     # device-traced).  make_H_ext rebuilds it on demand.
+    h, cmask = state.h, state.cmask
+    if (
+        mesh is None
+        and h.shape[1] != 2
+        and _scalar_carry_ok(params, h.shape)
+    ):
+        # tau==1 scalar Poisson collapse: convert the canonical h (zeros
+        # at init; post-collision h from any tau==1 run) to the fused
+        # (s, s_prev) pair + the static cmask field.  The solve then
+        # reads/writes 2 f32 channels per step instead of 19
+        # (ops/scalar_poisson.py derivation; exact for canonical h).
+        from ..ops.scalar_poisson import (
+            make_cmask, s_prev_from_h, scalar_from_h,
+        )
+
+        s = scalar_from_h(h, state.magnetic_flags)
+        sp = s_prev_from_h(h, state.magnetic_flags)
+        h = jnp.concatenate([s, sp], axis=1).astype(jnp.float32)
+        cmask = make_cmask(state.magnetic_flags)
     return dataclasses.replace(
-        state, premac=premac + (rhs,), phi=None, force=None, H_ext=None
+        state, h=h, cmask=cmask, premac=premac + (rhs,), phi=None,
+        force=None, H_ext=None,
     )
 
 
@@ -650,7 +721,7 @@ def prime_premac(
             and len(grav) == 3
             and rhs_cfg is not None
         ):
-            return _prime_steady(params, state, density, premac)
+            return _prime_steady(params, state, density, premac, mesh=mesh)
         return dataclasses.replace(state, premac=premac)
 
     force_fast = force_fastpath()

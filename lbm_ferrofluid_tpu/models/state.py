@@ -93,6 +93,15 @@ class FerrofluidState:
     # None by default so existing pytree structures (checkpoints, scans
     # without priming) are unchanged.
     premac: tuple | None = None
+    # scalar Poisson carry (tau == 1 only; models/ferrofluid.py
+    # _prime_steady): when the magnetic solve collapses to its 1-channel
+    # form (ops/scalar_poisson.py), ``h`` holds the fused [B, 2, Z, Y, X]
+    # f32 (s, s_prev) pair instead of the 19-channel distribution, and
+    # ``cmask`` carries the static obstacle/wall-weight field the Pallas
+    # kernel streams (-1 at obstacles, c(x) >= 0 at fluid).  The step
+    # dispatches on h.shape[1] == 2; ops/scalar_poisson.py:h_from_scalar
+    # reconstructs a channel-form h for external consumers.
+    cmask: jax.Array | None = None
 
 
 def field_shapes(params: SimulationParams, res: tuple[int, ...], batch: int = 1):

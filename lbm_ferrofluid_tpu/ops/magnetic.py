@@ -27,7 +27,10 @@ from .equilibrium import heq
 from .stencils import isotropic_grad, staggered_x, staggered_y, staggered_z
 from .stream import bounce_back, stream
 
-__all__ = ["magnetic_sweep", "solve_H_int", "poisson_rhs_scaled"]
+__all__ = [
+    "magnetic_sweep", "solve_H_int", "solve_H_int_scalar",
+    "poisson_rhs_scaled",
+]
 
 
 def _stag_diff_times(x, axis, hm):
@@ -159,6 +162,78 @@ def magnetic_sweep(
 
     H_int = -isotropic_grad(psi, dx, flags, dim)
     return H_int, h_new
+
+
+def solve_H_int_scalar(
+    s2: jnp.ndarray,
+    cmask: jnp.ndarray,
+    magnetic_flags: jnp.ndarray,
+    rhs_scaled: jnp.ndarray,
+    *,
+    n_iters: int = 30,
+    dx: float = 1.0,
+    h2_ext: tuple | None = None,
+    use_pallas: bool = True,
+    interpret: bool = False,
+):
+    """Scalar-collapse twin of :func:`solve_H_int` at tau == 1.
+
+    The 19-channel solve is rank-one at tau == 1 (ops/scalar_poisson.py,
+    verified bitwise vs the channel dynamics): the carry is the fused
+    [B, 2, Z, Y, X] f32 pair ``s2`` = (s, s_prev) and the static
+    ``cmask`` (-1 at obstacles, wall-weight c(x) at fluid — see
+    ops/scalar_poisson.py:make_cmask).  Returns (H2, s2') when ``h2_ext``
+    is a 3-tuple and the fused kernel can emit it, else
+    (_maybe_h2(H_int), s2') — the same contract as solve_H_int with the
+    scalar carry in place of h.  The sweep order is reassociated vs the
+    channel form (grouped tap weights): ulp-level shift per sweep, NOT
+    bit-exact — the same class of shift as the fast-order jnp sweeps
+    (tests/test_scalar_poisson.py::test_fast_order_close_to_exact).
+    """
+    import os
+
+    from .pallas.scalar_poisson import (
+        scalar_sweeps_cmask,
+        scalar_wavefront,
+        scalar_wavefront_hint_ok,
+        scalar_wavefront_supported,
+    )
+
+    pallas_on = (
+        use_pallas
+        and not os.environ.get("LBM_DISABLE_PALLAS")
+        and scalar_wavefront_supported(s2.shape, s2.dtype, n_iters)
+        and (jax.default_backend() == "tpu" or interpret)
+    )
+    if (
+        pallas_on
+        and h2_ext is not None
+        and len(h2_ext) == 3
+        and scalar_wavefront_hint_ok(s2.shape, s2.dtype, n_iters)
+    ):
+        s2, H2 = scalar_wavefront(
+            s2, cmask, rhs_scaled, n_iters=n_iters, emit="h2", dx=dx,
+            h_ext=tuple(float(v) for v in h2_ext), interpret=interpret,
+        )
+        return H2, s2
+    if pallas_on:
+        s2, psi = scalar_wavefront(
+            s2, cmask, rhs_scaled, n_iters=n_iters, emit="psi", dx=dx,
+            interpret=interpret,
+        )
+        from .pallas.stencil3d import grad_fields
+
+        idx = (Ellipsis,) + (slice(1, -1),) * 3
+        pad = [(0, 0)] * 2 + [(1, 1)] * 3
+        psi_obs = jnp.pad(psi[idx], pad, mode="edge")
+        psi_sub = jnp.where(
+            magnetic_flags == int(CellType.OBSTACLE), psi_obs, psi
+        )
+        H_int = -grad_fields(psi_sub, dx=dx)
+        return _maybe_h2(H_int, h2_ext), s2
+    s2, psi = scalar_sweeps_cmask(s2, cmask, rhs_scaled, n_iters)
+    H_int = -isotropic_grad(psi, dx, magnetic_flags, 3)
+    return _maybe_h2(H_int, h2_ext), s2
 
 
 def solve_H_int(

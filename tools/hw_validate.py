@@ -161,14 +161,29 @@ def main():
     # the capillogue steady state elides write-only diagnostics
     # (force/phi ride as None) — only compare what the fast state carries
     fields = [n for n in fields if getattr(s_fast, n) is not None]
-    errs = {
-        name: rel_err(getattr(s_fast, name), getattr(s_ref, name))
-        for name in fields
-    }
+
+    def pair(name):
+        a, b = getattr(s_fast, name), getattr(s_ref, name)
+        if name == "h" and a.shape[1] == 2 and b.shape[1] != 2:
+            # scalar tau==1 Poisson carry: compare through the collapse
+            # contract — s/s_prev recovered from the reference's channel h
+            # (ops/scalar_poisson.py; ulp-level recovery)
+            from lbm_ferrofluid_tpu.ops.scalar_poisson import (
+                s_prev_from_h, scalar_from_h,
+            )
+            import jax.numpy as jnp
+
+            b = jnp.concatenate([
+                scalar_from_h(b, s_ref.magnetic_flags),
+                s_prev_from_h(b, s_ref.magnetic_flags),
+            ], axis=1)
+        return a, b
+
+    errs = {name: rel_err(*pair(name)) for name in fields}
     abs_errs = {
         name: float(np.abs(
-            np.asarray(getattr(s_fast, name), np.float64)
-            - np.asarray(getattr(s_ref, name), np.float64)
+            np.asarray(pair(name)[0], np.float64)
+            - np.asarray(pair(name)[1], np.float64)
         ).max())
         for name in fields
     }
