@@ -450,7 +450,7 @@ def ferrofluid_step_impl(
             flags=state.flags, magnetic_flags=state.magnetic_flags,
             H_ext=state.H_ext, H_ext_mac=state.H_ext_mac,
             step=state.step + 1, premac=premac,
-                cmask=state.cmask,
+            cmask=state.cmask,
         )
 
     if phi is None:

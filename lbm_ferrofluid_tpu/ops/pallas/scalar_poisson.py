@@ -415,9 +415,6 @@ def _cmask_sweeps_jnp(s, s_prev, c_k, r_k, n_iters):
     return jax.lax.fori_loop(0, n_iters, body, (psi0, s, s_prev))
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "n_iters", "emit", "dx", "h_ext", "interpret",
-))
 def scalar_wavefront(
     s2: jnp.ndarray,
     cmask: jnp.ndarray,
@@ -428,6 +425,7 @@ def scalar_wavefront(
     dx: float = 1.0,
     h_ext: tuple | None = None,
     interpret: bool = False,
+    k: int | None = None,
 ):
     """n_iters scalar Poisson sweeps on the fused (s, s_prev) pair.
 
@@ -440,12 +438,29 @@ def scalar_wavefront(
     Returns (s2', psi) for emit="psi" or (s2', H2) for emit="h2" (requires
     :func:`scalar_wavefront_hint_ok` and a static 3-tuple ``h_ext``); both
     aux outputs are [1, 1, Z, Y, X] f32.  s2' aliases s2 in place.
+
+    The pipeline depth ``k`` defaults to _sp_plan's pick; it is resolved
+    HERE (outside the jit boundary) and threaded as a static argument so
+    a changed LBM_SP_VMEM cannot silently hit a stale compile cache.
     """
+    if k is None:
+        k = _sp_plan(s2.shape, n_iters)
+    return _scalar_wavefront_impl(
+        s2, cmask, rhs_scaled, n_iters=n_iters, emit=emit, dx=dx,
+        h_ext=h_ext, interpret=interpret, k=k,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_iters", "emit", "dx", "h_ext", "interpret", "k",
+))
+def _scalar_wavefront_impl(
+    s2, cmask, rhs_scaled, *, n_iters, emit, dx, h_ext, interpret, k
+):
     _, C, Z, Y, X = s2.shape
     assert C == 2, "s2 carries (s, s_prev) as 2 channels"
     if emit == "h2" and (h_ext is None or len(h_ext) != 3):
         raise ValueError("emit='h2' requires a static 3-tuple h_ext")
-    k = _sp_plan(s2.shape, n_iters)
     c_k = cmask[0].astype(jnp.float32)
     r_k = rhs_scaled[0].astype(jnp.float32)
 
