@@ -200,7 +200,10 @@ def main():
                                    ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-    repeats = int(os.environ.get("LBM_BENCH_REPEATS", "1"))
+    # 3 repeats by default (VERDICT r3 #6: one sample was thin evidence for
+    # a headline; measurement time is ~12 s/mode at 256^3 with 100-step
+    # chunks — compiles dominate the budget either way)
+    repeats = int(os.environ.get("LBM_BENCH_REPEATS", "3"))
     modes = [
         ("turbo_bf16_fgh", dict(fg_dtype="bfloat16", h_dtype="bfloat16")),
         ("bf16_h", dict(fg_dtype="float32", h_dtype="bfloat16")),

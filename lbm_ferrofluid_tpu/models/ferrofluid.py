@@ -304,11 +304,6 @@ def ferrofluid_step_impl(
         # per sweep than the channel form (ops/pallas/scalar_poisson.py)
         from ..ops.magnetic import poisson_rhs_scaled, solve_H_int_scalar
 
-        if mesh is not None:
-            raise NotImplementedError(
-                "scalar Poisson carry is single-device; prime with "
-                "prime_premac(params, state, mesh=mesh) for sharded runs"
-            )
         rhs_sc = rhs_pre
         if rhs_sc is None:
             rhs_sc = poisson_rhs_scaled(
@@ -316,11 +311,25 @@ def ferrofluid_step_impl(
                 hext_static, tau=params.tau, dx=dx, dt=dt, dim=3,
             )
             phi = _phi()
-        H2, h = solve_H_int_scalar(
-            state.h, state.cmask, state.magnetic_flags, rhs_sc,
-            n_iters=params.poisson_iters, dx=dx, h2_ext=hext_static,
-            use_pallas=params.use_pallas, interpret=interp_fast,
-        )
+        if mesh is not None:
+            # slab form of the collapse: ghost bands are (s, s_prev)
+            # pairs — 2 f32 channels/side/round instead of 19xh — and
+            # the final round emits H2 in-kernel (parallel/step3d.py;
+            # prime_premac gates the sharded conversion on
+            # scalar_sharded_ok so this dispatch cannot miss)
+            from ..parallel.step3d import scalar_poisson_sharded
+
+            H2, h = scalar_poisson_sharded(
+                state.h, state.cmask, rhs_sc, mesh,
+                n_iters=params.poisson_iters, dx=dx, h_ext=hext_static,
+                interpret=interp,
+            )
+        else:
+            H2, h = solve_H_int_scalar(
+                state.h, state.cmask, state.magnetic_flags, rhs_sc,
+                n_iters=params.poisson_iters, dx=dx, h2_ext=hext_static,
+                use_pallas=params.use_pallas, interpret=interp_fast,
+            )
     else:
         H2, h = solve_H_int(
             lat,
@@ -575,20 +584,28 @@ def ferrofluid_step_impl(
     )
 
 
+def _scalar_physics_ok(params: SimulationParams) -> bool:
+    """Physics preconditions of the tau==1 scalar Poisson collapse:
+    tau == 1 (no rank-one collapse otherwise) and shell-only obstacles
+    (the grad substitution discards obstacle psi only at domain edges;
+    interior-obstacle psi differs between forms), plus an axis-aligned
+    static external field (the h2 emission folds it in-kernel)."""
+    return (
+        float(params.tau) == 1.0
+        and params.mag_flags_shell
+        and params.h_ext_axis in (0, 1, 2)
+    )
+
+
 def _scalar_carry_ok(params: SimulationParams, h_shape) -> bool:
     """True when the magnetic solve can ride the scalar tau==1 collapse
     (ops/scalar_poisson.py): the step then carries the fused (s, s_prev)
     pair instead of the 19-channel h and solves with the 1-channel
-    wavefront kernel.  Requires tau == 1 (no rank-one collapse otherwise)
-    and shell-only obstacles (the grad substitution discards obstacle psi
-    only at domain edges; interior-obstacle psi differs between forms).
-    Gated to the fused-kernel shapes so the carry only changes form when
-    the Pallas scalar path will actually run."""
+    wavefront kernel.  Gated to the fused-kernel shapes so the carry only
+    changes form when the Pallas scalar path will actually run."""
     from ..ops.pallas.scalar_poisson import scalar_wavefront_hint_ok
 
-    if not (float(params.tau) == 1.0 and params.mag_flags_shell):
-        return False
-    if params.h_ext_axis not in (0, 1, 2):
+    if not _scalar_physics_ok(params):
         return False
     B = h_shape[0]
     s2_shape = (B, 2, *h_shape[2:])
@@ -597,8 +614,49 @@ def _scalar_carry_ok(params: SimulationParams, h_shape) -> bool:
     )
 
 
+def _scalar_convert(params: SimulationParams, state, mesh=None,
+                    interp=False):
+    """(h2, cmask) of the tau==1 scalar Poisson carry, or None.
+
+    Converts the canonical channel h (zeros at init; post-collision h
+    from any tau==1 run) to the fused (s, s_prev) pair + the static
+    cmask field (ops/scalar_poisson.py derivation; exact for canonical
+    h).  The solve then reads/writes 2 f32 channels per step instead of
+    19 — independent of the f/g storage mode and of whether the
+    capillogue fusion runs (the collapse replaces h storage entirely,
+    so f32 and bf16-h modes gain the same ~19x Poisson-traffic win).
+    With ``mesh`` the gate is the slab/DP form (scalar_sharded_ok):
+    ghost bands then carry 2 f32 channels instead of 19xh."""
+    if state.h.shape[1] == 2:
+        return None
+    if mesh is None:
+        ok = _scalar_carry_ok(params, state.h.shape)
+    else:
+        from ..parallel.step3d import scalar_sharded_ok
+
+        B = state.h.shape[0]
+        ok = (
+            _scalar_physics_ok(params)
+            and B == 1
+            and scalar_sharded_ok(
+                mesh, (B, 2, *state.h.shape[2:]), params.poisson_iters,
+                interp,
+            )
+        )
+    if not ok:
+        return None
+    from ..ops.scalar_poisson import (
+        make_cmask, s_prev_from_h, scalar_from_h,
+    )
+
+    s = scalar_from_h(state.h, state.magnetic_flags)
+    sp = s_prev_from_h(state.h, state.magnetic_flags)
+    h = jnp.concatenate([s, sp], axis=1).astype(jnp.float32)
+    return h, make_cmask(state.magnetic_flags)
+
+
 def _prime_steady(params: SimulationParams, state, density, premac,
-                  mesh=None):
+                  mesh=None, interp=False):
     """Shared tail of prime_premac: when the capillogue steady state will
     run (gates checked by the CALLER, which must mirror the step's), carry
     the pre-scaled Poisson rhs as a 6th premac leaf and elide the
@@ -629,24 +687,9 @@ def _prime_steady(params: SimulationParams, state, density, premac,
     # 3-channel buffer-shuffle copy every step (~0.6 ms at 256^3,
     # device-traced).  make_H_ext rebuilds it on demand.
     h, cmask = state.h, state.cmask
-    if (
-        mesh is None
-        and h.shape[1] != 2
-        and _scalar_carry_ok(params, h.shape)
-    ):
-        # tau==1 scalar Poisson collapse: convert the canonical h (zeros
-        # at init; post-collision h from any tau==1 run) to the fused
-        # (s, s_prev) pair + the static cmask field.  The solve then
-        # reads/writes 2 f32 channels per step instead of 19
-        # (ops/scalar_poisson.py derivation; exact for canonical h).
-        from ..ops.scalar_poisson import (
-            make_cmask, s_prev_from_h, scalar_from_h,
-        )
-
-        s = scalar_from_h(h, state.magnetic_flags)
-        sp = s_prev_from_h(h, state.magnetic_flags)
-        h = jnp.concatenate([s, sp], axis=1).astype(jnp.float32)
-        cmask = make_cmask(state.magnetic_flags)
+    conv = _scalar_convert(params, state, mesh=mesh, interp=interp)
+    if conv is not None:
+        h, cmask = conv
     return dataclasses.replace(
         state, h=h, cmask=cmask, premac=premac + (rhs,), phi=None,
         force=None, H_ext=None,
@@ -721,17 +764,34 @@ def prime_premac(
             and len(grav) == 3
             and rhs_cfg is not None
         ):
-            return _prime_steady(params, state, density, premac, mesh=mesh)
+            return _prime_steady(
+                params, state, density, premac, mesh=mesh, interp=interp
+            )
+        conv = _scalar_convert(params, state, mesh=mesh, interp=interp)
+        if conv is not None:
+            return dataclasses.replace(
+                state, premac=premac, h=conv[0], cmask=conv[1]
+            )
         return dataclasses.replace(state, premac=premac)
 
     force_fast = force_fastpath()
     fastpath = (
         fused_step_supported(lat, state.f.shape, params.kbc_type)
-        and emit_mac_fits(state.f.shape, state.f.dtype)
         and ((jax.default_backend() == "tpu"
               and len(jax.devices()) == 1) or force_fast)
     )
     if not fastpath:
+        return state
+    # The scalar tau==1 Poisson carry is independent of the mac-carry /
+    # capillogue fusions (it replaces h storage entirely): convert it on
+    # EVERY fast-path mode, including f32/bf16-h where the capillogue
+    # does not fit (round-4 decoupling; the step's h.shape[1]==2 branch
+    # handles rhs computation when no premac rhs leaf is carried).
+    conv = _scalar_convert(params, state)
+    scalar_updates = {} if conv is None else {"h": conv[0], "cmask": conv[1]}
+    if not emit_mac_fits(state.f.shape, state.f.dtype):
+        if scalar_updates:
+            return dataclasses.replace(state, **scalar_updates)
         return state
     rho, vel, density, m0g, m1g = lbm_prologue(
         state.f, state.g, state.flags, state.rho, state.vel,
@@ -754,7 +814,7 @@ def prime_premac(
         and rhs_cfg is not None
     ):
         return _prime_steady(params, state, density, premac)
-    return dataclasses.replace(state, premac=premac)
+    return dataclasses.replace(state, premac=premac, **scalar_updates)
 
 
 ferrofluid_step = partial(

@@ -18,13 +18,24 @@ B4 = 4  # f32 bytes
 
 
 def model_bytes_per_cell(n_iters: int = 30, b_fg: int = 4, b_h: int = 4,
-                         res=(256,) * 3) -> float:
-    """Minimum HBM traffic per cell per outer step for the fused-kernel path."""
+                         res=(256,) * 3, scalar: bool = True) -> float:
+    """Minimum HBM traffic per cell per outer step for the fused-kernel path.
+
+    ``scalar``: the tau==1 scalar Poisson collapse's PHYSICS gates hold
+    (tau == 1, shell obstacles, axis-aligned H_ext — true for the
+    flagship bench config); the shape gate is checked here.  The solve
+    then moves the fused 2-channel f32 (s, s_prev) pair instead of
+    19-channel h, in EVERY storage mode (s2 is f32 regardless of b_h).
+    """
     import jax.numpy as jnp
 
     from ..ops.pallas.capillogue import capillogue_fits
     from ..ops.pallas.fused_step import emit_mac_fits
     from ..ops.pallas.poisson import _wf_plan
+    from ..ops.pallas.scalar_poisson import (
+        _sp_plan,
+        scalar_wavefront_hint_ok,
+    )
 
     total = 0.0
     fg_dtype = jnp.bfloat16 if b_fg == 2 else jnp.float32
@@ -43,21 +54,35 @@ def model_bytes_per_cell(n_iters: int = 30, b_fg: int = 4, b_h: int = 4,
         # prologue — r 19f + 19g + flags + rho + 3 vel; w 9 f32 macro
         total += (38 * b_fg + 4 + 4 * B4) + 9 * B4
 
-    # poisson: the time-skewed wavefront kernel does k sweeps per HBM pass:
-    # per pass r 19h * (1 + 2k/Z) + flags(i32) + rhs; w 19h (+ psi, last pass)
-    h_dtype = jnp.bfloat16 if b_h == 2 else jnp.float32
-    k = _wf_plan((1, 19, *res), h_dtype, n_iters)
-    if k >= 2:
-        Z = res[0]
+    # poisson — scalar tau==1 collapse when it engages (round 4: decoupled
+    # from the capillogue gate, so ALL storage modes ride it): the 1-channel
+    # wavefront does k sweeps per HBM pass over the fused 2-channel f32
+    # (s, s_prev) pair.  Per pass: s2 r+w in place (+ wrap re-reads and the
+    # k-plane seam stash), cmask(f32) + rhs(f32) streamed.
+    Z = res[0]
+    if scalar and scalar_wavefront_hint_ok((1, 2, *res), jnp.float32,
+                                           n_iters):
+        k = _sp_plan((1, 2, *res), n_iters)
         passes = n_iters / k
         total += passes * (
-            19 * b_h * (2 + 2 * k / Z) + (1 + 2 * k / Z) * (B4 + 4)
-        ) + 1 * B4  # emit="h2": the 1-channel Kelvin H2 written by the
-        # final pass — psi, the substitution pass, the grad launch AND the
-        # 3-channel H_int all stay in VMEM (H_ext folded as a constant)
+            2 * B4 * (2 + 3 * k / Z)        # s2 r+w + wrap re-read + seam w
+            + (1 + 2 * k / Z) * 2 * B4      # cmask + rhs streams
+        ) + 1 * B4  # emit="h2": the final pass writes the 1-ch Kelvin H2
     else:
-        total += n_iters * ((19 * b_h + B4 + 4) + (19 * b_h + B4))
-        total += 4 * B4  # psi r1 + H_int w3 via the separate grad pass
+        # channel form: per pass r 19h * (1 + 2k/Z) + flags(i32) + rhs;
+        # w 19h (+ H2, last pass)
+        h_dtype = jnp.bfloat16 if b_h == 2 else jnp.float32
+        k = _wf_plan((1, 19, *res), h_dtype, n_iters)
+        if k >= 2:
+            passes = n_iters / k
+            total += passes * (
+                19 * b_h * (2 + 2 * k / Z) + (1 + 2 * k / Z) * (B4 + 4)
+            ) + 1 * B4  # emit="h2": the 1-channel Kelvin H2 written by the
+            # final pass — psi, the substitution pass, the grad launch AND
+            # the 3-channel H_int all stay in VMEM (H_ext folded constant)
+        else:
+            total += n_iters * ((19 * b_h + B4 + 4) + (19 * b_h + B4))
+            total += 4 * B4  # psi r1 + H_int w3 via the separate grad pass
 
     if capillogue:
         # capillogue (steady state): capillary stage + collide + emission

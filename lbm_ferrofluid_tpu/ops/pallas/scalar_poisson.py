@@ -108,13 +108,39 @@ def scalar_wavefront_hint_ok(s2_shape, s2_dtype, n_iters) -> bool:
     return k >= 2 and n_iters % k == 0 and Z >= 4
 
 
-def _scalar_wavefront_kernel(k, Z, emit, inv12dx, h_ext, FR, *refs):
+def _scalar_wavefront_kernel(k, Z, emit, inv12dx, h_ext, FR, slab, ghost,
+                             bands, *refs):
     """One pass of k pipelined scalar sweeps over ascending z.
 
     ``emit``: None (s2 only), "psi" (+psi volume of the last sweep), or
-    "h2" (+|h_ext - grad(psi_sub)|^2 from the trailing grad stage)."""
+    "h2" (+|h_ext - grad(psi_sub)|^2 from the trailing grad stage).
+
+    ``slab``: a leading SMEM (2,) int32 ref carries the trailing grad
+    stage's z-clamp bounds so the same SPMD program clamps only at true
+    domain edges (multi-chip ghost-zone slabs, parallel/step3d.py).
+
+    ``ghost``: ``(G, Zl)`` selects ghost-ref slab mode (same contract as
+    the channel kernel, ops/pallas/poisson.py:_wavefront_kernel): the s2
+    ref holds only the Zl REAL planes (aliased in-place with the output)
+    and the G ghost planes per side arrive in two read-only [2, G, Y, X]
+    band refs; cmask/rhs arrive EXTENDED.  Real-plane results are
+    bit-identical to the extended-array form; ghost outputs are dead.
+    The wrap re-reads of extended planes [0, k) land in the lo band
+    (k <= G), which is never written — no seam stash.
+
+    ``bands`` (ghost mode only): additionally emit the final (s, s_prev)
+    of real planes [0, G) and [Zl-G, Zl) as two [2, G, Y, X] outputs —
+    the next exchange round reads these instead of slicing s2."""
+    clamp_ref = None
+    if slab:
+        clamp_ref = refs[0]
+        refs = refs[1:]
     s2_ref, c_ref, r_ref = refs[:3]
     refs = refs[3:]
+    glo_ref = ghi_ref = None
+    if ghost is not None:
+        glo_ref, ghi_ref = refs[:2]
+        refs = refs[2:]
     out_ref = refs[0]
     refs = refs[1:]
     psi_ref = hint_ref = None
@@ -124,8 +150,14 @@ def _scalar_wavefront_kernel(k, Z, emit, inv12dx, h_ext, FR, *refs):
     elif emit == "h2":
         hint_ref = refs[0]
         refs = refs[1:]
-    seam_ref = refs[0]
-    refs = refs[1:]
+    blo_ref = bhi_ref = None
+    if bands:
+        blo_ref, bhi_ref = refs[:2]
+        refs = refs[2:]
+    seam_ref = None
+    if ghost is None:
+        seam_ref = refs[0]
+        refs = refs[1:]
     in_ring, inW, inU, c_ring, r_ring, store_ring = refs[:6]
     refs = refs[6:]
     psi_ring = psi5 = psirep5 = hint_store = None
@@ -146,11 +178,21 @@ def _scalar_wavefront_kernel(k, Z, emit, inv12dx, h_ext, FR, *refs):
     elif emit == "h2":
         sem_hint = refs[0]
         refs = refs[1:]
-    (sem_s,) = refs
+    sem_bl = sem_bh = None
+    if bands:
+        sem_bl, sem_bh = refs[:2]
+        refs = refs[2:]
+    if ghost is None:
+        (sem_s,) = refs
 
     Y, X = s2_ref.shape[2], s2_ref.shape[3]
     P = Z + 2 * k
-    out_base, out_end = k, k + Z
+    if ghost is not None:
+        G_g, Zl_g = ghost
+        out_base = k + G_g
+        out_end = k + G_g + Zl_g
+    else:
+        out_base, out_end = k, k + Z
 
     def rem_(a, n):
         a = jnp.asarray(a)
@@ -163,14 +205,9 @@ def _scalar_wavefront_kernel(k, Z, emit, inv12dx, h_ext, FR, *refs):
             sem_in.at[rem_(plane, 4)],
         )
 
-    def in_copies(plane, s_from_seam=False):
-        # window plane -> wrapped source plane; the wrap re-reads at
-        # window >= Z+k come from the pristine seam stash (s2 aliases the
-        # output and those planes were already overwritten in place)
+    def _cr_copies(plane):
         src = rem_(plane + (Z - k), Z)
-        s_src = seam_ref if s_from_seam else s2_ref
         return (
-            _s_copy(s_src, src, plane),
             pltpu.make_async_copy(
                 c_ref.at[:, pl.ds(src, 1)],
                 c_ring.at[:, pl.ds(rem_(plane, FR), 1)],
@@ -182,6 +219,41 @@ def _scalar_wavefront_kernel(k, Z, emit, inv12dx, h_ext, FR, *refs):
                 sem_r.at[rem_(plane, 2)],
             ),
         )
+
+    def in_copies(plane, s_from_seam=False):
+        # window plane -> wrapped source plane; the wrap re-reads at
+        # window >= Z+k come from the pristine seam stash (s2 aliases the
+        # output and those planes were already overwritten in place)
+        src = rem_(plane + (Z - k), Z)
+        s_src = seam_ref if s_from_seam else s2_ref
+        return (_s_copy(s_src, src, plane), *_cr_copies(plane))
+
+    def start_in(plane):
+        """Start window plane ``plane``'s input copies — ghost-ref mode
+        routes extended plane e < G to the lo band, e >= G+Zl to the hi
+        band, else the real s2 ref (wrap re-reads land in the read-only
+        lo band since k <= G).  All variants move identical byte counts,
+        so the shared wait descriptor in ``in_copies`` stays valid."""
+        if ghost is None:
+            for cp in in_copies(plane):
+                cp.start()
+            return
+        e = rem_(plane + (Z - k), Z)
+
+        @pl.when(e < G_g)
+        def _():
+            _s_copy(glo_ref, e, plane).start()
+
+        @pl.when((e >= G_g) & (e < G_g + Zl_g))
+        def _():
+            _s_copy(s2_ref, e - G_g, plane).start()
+
+        @pl.when(e >= G_g + Zl_g)
+        def _():
+            _s_copy(ghi_ref, e - (G_g + Zl_g), plane).start()
+
+        for cp in _cr_copies(plane):
+            cp.start()
 
     def partials(v):
         """cross/diag4 stencil partials of one plane (6 rolls)."""
@@ -211,22 +283,47 @@ def _scalar_wavefront_kernel(k, Z, emit, inv12dx, h_ext, FR, *refs):
             sem_p.at[rem_(w, 2)],
         )
 
+    # h2 output plane indexing: ghost-ref mode emits only the real planes
+    # [G, G+Zl) of the extended psi space (their stencils read ghost psi
+    # from the VMEM rings, which fill the extended range)
+    hbase = out_base - k
+    hend = hbase + (out_end - out_base)
+
     def hint_copy(p):
         return pltpu.make_async_copy(
             hint_store.at[:, pl.ds(rem_(p, 2), 1)],
-            hint_ref.at[:, pl.ds(p, 1)],
+            hint_ref.at[:, pl.ds(p - hbase, 1)],
             sem_hint.at[rem_(p, 2)],
         )
 
+    def band_lo_copy(w):
+        # second destination of the just-stored plane: the final
+        # (s, s_prev) of real planes [0, G) — the next exchange round
+        # reads these small outputs instead of slicing the in-place-
+        # aliased s2 (the channel kernel's defensive-copy lesson)
+        return pltpu.make_async_copy(
+            store_ring.at[:, pl.ds(rem_(w, 3), 1)],
+            blo_ref.at[:, pl.ds(w - out_base, 1)],
+            sem_bl.at[rem_(w, 3)],
+        )
+
+    def band_hi_copy(w):
+        return pltpu.make_async_copy(
+            store_ring.at[:, pl.ds(rem_(w, 3), 1)],
+            bhi_ref.at[:, pl.ds(w - out_base - (Zl_g - G_g), 1)],
+            sem_bh.at[rem_(w, 3)],
+        )
+
     # ---- preamble: seam stash; planes 0,1 in flight; plane-0 cache -----
-    seam_cp = pltpu.make_async_copy(
-        s2_ref.at[:, pl.ds(0, k)], seam_ref, sem_s
-    )
-    seam_cp.start()
+    if ghost is None:
+        seam_cp = pltpu.make_async_copy(
+            s2_ref.at[:, pl.ds(0, k)], seam_ref, sem_s
+        )
+        seam_cp.start()
     for plane in (0, 1):
-        for cp in in_copies(plane):
-            cp.start()
-    seam_cp.wait()  # must land before plane 0's in-place write at t=k
+        start_in(plane)
+    if ghost is None:
+        seam_cp.wait()  # must land before plane 0's in-place write at t=k
     for cp in in_copies(0):
         cp.wait()
     fill_in_cache(0)
@@ -239,15 +336,21 @@ def _scalar_wavefront_kernel(k, Z, emit, inv12dx, h_ext, FR, *refs):
                 cp.wait()
             fill_in_cache(t + 1)
 
-        @pl.when((t + 2 <= P - 1) & (t + 2 < Z + k))
-        def _():
-            for cp in in_copies(t + 2):
-                cp.start()
+        if ghost is not None:
+            # band routing inside start_in covers the wrap re-reads too
+            @pl.when(t + 2 <= P - 1)
+            def _():
+                start_in(t + 2)
+        else:
+            @pl.when((t + 2 <= P - 1) & (t + 2 < Z + k))
+            def _():
+                for cp in in_copies(t + 2):
+                    cp.start()
 
-        @pl.when((t + 2 >= Z + k) & (t + 2 <= P - 1))
-        def _():
-            for cp in in_copies(t + 2, s_from_seam=True):
-                cp.start()
+            @pl.when((t + 2 >= Z + k) & (t + 2 <= P - 1))
+            def _():
+                for cp in in_copies(t + 2, s_from_seam=True):
+                    cp.start()
 
         # ---- pipeline stages, ascending (stage s reads s-1's write) ---
         for s in range(k):
@@ -292,6 +395,16 @@ def _scalar_wavefront_kernel(k, Z, emit, inv12dx, h_ext, FR, *refs):
                             @pl.when(w - 3 >= out_base)
                             def _():
                                 out_copy(w - 3).wait()
+                                if bands:
+                                    e3 = w - 3 - out_base
+
+                                    @pl.when(e3 < G_g)
+                                    def _():
+                                        band_lo_copy(w - 3).wait()
+
+                                    @pl.when(e3 >= Zl_g - G_g)
+                                    def _():
+                                        band_hi_copy(w - 3).wait()
 
                             store_ring[1, rem_(w, 3)] = s_new
                 else:
@@ -310,6 +423,16 @@ def _scalar_wavefront_kernel(k, Z, emit, inv12dx, h_ext, FR, *refs):
                     def _():
                         store_ring[0, rem_(w, 3)] = s_new
                         out_copy(w).start()
+                        if bands:
+                            e0 = w - out_base
+
+                            @pl.when(e0 < G_g)
+                            def _():
+                                band_lo_copy(w).start()
+
+                            @pl.when(e0 >= Zl_g - G_g)
+                            def _():
+                                band_hi_copy(w).start()
                         if emit == "psi":
                             @pl.when(w - 2 >= out_base)
                             def _():
@@ -324,11 +447,15 @@ def _scalar_wavefront_kernel(k, Z, emit, inv12dx, h_ext, FR, *refs):
             # of solve_H_int's grad composition done in register (same
             # math as poisson.py's channel trailing stage; is_obs comes
             # from the cmask sign).  psi of global plane p lands at body
-            # p+2k-1; the grad stage lags a further 2.
-            @pl.when((t >= 2 * k + 1) & (t <= 2 * k + Z))
+            # p+2k-1; the grad stage lags a further 2.  Ghost-ref mode
+            # emits only the real planes [G, G+Zl).
+            @pl.when((t >= 2 * k + 1 + hbase) & (t <= 2 * k + hend))
             def _():
                 p = t - 2 * k - 1
-                z_lo, z_hi = 1, Z - 2
+                if slab:
+                    z_lo, z_hi = clamp_ref[0], clamp_ref[1]
+                else:
+                    z_lo, z_hi = 1, Z - 2
                 pc = jnp.clip(p, z_lo, z_hi)
                 qs = [pc - 1, pc, pc + 1]
                 sub = []
@@ -342,7 +469,7 @@ def _scalar_wavefront_kernel(k, Z, emit, inv12dx, h_ext, FR, *refs):
                     ))
                 planes3 = {-1: sub[0], 0: sub[1], 1: sub[2]}
 
-                @pl.when(p - 2 >= 0)
+                @pl.when(p - 2 >= hbase)
                 def _():
                     hint_copy(p - 2).wait()
 
@@ -372,12 +499,18 @@ def _scalar_wavefront_kernel(k, Z, emit, inv12dx, h_ext, FR, *refs):
     # psi/hint 2-slot rings (waited through out_end-3)
     for d in (3, 2, 1):
         out_copy(out_end - d).wait()
+        if bands:
+            # membership is compile-time: e = Zl - d
+            if Zl_g - d < G_g:
+                band_lo_copy(out_end - d).wait()
+            if Zl_g - d >= Zl_g - G_g:
+                band_hi_copy(out_end - d).wait()
     if emit == "psi":
         for d in (2, 1):
             psi_copy(out_end - d).wait()
     if emit == "h2":
         for d in (2, 1):
-            hint_copy(Z - d).wait()
+            hint_copy(hend - d).wait()
 
 
 def _cmask_sweeps_jnp(s, s_prev, c_k, r_k, n_iters):
@@ -426,6 +559,9 @@ def scalar_wavefront(
     h_ext: tuple | None = None,
     interpret: bool = False,
     k: int | None = None,
+    slab_clamp=None,
+    ghosts=None,
+    emit_bands: bool = False,
 ):
     """n_iters scalar Poisson sweeps on the fused (s, s_prev) pair.
 
@@ -442,22 +578,53 @@ def scalar_wavefront(
     The pipeline depth ``k`` defaults to _sp_plan's pick; it is resolved
     HERE (outside the jit boundary) and threaded as a static argument so
     a changed LBM_SP_VMEM cannot silently hit a stale compile cache.
+
+    ``slab_clamp`` (int32 [2], traced): overrides the trailing grad
+    stage's z-clamp bounds for multi-chip ghost-zone slabs.
+
+    ``ghosts`` = (lo, hi) [2, G, Y, X] band pair: ghost-ref slab mode —
+    ``s2`` holds only the Zl real planes (aliased in-place) and
+    cmask/rhs arrive EXTENDED ([1, 1, Zl+2G, Y, X]); requires a
+    single-pass plan (k == n_iters, G >= k).  ``emit_bands`` (ghost mode
+    only) additionally returns the final (s, s_prev) of real planes
+    [0, G) / [Zl-G, Zl) as two [2, G, Y, X] outputs, so the next
+    exchange round never slices the aliased s2.
     """
     if k is None:
-        k = _sp_plan(s2.shape, n_iters)
+        if ghosts is not None:
+            k = n_iters
+        else:
+            k = _sp_plan(s2.shape, n_iters)
     return _scalar_wavefront_impl(
-        s2, cmask, rhs_scaled, n_iters=n_iters, emit=emit, dx=dx,
-        h_ext=h_ext, interpret=interpret, k=k,
+        s2, cmask, rhs_scaled, slab_clamp, ghosts, n_iters=n_iters,
+        emit=emit, dx=dx, h_ext=h_ext, interpret=interpret, k=k,
+        emit_bands=emit_bands,
     )
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_iters", "emit", "dx", "h_ext", "interpret", "k",
+    "n_iters", "emit", "dx", "h_ext", "interpret", "k", "emit_bands",
 ))
 def _scalar_wavefront_impl(
-    s2, cmask, rhs_scaled, *, n_iters, emit, dx, h_ext, interpret, k
+    s2, cmask, rhs_scaled, slab_clamp, ghosts, *, n_iters, emit, dx,
+    h_ext, interpret, k, emit_bands=False,
 ):
-    _, C, Z, Y, X = s2.shape
+    if emit_bands and ghosts is None:
+        raise ValueError("emit_bands requires ghost mode")
+    if ghosts is not None:
+        glo, ghi = ghosts
+        G = glo.shape[1]
+        _, C, Zl, Y, X = s2.shape
+        Z = Zl + 2 * G
+        if cmask.shape[2] != Z or rhs_scaled.shape[2] != Z:
+            raise ValueError("ghost mode needs EXTENDED cmask/rhs")
+        if not (k == n_iters and G >= k and Zl >= 2):
+            raise ValueError(
+                f"ghost mode requires a single pass: k={k} vs "
+                f"n_iters={n_iters}, G={G}, Zl={Zl}"
+            )
+    else:
+        _, C, Z, Y, X = s2.shape
     assert C == 2, "s2 carries (s, s_prev) as 2 channels"
     if emit == "h2" and (h_ext is None or len(h_ext) != 3):
         raise ValueError("emit='h2' requires a static 3-tuple h_ext")
@@ -477,6 +644,9 @@ def _scalar_wavefront_impl(
     if emit == "h2" and rem != 0:
         raise ValueError("emit='h2' requires a remainder-free schedule")
 
+    ghost_cfg = (G, Zl) if ghosts is not None else None
+    Zout = Zl if ghosts is not None else Z
+
     def make_call(emit_mode):
         FR = k + 6 if emit_mode == "h2" else k + 2
         scratch = [
@@ -487,19 +657,33 @@ def _scalar_wavefront_impl(
             pltpu.VMEM((1, FR, Y, X), jnp.float32),  # rhs ring
             pltpu.VMEM((2, 3, Y, X), jnp.float32),   # fused store ring
         ]
-        out_shape = [jax.ShapeDtypeStruct((2, Z, Y, X), jnp.float32)]
+        out_shape = [jax.ShapeDtypeStruct((2, Zout, Y, X), jnp.float32)]
         if emit_mode == "psi":
             scratch.append(pltpu.VMEM((1, 2, Y, X), jnp.float32))
-            out_shape.append(jax.ShapeDtypeStruct((1, Z, Y, X), jnp.float32))
+            out_shape.append(
+                jax.ShapeDtypeStruct((1, Zout, Y, X), jnp.float32)
+            )
         elif emit_mode == "h2":
             scratch += [
                 pltpu.VMEM((1, 5, Y, X), jnp.float32),  # psi ring
                 pltpu.VMEM((1, 5, Y, X), jnp.float32),  # psi pad ring
                 pltpu.VMEM((1, 2, Y, X), jnp.float32),  # H2 store ring
             ]
-            out_shape.append(jax.ShapeDtypeStruct((1, Z, Y, X), jnp.float32))
-        # HBM seam stash of planes [0, k) (in-place wrap re-reads)
-        out_shape.append(jax.ShapeDtypeStruct((2, k, Y, X), jnp.float32))
+            out_shape.append(
+                jax.ShapeDtypeStruct((1, Zout, Y, X), jnp.float32)
+            )
+        if emit_bands:
+            out_shape += [
+                jax.ShapeDtypeStruct((2, G, Y, X), jnp.float32),
+                jax.ShapeDtypeStruct((2, G, Y, X), jnp.float32),
+            ]
+        if ghosts is None:
+            # HBM seam stash of planes [0, k) (in-place wrap re-reads);
+            # ghost-ref mode reads the wrap planes from the read-only lo
+            # band instead
+            out_shape.append(
+                jax.ShapeDtypeStruct((2, k, Y, X), jnp.float32)
+            )
         scratch += [
             pltpu.VMEM((3, 3, Y, X), jnp.float32) for _ in range(k - 1)
         ]
@@ -511,25 +695,54 @@ def _scalar_wavefront_impl(
         ]
         if emit_mode in ("psi", "h2"):
             scratch.append(pltpu.SemaphoreType.DMA((2,)))
-        scratch.append(pltpu.SemaphoreType.DMA(()))
-        return pl.pallas_call(
+        if emit_bands:
+            scratch += [
+                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.SemaphoreType.DMA((3,)),
+            ]
+        if ghosts is None:
+            scratch.append(pltpu.SemaphoreType.DMA(()))
+        slab = slab_clamp is not None and emit_mode == "h2"
+        n_in = 5 if ghosts is not None else 3
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_in
+        if slab:
+            in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        call = pl.pallas_call(
             functools.partial(
                 _scalar_wavefront_kernel, k, Z, emit_mode,
                 1.0 / (12.0 * dx),
                 tuple(float(v) for v in h_ext) if h_ext else None,
-                FR,
+                FR, slab, ghost_cfg, emit_bands,
             ),
             grid=(1,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+            in_specs=in_specs,
             out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(out_shape),
             out_shape=out_shape,
             scratch_shapes=scratch,
-            input_output_aliases={0: 0},
+            input_output_aliases={1 if slab else 0: 0},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=120 * 1024 * 1024,
             ),
             interpret=interpret,
         )
+        extra = (glo, ghi) if ghosts is not None else ()
+        if slab:
+            clamp = jnp.asarray(slab_clamp, jnp.int32)
+            return lambda *a: call(clamp, *a, *extra)
+        if extra:
+            return lambda *a: call(*a, *extra)
+        return call
+
+    if ghosts is not None:
+        # single pass by construction (k == n_iters)
+        outs = make_call(emit)(s2[0], c_k, r_k)
+        if emit_bands:
+            if emit is None:
+                return outs[0][None], (outs[1], outs[2])
+            return outs[0][None], outs[1][None], (outs[2], outs[3])
+        if emit is None:
+            return (outs[0][None],)
+        return outs[0][None], outs[1][None]
 
     call_plain = make_call(None)
     n_plain = passes - (1 if rem == 0 else 0)

@@ -52,6 +52,8 @@ __all__ = [
     "capillogue_sharded",
     "capillogue_sharded_ok",
     "poisson_sweeps_sharded",
+    "scalar_poisson_sharded",
+    "scalar_sharded_ok",
     "grad_fields_sharded",
     "laplacian_field_sharded",
     "hcz_collide_sharded",
@@ -1338,6 +1340,173 @@ def poisson_sweeps_sharded(
     if emit_h2 is not None:
         return h_new, aux, do_h2
     return h_new, aux
+
+
+def _scalar_slab_plan(mesh, s2_shape, n_iters, interpret):
+    """(k, G) for the slab scalar Poisson solve, or None.
+
+    Every round runs k locally-exact sweeps on Zl+2G extended planes with
+    G = k+1 ghost planes per side (the final round's in-kernel h2 grad
+    needs one spare validity plane, exactly like the channel solve's
+    G = k+1 rule).  k must divide n_iters (ghost-ref mode is single-pass),
+    satisfy G <= Zl (one neighbor exchange supplies at most Zl real
+    planes), and fit the single-pass VMEM plan.  Larger k strictly wins
+    here — total sweep work (n/k)(Zl+2k+2) and exchanged volume
+    (n/k)(k+1) both shrink with k — so the largest feasible divisor is
+    picked (the scalar kernel's ~19x smaller rings make depths the
+    channel kernel could never fit routine: k=15 needs ~50 MB at 256^2
+    planes vs the channel form's k=6 cap)."""
+    from ..ops.pallas.scalar_poisson import _sp_plan
+
+    _, nz = _mesh_sizes(mesh)
+    _, C, Z, Y, X = s2_shape
+    if C != 2 or Z % nz:
+        return None
+    Zl = Z // nz
+    for k in range(min(n_iters, Zl - 1), 1, -1):
+        if n_iters % k:
+            continue
+        G = k + 1
+        if G > Zl:
+            continue
+        Zext = Zl + 2 * G
+        if Zext < 2 * k + 2:  # kernel kmax: k <= (Zext - 2) // 2
+            continue
+        if not interpret and _sp_plan((1, 2, Zext, Y, X), k) != k:
+            continue
+        return k, G
+    return None
+
+
+def scalar_sharded_ok(mesh, s2_shape, n_iters, interpret) -> bool:
+    """Can the tau==1 scalar Poisson solve run on ``mesh``?
+
+    ``s2_shape`` is the GLOBAL [1, 2, Z, Y, X] fused-carry shape.  At
+    nz == 1 the single-device kernel dispatches inside shard_map (pure
+    DP), so the single-device h2 gates apply; otherwise a slab plan must
+    exist.  In interpret mode the lane-alignment gates are skipped (the
+    CPU mesh exercises the identical kernel/exchange code the pod
+    compiles) but the structural gates are kept."""
+    if not sharded3d_ok(mesh, s2_shape, interpret):
+        return False
+    from ..ops.pallas.scalar_poisson import (
+        _sp_plan,
+        scalar_wavefront_hint_ok,
+    )
+
+    _, nz = _mesh_sizes(mesh)
+    if nz == 1:
+        if interpret:
+            _, _, Z, _, _ = s2_shape
+            k = _sp_plan(s2_shape, n_iters)
+            return k >= 2 and n_iters % k == 0 and Z >= 4
+        return scalar_wavefront_hint_ok(s2_shape, jnp.float32, n_iters)
+    return _scalar_slab_plan(mesh, s2_shape, n_iters, interpret) is not None
+
+
+def scalar_poisson_sharded(
+    s2, cmask, rhs_scaled, mesh, *, n_iters, dx=1.0, h_ext=None,
+    interpret=False,
+):
+    """Multi-chip tau==1 scalar Poisson solve; returns (H2, s2').
+
+    The scalar collapse's slab form (VERDICT r3 #2): ghost bands are
+    (s, s_prev) pairs — 2 f32 channels instead of the channel solve's
+    19xh — and the ghost-ref kernel flow carries s2 in place with the
+    exchanged bands as separate refs (the channel solve's
+    defensive-copy lesson, ops/pallas/poisson.py ghost mode).  Round
+    structure: n_iters/k rounds of k sweeps with G = k+1 ghost planes,
+    non-final rounds emit their boundary bands in-kernel (emit_bands),
+    the final round emits the 1-channel H2 from the trailing grad stage
+    with per-device z-clamp (only true domain edges clamp).
+
+    Caller must gate on :func:`scalar_sharded_ok`; ``h_ext`` is the
+    static 3-tuple external-field vector (h2 emission is always on —
+    the gate guarantees feasibility).
+    """
+    spec = _spec(mesh)
+    from ..ops.pallas.scalar_poisson import scalar_wavefront
+
+    if h_ext is None or len(h_ext) != 3:
+        raise ValueError("scalar_poisson_sharded requires a 3-tuple h_ext")
+    hx = tuple(float(v) for v in h_ext)
+
+    if _dp_dispatch(mesh):
+        def body_dp(s2, c, r):
+            s2o, h2 = scalar_wavefront(
+                s2, c, r, n_iters=n_iters, emit="h2", dx=dx, h_ext=hx,
+                interpret=interpret,
+            )
+            return s2o, h2
+
+        fn = shard_map(
+            body_dp, mesh=mesh, in_specs=(spec, spec, spec),
+            out_specs=(spec, spec), check_vma=False,
+        )
+        s2o, h2 = fn(s2, cmask, rhs_scaled)
+        return h2, s2o
+
+    plan = _scalar_slab_plan(mesh, s2.shape, n_iters, interpret)
+    if plan is None:
+        raise ValueError("no slab plan; gate on scalar_sharded_ok")
+    k, G = plan
+    rounds = n_iters // k
+
+    def body(s2, c, r):
+        _, _, Zl, Y, X = s2.shape
+        Zext = Zl + 2 * G
+        c_ext = _extend(c[0].astype(jnp.float32), G)
+        r_ext = _extend(r[0].astype(jnp.float32), G)
+        sr = s2[0]
+
+        iz = jax.lax.axis_index(_Z)
+        first_d = iz == 0
+        last_d = iz == jax.lax.psum(1, _Z) - 1
+        clamp_g = jnp.stack([
+            jnp.where(first_d, G + 1, 1),
+            jnp.where(last_d, G + Zl - 2, Zext - 2),
+        ]).astype(jnp.int32)
+
+        def run_round(sr, gb, emit_final):
+            if emit_final:
+                out, h2 = scalar_wavefront(
+                    sr[None], c_ext[None], r_ext[None], n_iters=k,
+                    emit="h2", dx=dx, h_ext=hx, interpret=interpret,
+                    slab_clamp=clamp_g, ghosts=gb, k=k,
+                )
+                return out[0], h2[0]
+            out, bands = scalar_wavefront(
+                sr[None], c_ext[None], r_ext[None], n_iters=k,
+                emit=None, interpret=interpret, ghosts=gb,
+                emit_bands=True, k=k,
+            )
+            return out[0], bands
+
+        def scan_body(carry, _):
+            sr, gb = carry
+            sr, (blo, bhi) = run_round(sr, gb, emit_final=False)
+            gb = (ring_halo(bhi, _Z, +1), ring_halo(blo, _Z, -1))
+            return (sr, gb), None
+
+        # first round's bands slice the incoming s2 directly (one-time;
+        # s2 is still pristine — no in-place pass has run yet)
+        gb = (
+            ring_halo(sr[:, -G:], _Z, +1),
+            ring_halo(sr[:, :G], _Z, -1),
+        )
+        if rounds > 1:
+            (sr, gb), _ = jax.lax.scan(
+                scan_body, (sr, gb), None, length=rounds - 1
+            )
+        sr, h2 = run_round(sr, gb, emit_final=True)
+        return sr[None], h2[None]
+
+    fn = shard_map(
+        body, mesh=mesh, in_specs=(spec, spec, spec),
+        out_specs=(spec, spec), check_vma=False,
+    )
+    s2o, h2 = fn(s2, cmask, rhs_scaled)
+    return h2, s2o
 
 
 # ----------------------------------------------------------------------

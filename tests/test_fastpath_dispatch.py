@@ -162,6 +162,104 @@ def test_forced_fastpath_h_ext_axis_z_scan_stable(monkeypatch):
     assert np.isfinite(np.asarray(state.density)).all()
 
 
+def _h_pair_scalar(state, sj):
+    """Compare a scalar-carry h against a channel-form reference through
+    the collapse contract (ops/scalar_poisson.py): s recovered everywhere,
+    s_prev only at wall-adjacent cells (wall_weight > 0) — the dense ch1
+    is never read elsewhere (c(x) == 0 there)."""
+    from lbm_ferrofluid_tpu.ops.scalar_poisson import (
+        s_prev_from_h, scalar_from_h, wall_weight_field,
+    )
+
+    a = state.h
+    wmask = wall_weight_field(sj.magnetic_flags) > 0
+    b = jnp.concatenate([
+        scalar_from_h(sj.h, sj.magnetic_flags),
+        jnp.where(wmask, s_prev_from_h(sj.h, sj.magnetic_flags), 0.0),
+    ], axis=1)
+    a = jnp.concatenate([a[:, :1], jnp.where(wmask, a[:, 1:2], 0.0)], axis=1)
+    return np.asarray(a, np.float64), np.asarray(b, np.float64)
+
+
+def _run_scalar_carry_case(monkeypatch, premac_len, gate_off_capillogue):
+    """Shared body: prime with mag_flags_shell=True, assert the scalar
+    (s, s_prev) carry engages, run 3 steps, compare against the jnp
+    channel-form path through the collapse contract."""
+    import jax
+
+    import lbm_ferrofluid_tpu.ops.pallas.capillogue as cap
+
+    monkeypatch.setenv("LBM_FORCE_FASTPATH", "interpret")
+    if gate_off_capillogue:
+        monkeypatch.setattr(
+            cap, "capillogue_fits", lambda shape, dtype: False
+        )
+
+    params = _params(mag_flags_shell=True)
+    state = prime_premac(params, _state(params))
+    # the tau==1 scalar collapse must engage regardless of the capillogue
+    # gate (round-4 decoupling): h is the fused (s, s_prev) pair
+    assert state.h.shape[1] == 2 and state.h.dtype == jnp.float32
+    assert state.cmask is not None
+    assert state.premac is not None and len(state.premac) == premac_len
+
+    step = jax.jit(lambda s: ferrofluid_step_impl(params, s))
+    for _ in range(3):
+        state = step(state)
+    assert state.h.shape[1] == 2
+    assert state.premac is not None and len(state.premac) == premac_len
+
+    monkeypatch.delenv("LBM_FORCE_FASTPATH")
+    pj = _params(use_pallas=False, mag_flags_shell=True)
+    sj = _state(pj)
+    step_j = jax.jit(lambda s: ferrofluid_step_impl(pj, s))
+    for _ in range(3):
+        sj = step_j(sj)
+
+    for name in ("f", "g", "density", "vel", "pressure"):
+        a = np.asarray(getattr(state, name), np.float64)
+        b = np.asarray(getattr(sj, name), np.float64)
+        rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
+        assert rel <= 2e-5, f"{name}: max rel dev {rel:.2e}"
+    a, b = _h_pair_scalar(state, sj)
+    rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
+    assert rel <= 2e-5, f"h (collapse contract): max rel dev {rel:.2e}"
+    return params, state
+
+
+def test_forced_fastpath_scalar_carry_capillogue(monkeypatch, tmp_path):
+    params, state = _run_scalar_carry_case(
+        monkeypatch, premac_len=6, gate_off_capillogue=False
+    )
+    # steady-state elisions hold alongside the scalar carry
+    assert state.phi is None and state.force is None
+
+    # checkpoint round-trip of the scalar-carry state (2-ch h + cmask)
+    from lbm_ferrofluid_tpu.utils.checkpoint import (
+        load_checkpoint, save_checkpoint,
+    )
+
+    path = tmp_path / "ck_scalar.npz"
+    save_checkpoint(path, state)
+    back = load_checkpoint(path, state)
+    assert back.h.shape[1] == 2
+    np.testing.assert_array_equal(np.asarray(back.h), np.asarray(state.h))
+    np.testing.assert_array_equal(
+        np.asarray(back.cmask), np.asarray(state.cmask)
+    )
+
+
+def test_forced_fastpath_scalar_carry_epilogue(monkeypatch):
+    """The decoupled combination: capillogue gated OFF (as for f32 at
+    256^3 planes), scalar carry still primes — the step runs the scalar
+    wavefront + capmac/hcz_capillary + emit_mac epilogue."""
+    params, state = _run_scalar_carry_case(
+        monkeypatch, premac_len=5, gate_off_capillogue=True
+    )
+    # non-capillogue path keeps phi/force as arrays (scan structure)
+    assert state.phi is not None and state.force is not None
+
+
 def test_checkpoint_roundtrip_phi_none(monkeypatch, tmp_path):
     """The capillogue steady-state (phi=None, 6-leaf premac) checkpoints."""
     from lbm_ferrofluid_tpu.utils.checkpoint import (
