@@ -91,23 +91,31 @@ def main():
     os.environ["LBM_SLAB_FORCE"] = "1"
     mesh = make_mesh(("batch", "z"), (1, 1), devices=jax.devices()[:1])
     sharded = {}
-    mac_carried = False
-    for psi_on in (True, False):
-        params_s = params.replace(poisson_psi_halo=psi_on)
+    scalar_carried = mac_carried = False
+    # A/B the tau=1 SCALAR Poisson carry (round 4) against the 19-channel
+    # slab solve: the production config primes the (s, s_prev) pair
+    # (2-channel ghost bands, in-kernel h2); mag_flags_shell=False gates
+    # it off (gating only — the flags ARE the shell either way), so the
+    # channel leg runs the round-3 structure (full-h bands, psi refresh).
+    for variant in ("scalar", "channel"):
+        params_s = params if variant == "scalar" else params.replace(
+            mag_flags_shell=False
+        )
         state_s = bench.build_state(params_s, res)
         state_s = shard_state(state_s, mesh)
         state_s = prime_premac(params_s, state_s, mesh=mesh)
-        if psi_on:  # report the production config's priming status
+        if variant == "scalar":  # report the production priming status
             mac_carried = state_s.premac is not None
+            scalar_carried = state_s.h.shape[1] == 2
         runner_s = SimulationRunner(
             params_s, lambda p, s, m=mesh: ferrofluid_step_impl(p, s, mesh=m)
         )
         _, stats_s = runner_s.benchmark(
             state_s, n_steps=steps, warmup=2, repeats=1
         )
-        sharded[psi_on] = stats_s["mlups"]
-        print(f"shard_map-on-1[psi_halo={psi_on}]: "
-              f"{sharded[psi_on]:.1f} MLUPS "
+        sharded[variant] = stats_s["mlups"]
+        print(f"shard_map-on-1[{variant}]: "
+              f"{sharded[variant]:.1f} MLUPS "
               f"({stats_s['seconds']:.2f}s/{steps} steps)", flush=True)
 
     # Pure-DP leg: same 1-device mesh with the DP dispatch active (the
@@ -126,24 +134,25 @@ def main():
     dp = stats_dp["mlups"]
     print(f"shard_map-on-1[dp_dispatch]: {dp:.1f} MLUPS", flush=True)
 
-    overhead = 1.0 - sharded[True] / single
+    overhead = 1.0 - sharded["scalar"] / single
     out = {
         "res": list(res), "steps": steps,
         "single_chip_mlups": round(single, 1),
-        "sharded_1dev_mlups": round(sharded[True], 1),
-        "sharded_1dev_mlups_full_h_refresh": round(sharded[False], 1),
-        "psi_refresh_compute_overhead_pct": round(
-            100 * (1.0 - sharded[True] / sharded[False]), 2
+        "sharded_1dev_mlups": round(sharded["scalar"], 1),
+        "sharded_1dev_mlups_channel_solve": round(sharded["channel"], 1),
+        "scalar_vs_channel_slab_gain_pct": round(
+            100 * (sharded["scalar"] / sharded["channel"] - 1.0), 2
         ),
         "dp_dispatch_mlups": round(dp, 1),
         "dp_overhead_pct": round(100 * (1.0 - dp / single), 2),
         "overhead_pct": round(100 * overhead, 2),
         "sharded_mac_carry": bool(mac_carried),
+        "sharded_scalar_carry": bool(scalar_carried),
         "projection_note": "aggregate(N) = N * sharded_1dev (per-chip slab "
                            "cost measured; ICI exchange latency NOT "
                            "included — needs a real multi-chip slice)",
         "aggregate_projection": {
-            str(n): round(n * sharded[True], 1) for n in (4, 8, 16, 32)
+            str(n): round(n * sharded["scalar"], 1) for n in (4, 8, 16, 32)
         },
     }
     print(json.dumps(out), flush=True)
