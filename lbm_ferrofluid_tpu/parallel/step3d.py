@@ -1350,12 +1350,17 @@ def _scalar_slab_plan(mesh, s2_shape, n_iters, interpret):
     needs one spare validity plane, exactly like the channel solve's
     G = k+1 rule).  k must divide n_iters (ghost-ref mode is single-pass),
     satisfy G <= Zl (one neighbor exchange supplies at most Zl real
-    planes), and fit the single-pass VMEM plan.  Larger k strictly wins
-    here — total sweep work (n/k)(Zl+2k+2) and exchanged volume
-    (n/k)(k+1) both shrink with k — so the largest feasible divisor is
-    picked (the scalar kernel's ~19x smaller rings make depths the
-    channel kernel could never fit routine: k=15 needs ~50 MB at 256^2
-    planes vs the channel form's k=6 cap)."""
+    planes), and fit the single-pass VMEM plan.  The trade: larger k
+    cuts rounds — fewer exchanges, pipeline fills and launches, and
+    slightly less exchanged volume ((n/k)(k+1) planes/side total) — but
+    amplifies per-round ghost-zone sweep compute by (Zl+2k+2)/Zl.  At
+    Zl >= 128 the amplification is small and fewer rounds win; at small
+    Zl a plane-count cost model puts every feasible divisor within ~10%
+    of the optimum, so the largest feasible divisor is picked everywhere
+    (measured slab-forced at Zl=256: k=15, 10.4% overhead vs
+    single-chip, docs/PERFORMANCE.md; the scalar kernel's ~19x smaller
+    rings make such depths routine where the channel form capped at
+    k=6)."""
     from ..ops.pallas.scalar_poisson import _sp_plan
 
     _, nz = _mesh_sizes(mesh)
