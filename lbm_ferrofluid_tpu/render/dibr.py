@@ -8,10 +8,13 @@ texture, spherical-harmonics, Phong).
 The CUDA kernels (dibr/cuda/rasterizer_cuda.cu:30-330) become chunked
 ``lax.scan`` passes over faces, exactly like the SoftRas port; the z-buffer
 is a running argmax over interpolated depth, and the probability map the
-product 1 - prod(1 - exp(-sigmainv d^2)) over nearby faces.  One conscious
-deviation: the CUDA caps the probability product at the first knum=30
-candidate faces per pixel (:224-322); the dense version uses all faces
-(the knum -> inf limit), which only increases silhouette accuracy.
+product 1 - prod(1 - exp(-sigmainv d^2)) over nearby faces.  The CUDA
+caps that product at the FIRST ``knum=30`` candidate faces per pixel in
+face-index order (:224-322, ``kid`` increments per expanded-bbox hit and
+breaks at knum) — reproduced exactly via a per-pixel candidate counter
+carried through the face scan (round 4; previously a documented
+knum -> inf deviation).  ``knum=None`` selects the dense all-faces limit,
+which only increases silhouette accuracy.
 """
 
 from __future__ import annotations
@@ -88,6 +91,7 @@ def linear_rasterize(
     multiplier: float = 1000.0,
     sigmainv: float = 7000.0,
     face_chunk: int = 64,
+    knum: int | None = 30,
 ):
     """Z-buffer rasterization with interpolated features + soft silhouette.
 
@@ -96,6 +100,10 @@ def linear_rasterize(
         points2d: ``[B, F, 3, 2]`` projected (pre-multiplier) coordinates.
         normalz: ``[B, F, 1]`` face-normal z (front if > 0).
         features: ``[B, F, 3, D]`` per-corner attributes to interpolate.
+        knum: cap the silhouette probability product at the FIRST knum
+            candidate faces per pixel in face-index order (the CUDA
+            reference's semantics and default, rasterizer_cuda.cu:319);
+            ``None`` uses all faces (the knum -> inf limit).
 
     Returns:
         (imfeat ``[B, H, W, D]``, improb ``[B, H, W, 1]``)
@@ -143,9 +151,10 @@ def linear_rasterize(
     init_feat = jnp.zeros((B, height, width, D), dtype)
     init_dep = jnp.full((B, height, width), -1e9, dtype)
     init_unprob = jnp.ones((B, height, width), dtype)  # prod(1 - p)
+    init_count = jnp.zeros((B, height, width), jnp.int32)  # knum candidates
 
     def step(carry, blk):
-        feat, dep, unprob = carry
+        feat, dep, unprob, count = carry
         p2b, p3b, fb, bminb, bmaxb, b2minb, b2maxb, frontb = blk
 
         x = X0[None, None]
@@ -231,13 +240,28 @@ def linear_rasterize(
             dis2 = jnp.minimum(dis2, vd)
         prob = jnp.exp(-sigmainv * dis2 / (multiplier * multiplier))
         prob = jnp.where(in2, prob, 0.0)
+        if knum is not None:
+            # reference semantics (rasterizer_cuda.cu:224-322): only the
+            # FIRST knum expanded-bbox candidates per pixel, in
+            # face-index order, contribute — kid increments per hit and
+            # the loop breaks at knum.  prior = exclusive running count
+            # of candidates before each face in the global face order.
+            cand = in2.astype(jnp.int32)
+            # explicit int32 dtype: cumsum/sum otherwise promote to int64
+            # under x64, breaking the scan carry type
+            prior = (
+                count[:, None]
+                + jnp.cumsum(cand, axis=1, dtype=jnp.int32) - cand
+            )
+            prob = jnp.where(prior < knum, prob, 0.0)
+            count = count + jnp.sum(cand, axis=1, dtype=jnp.int32)
         unprob = unprob * jnp.prod(1.0 - prob, axis=1)
 
-        return (feat, dep, unprob), None
+        return (feat, dep, unprob, count), None
 
-    (feat, dep, unprob), _ = jax.lax.scan(
+    (feat, dep, unprob, _), _ = jax.lax.scan(
         step,
-        (init_feat, init_dep, init_unprob),
+        (init_feat, init_dep, init_unprob, init_count),
         (p2c, p3c, fc, bbminc, bbmaxc, bb2minc, bb2maxc, frontc),
     )
 

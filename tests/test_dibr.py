@@ -109,6 +109,62 @@ class TestRasterizer:
         assert center[1] > 0.9 and center[0] < 0.1
 
 
+class TestKnum:
+    """Reference knum semantics (rasterizer_cuda.cu:224-322): the
+    silhouette probability product uses only the FIRST knum
+    expanded-bbox candidate faces per pixel, in face-index order."""
+
+    @staticmethod
+    def _row_scene(F=8):
+        # F small triangles in a horizontal row right of center; the
+        # probe pixel (left edge, mid height) is covered by none, but a
+        # large expand makes every face a bbox candidate there
+        tris = []
+        for i in range(F):
+            x = 0.1 + 0.08 * i
+            tris.append([[x, -0.05, 0.0], [x + 0.06, -0.05, 0.0],
+                         [x + 0.03, 0.05, 0.0]])
+        p2 = jnp.asarray(tris, jnp.float32)[None][..., :2]  # [1,F,3,2]
+        p3 = jnp.concatenate(
+            [p2, jnp.ones((1, F, 3, 1), jnp.float32)], axis=-1
+        )
+        normalz = jnp.ones((1, F, 1), jnp.float32)
+        feats = jnp.ones((1, F, 3, 3), jnp.float32)
+        return p3, p2, normalz, feats
+
+    def test_first_knum_candidates_in_face_order(self):
+        F, k = 8, 3
+        p3, p2, nz, ft = self._row_scene(F)
+        # expand: every face is a bbox candidate at every pixel; soft
+        # sigmainv keeps far faces' probs well above underflow so the
+        # cap visibly binds
+        kw = dict(expand=4.0, face_chunk=2, sigmainv=5.0)
+        _, improb_k = linear_rasterize(16, 16, p3, p2, nz, ft, knum=k, **kw)
+        # truncating the face list to the first k gives the same improb
+        # at any uncovered pixel (same first-k candidates there)
+        _, improb_trunc = linear_rasterize(
+            16, 16, p3[:, :k], p2[:, :k], nz[:, :k], ft[:, :k],
+            knum=None, **kw,
+        )
+        probe = (0, 8, 0, 0)  # left edge, mid height: uncovered
+        assert float(improb_k[probe]) > 0.0
+        np.testing.assert_allclose(
+            float(improb_k[probe]), float(improb_trunc[probe]), rtol=1e-6
+        )
+        # the cap is binding: using all faces changes the probe value
+        _, improb_all = linear_rasterize(
+            16, 16, p3, p2, nz, ft, knum=None, **kw
+        )
+        assert float(improb_all[probe]) > float(improb_k[probe])
+
+    def test_knum_geq_faces_matches_dense(self):
+        p3, p2, nz, ft = self._row_scene(6)
+        kw = dict(expand=4.0, face_chunk=4)
+        _, a = linear_rasterize(16, 16, p3, p2, nz, ft, knum=6, **kw)
+        _, b = linear_rasterize(16, 16, p3, p2, nz, ft, knum=None, **kw)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
 class TestTexture:
     def test_tex_interpolation_nearest(self):
         # 2x2 texture with distinct corners
