@@ -311,12 +311,17 @@ def ferrofluid_step_impl(
                 hext_static, tau=params.tau, dx=dx, dt=dt, dim=3,
             )
             phi = _phi()
-        if mesh is not None:
+        if mesh is not None and pallas_on:
             # slab form of the collapse: ghost bands are (s, s_prev)
             # pairs — 2 f32 channels/side/round instead of 19xh — and
             # the final round emits H2 in-kernel (parallel/step3d.py;
             # prime_premac gates the sharded conversion on
-            # scalar_sharded_ok so this dispatch cannot miss)
+            # scalar_sharded_ok so this dispatch cannot miss).  With
+            # Pallas disabled (use_pallas=False / LBM_DISABLE_PALLAS —
+            # e.g. bisecting a kernel issue on a scalar-carry state)
+            # the jnp branch below runs instead: scalar_sweeps_cmask +
+            # the grad composition are plain jnp rolls, which GSPMD
+            # partitions over the mesh automatically.
             from ..parallel.step3d import scalar_poisson_sharded
 
             H2, h = scalar_poisson_sharded(

@@ -618,10 +618,15 @@ def _scalar_wavefront_impl(
         Z = Zl + 2 * G
         if cmask.shape[2] != Z or rhs_scaled.shape[2] != Z:
             raise ValueError("ghost mode needs EXTENDED cmask/rhs")
-        if not (k == n_iters and G >= k and Zl >= 2):
+        if not (k == n_iters and G >= k and Zl >= 3):
+            # Zl >= 3: the exit drain waits out_copy for the last THREE
+            # real planes (3-slot ring); at Zl == 2 the third wait would
+            # target a never-started DMA — an unmatched semaphore wait
+            # hangs real hardware while interpret mode passes (the
+            # CLAUDE.md fused_step class)
             raise ValueError(
-                f"ghost mode requires a single pass: k={k} vs "
-                f"n_iters={n_iters}, G={G}, Zl={Zl}"
+                f"ghost mode requires a single pass and Zl >= 3: k={k} "
+                f"vs n_iters={n_iters}, G={G}, Zl={Zl}"
             )
     else:
         _, C, Z, Y, X = s2.shape

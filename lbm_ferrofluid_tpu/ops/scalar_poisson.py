@@ -76,6 +76,7 @@ __all__ = [
     "s_prev_from_h",
     "h_from_scalar",
     "scalar_sweeps_jnp",
+    "compare_views",
 ]
 
 _OBS = int(CellType.OBSTACLE)
@@ -194,6 +195,29 @@ def h_from_scalar(s, s_prev, rhs_scaled, magnetic_flags, h_dtype):
         chans.append(fluid_val * mask + lag * obs)
     h = jnp.concatenate(chans, axis=1)
     return h.astype(jnp.dtype(h_dtype))
+
+
+def compare_views(h_scalar, h_channel, magnetic_flags):
+    """Comparable views of a scalar-carry h and a channel-form h.
+
+    Returns ``(a, b)``: the carry's (s, s_prev) with ch1 masked to
+    wall-adjacent cells, and the same pair recovered from the channel h
+    through the collapse contract.  s_prev is recoverable from channel h
+    ONLY at wall-adjacent fluid cells (the obstacle channels that store
+    it); elsewhere the carry's dense ch1 is never read by the solve
+    (c(x) == 0), so both sides mask it — an unmasked compare reports
+    rel_err ~1 on a CORRECT run.  Shared by tools/hw_validate.py and the
+    step-level tests so the validator and tests cannot silently diverge.
+    """
+    wmask = wall_weight_field(magnetic_flags) > 0
+    b = jnp.concatenate([
+        scalar_from_h(h_channel, magnetic_flags),
+        jnp.where(wmask, s_prev_from_h(h_channel, magnetic_flags), 0.0),
+    ], axis=1)
+    a = jnp.concatenate(
+        [h_scalar[:, :1], jnp.where(wmask, h_scalar[:, 1:2], 0.0)], axis=1
+    )
+    return a, b
 
 
 def scalar_sweeps_jnp(

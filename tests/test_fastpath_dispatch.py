@@ -163,21 +163,12 @@ def test_forced_fastpath_h_ext_axis_z_scan_stable(monkeypatch):
 
 
 def _h_pair_scalar(state, sj):
-    """Compare a scalar-carry h against a channel-form reference through
-    the collapse contract (ops/scalar_poisson.py): s recovered everywhere,
-    s_prev only at wall-adjacent cells (wall_weight > 0) — the dense ch1
-    is never read elsewhere (c(x) == 0 there)."""
-    from lbm_ferrofluid_tpu.ops.scalar_poisson import (
-        s_prev_from_h, scalar_from_h, wall_weight_field,
-    )
+    """Comparable views of the scalar-carry h vs the channel-form
+    reference (shared collapse-contract helper — same masking as
+    tools/hw_validate.py)."""
+    from lbm_ferrofluid_tpu.ops.scalar_poisson import compare_views
 
-    a = state.h
-    wmask = wall_weight_field(sj.magnetic_flags) > 0
-    b = jnp.concatenate([
-        scalar_from_h(sj.h, sj.magnetic_flags),
-        jnp.where(wmask, s_prev_from_h(sj.h, sj.magnetic_flags), 0.0),
-    ], axis=1)
-    a = jnp.concatenate([a[:, :1], jnp.where(wmask, a[:, 1:2], 0.0)], axis=1)
+    a, b = compare_views(state.h, sj.h, sj.magnetic_flags)
     return np.asarray(a, np.float64), np.asarray(b, np.float64)
 
 

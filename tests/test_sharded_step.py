@@ -691,9 +691,7 @@ def test_ferrofluid_step_sharded_scalar_carry_matches():
     in-kernel h2), and the steady state matches single-device jnp channel
     steps through the collapse contract."""
     from lbm_ferrofluid_tpu.models import prime_premac
-    from lbm_ferrofluid_tpu.ops.scalar_poisson import (
-        s_prev_from_h, scalar_from_h, wall_weight_field,
-    )
+    from lbm_ferrofluid_tpu.ops.scalar_poisson import compare_views
 
     res = (16, 8, 16)
     params, a = _flagship(res)
@@ -716,18 +714,11 @@ def test_ferrofluid_step_sharded_scalar_carry_matches():
             np.asarray(getattr(b, name)), np.asarray(getattr(a, name)),
             rtol=2e-5, atol=1e-6, err_msg=name,
         )
-    # h through the collapse contract: s everywhere, s_prev only at
-    # wall-adjacent cells (the dense ch1 is never read where c == 0)
-    wmask = np.asarray(wall_weight_field(a.magnetic_flags)) > 0
-    s_want = np.asarray(scalar_from_h(a.h, a.magnetic_flags))
-    sp_want = np.asarray(s_prev_from_h(a.h, a.magnetic_flags))
-    got = np.asarray(b.h)
+    # h through the collapse contract (shared masked-view helper)
+    got, want = compare_views(b.h, a.h, a.magnetic_flags)
     np.testing.assert_allclose(
-        got[:, :1], s_want, rtol=2e-5, atol=1e-6, err_msg="h:s"
-    )
-    np.testing.assert_allclose(
-        np.where(wmask, got[:, 1:2], 0.0), np.where(wmask, sp_want, 0.0),
-        rtol=2e-5, atol=1e-6, err_msg="h:s_prev",
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-6,
+        err_msg="h (collapse contract)",
     )
 
 

@@ -95,8 +95,12 @@ def main():
     # A/B the tau=1 SCALAR Poisson carry (round 4) against the 19-channel
     # slab solve: the production config primes the (s, s_prev) pair
     # (2-channel ghost bands, in-kernel h2); mag_flags_shell=False gates
-    # it off (gating only — the flags ARE the shell either way), so the
-    # channel leg runs the round-3 structure (full-h bands, psi refresh).
+    # it off (gating only — the flags ARE the shell either way).  NOTE:
+    # the same flag also gates the round-3 psi ghost refresh, so the
+    # channel leg runs the FULL-H band exchange structure — on this
+    # 1-device box that is compute-equivalent to the psi-halo variant
+    # (measured identical, docs/PERFORMANCE.md), but on a real slice the
+    # psi refresh would narrow the channel leg's ICI gap.
     for variant in ("scalar", "channel"):
         params_s = params if variant == "scalar" else params.replace(
             mag_flags_shell=False

@@ -166,26 +166,11 @@ def main():
         a, b = getattr(s_fast, name), getattr(s_ref, name)
         if name == "h" and a.shape[1] == 2 and b.shape[1] != 2:
             # scalar tau==1 Poisson carry: compare through the collapse
-            # contract — s/s_prev recovered from the reference's channel h
-            # (ops/scalar_poisson.py; ulp-level recovery).  s_prev is
-            # recoverable from channel h ONLY at wall-adjacent fluid
-            # cells (the obstacle channels that store it); elsewhere the
-            # carry's dense ch1 is never read by the solve (c(x) == 0),
-            # so the comparison masks both sides to wall_weight > 0 —
-            # an unmasked compare reports rel_err ~1 on a CORRECT run.
-            from lbm_ferrofluid_tpu.ops.scalar_poisson import (
-                s_prev_from_h, scalar_from_h, wall_weight_field,
-            )
-            import jax.numpy as jnp
+            # contract (shared helper — masks s_prev to the wall-adjacent
+            # cells where the solve actually reads it)
+            from lbm_ferrofluid_tpu.ops.scalar_poisson import compare_views
 
-            wmask = wall_weight_field(s_ref.magnetic_flags) > 0
-            b = jnp.concatenate([
-                scalar_from_h(b, s_ref.magnetic_flags),
-                jnp.where(wmask, s_prev_from_h(b, s_ref.magnetic_flags), 0.0),
-            ], axis=1)
-            a = jnp.concatenate(
-                [a[:, :1], jnp.where(wmask, a[:, 1:2], 0.0)], axis=1
-            )
+            a, b = compare_views(a, b, s_ref.magnetic_flags)
         return a, b
 
     errs = {name: rel_err(*pair(name)) for name in fields}

@@ -4,9 +4,11 @@ VERDICT r3 #7 / r4 evidence refresh: drive the PRODUCTION multi-chip step
 structure (slab kernels + the round-4 scalar Poisson carry) for N full
 steps on the real chip and assert it tracks the single-device run on
 physical diagnostics — mass conservation, interface extent (cells above
-mid density), kinetic energy — at every checkpoint.  Chaotic-horizon
-pointwise parity is not expected for bf16 turbo (docs/PARITY.md); f32
-checkpoints compare pointwise too.
+mid density), kinetic energy — at every checkpoint.  AGGREGATES ONLY:
+pointwise field parity of the sharded step is covered separately by
+``hw_validate --sharded`` (30-step full-state bars); chaotic-horizon
+pointwise parity is not physically expected for bf16 turbo
+(docs/PARITY.md).
 
 Usage: python tools/long_horizon_sharded.py [Z Y X] [steps] [fg_dtype]
 Defaults: 256 256 256, 200 steps, bfloat16 (turbo).  Chunks of 100 steps
@@ -83,8 +85,7 @@ def main():
         state = bench.build_state(params, res)
         if mesh is not None:
             state = shard_state(state, mesh)
-        state = prime_premac(params, state, mesh=mesh) if mesh is not None \
-            else prime_premac(params, state)
+        state = prime_premac(params, state, mesh=mesh)
         scalar = state.h.shape[1] == 2
         if mesh is not None:
             runner = SimulationRunner(
@@ -125,11 +126,15 @@ def main():
             "single": a, "sharded": b,
         }
         # bars: mass is conserved to storage rounding; interface extent
-        # must agree closely; KE is noise-over-near-zero for bf16
-        # (docs/PERFORMANCE.md long-horizon precedent)
+        # must agree closely; KE is gated for f32 only — for bf16 it is
+        # noise-over-near-zero as the pool settles (docs/PERFORMANCE.md
+        # long-horizon precedent)
         bar_icells = 0.02 if dtype == "bfloat16" else 1e-6
         bar_mass = 1e-3 if dtype == "bfloat16" else 1e-6
+        bar_ke = None if dtype == "bfloat16" else 1e-4
         if mass_rel > bar_mass or icells_rel > bar_icells:
+            ok = False
+        if bar_ke is not None and ke_rel > bar_ke:
             ok = False
     print(json.dumps({
         "res": list(res), "steps": steps, "dtype": dtype,
