@@ -18,7 +18,11 @@ scan-chunk length via LBM_BENCH_STEPS, default 100 — long chunks match
 production dispatch and amortize the ~25 ms/call tunnel constant):
   * turbo  — bf16 storage for f, g, h (f32 in-register compute; long-horizon
     physics tracking asserted in tests/test_bf16_physics.py) — the headline,
-  * bf16-h — bf16 h only (round-1 headline mode),
+  * bf16-h — bf16 h only (round-1 headline mode).  Since the round-4
+    scalar Poisson carry (h replaced by an f32 (s, s_prev) pair in every
+    mode) this is numerically degenerate with f32 on the flagship config;
+    kept for cross-round continuity and as a regression canary — the two
+    rows reading differently again would mean the scalar gate regressed,
   * f32    — full parity mode.
 
 Alongside MLUPS the output carries an HBM bytes-moved model
