@@ -308,20 +308,31 @@ def ferrofluid_step_impl(
         if rhs_sc is None:
             rhs_sc = poisson_rhs_scaled(
                 _phi(), state.magnetic_flags, list(state.H_ext_mac),
-                hext_static, tau=params.tau, dx=dx, dt=dt, dim=3,
+                hext_static, tau=params.tau, dx=dx, dt=dt, dim=lat.dim,
             )
             phi = _phi()
-        if mesh is not None and pallas_on:
+        if lat.dim == 3:
+            from ..parallel.step3d import scalar_sharded_ok
+        if (
+            lat.dim == 3 and mesh is not None and pallas_on
+            and scalar_sharded_ok(
+                mesh, state.h.shape, params.poisson_iters, interp
+            )
+        ):
             # slab form of the collapse: ghost bands are (s, s_prev)
             # pairs — 2 f32 channels/side/round instead of 19xh — and
             # the final round emits H2 in-kernel (parallel/step3d.py;
             # prime_premac gates the sharded conversion on
-            # scalar_sharded_ok so this dispatch cannot miss).  With
-            # Pallas disabled (use_pallas=False / LBM_DISABLE_PALLAS —
-            # e.g. bisecting a kernel issue on a scalar-carry state)
-            # the jnp branch below runs instead: scalar_sweeps_cmask +
-            # the grad composition are plain jnp rolls, which GSPMD
-            # partitions over the mesh automatically.
+            # scalar_sharded_ok for the SAME mesh, so this dispatch
+            # normally cannot miss — the explicit re-check covers a
+            # state primed on a DIFFERENT mesh geometry, which would
+            # otherwise raise 'no slab plan' deep inside the solve; it
+            # falls through to solve_H_int_scalar, whose jnp branch
+            # GSPMD-partitions over the mesh).  With Pallas disabled
+            # (use_pallas=False / LBM_DISABLE_PALLAS — e.g. bisecting a
+            # kernel issue on a scalar-carry state) the jnp branch below
+            # runs instead: scalar sweeps + the grad composition are
+            # plain jnp rolls, which GSPMD partitions automatically.
             from ..parallel.step3d import scalar_poisson_sharded
 
             H2, h = scalar_poisson_sharded(
@@ -333,7 +344,12 @@ def ferrofluid_step_impl(
             H2, h = solve_H_int_scalar(
                 state.h, state.cmask, state.magnetic_flags, rhs_sc,
                 n_iters=params.poisson_iters, dx=dx, h2_ext=hext_static,
-                use_pallas=params.use_pallas, interpret=interp_fast,
+                # with a mesh the single-device kernel must not run on
+                # the GSPMD-sharded global array (this branch is the
+                # prime/step mesh-mismatch fallback): the jnp sweeps
+                # partition over the mesh automatically
+                use_pallas=params.use_pallas and mesh is None,
+                interpret=interp_fast,
             )
     else:
         H2, h = solve_H_int(
@@ -589,33 +605,60 @@ def ferrofluid_step_impl(
     )
 
 
-def _scalar_physics_ok(params: SimulationParams) -> bool:
+def _mag_boundary_only(magnetic_flags) -> bool:
+    """Concrete check: every OBSTACLE magnetic cell lies on the domain's
+    outermost ring.  That is the GENERAL physics precondition of the
+    tau==1 scalar collapse — psi at obstacle cells is discarded by the
+    isotropic-grad substitution only on the boundary ring
+    (ops/stencils.py:isotropic_grad), so interior obstacles would make
+    channel-form and scalar-form H_int differ.  ``mag_flags_shell`` is
+    the narrower *declared* form (x-columns + z-planes, 3D, validated at
+    init); this check admits e.g. the two-droplets demos' full 6-face /
+    4-edge frame (reference demo_3d_LBM_two_droplets.py:120-121,
+    demo_2d_LBM_two_droplets.py:118-119).  Returns False when the flags
+    are traced (prime_premac runs eagerly by contract, so concrete flags
+    are the normal case)."""
+    try:
+        mf = np.asarray(magnetic_flags)
+    except Exception:
+        return False  # traced flags: cannot inspect values
+    interior = (Ellipsis,) + tuple(slice(1, -1) for _ in mf.shape[2:])
+    return not (mf[interior] == int(CellType.OBSTACLE)).any()
+
+
+def _scalar_physics_ok(params: SimulationParams, magnetic_flags=None) -> bool:
     """Physics preconditions of the tau==1 scalar Poisson collapse:
-    tau == 1 (no rank-one collapse otherwise) and shell-only obstacles
-    (the grad substitution discards obstacle psi only at domain edges;
-    interior-obstacle psi differs between forms), plus an axis-aligned
-    static external field (the h2 emission folds it in-kernel)."""
+    tau == 1 (no rank-one collapse otherwise); boundary-ring-only
+    obstacles — either declared (mag_flags_shell) or verified from the
+    concrete flags (the grad substitution discards obstacle psi only at
+    domain edges; interior-obstacle psi differs between forms); an
+    axis-aligned static external field; and a non-f64 h storage (the
+    scalar carry is f32 — converting an f64 solve would silently drop
+    precision, e.g. the f64 golden-parity configurations)."""
     return (
         float(params.tau) == 1.0
-        and params.mag_flags_shell
-        and params.h_ext_axis in (0, 1, 2)
+        and jnp.dtype(params.h_dtype) != jnp.float64
+        and params.h_ext_axis in tuple(range(params.dim))
+        and (
+            params.mag_flags_shell
+            or (
+                magnetic_flags is not None
+                and _mag_boundary_only(magnetic_flags)
+            )
+        )
     )
 
 
-def _scalar_carry_ok(params: SimulationParams, h_shape) -> bool:
+def _scalar_carry_ok(params: SimulationParams, state) -> bool:
     """True when the magnetic solve can ride the scalar tau==1 collapse
     (ops/scalar_poisson.py): the step then carries the fused (s, s_prev)
-    pair instead of the 19-channel h and solves with the 1-channel
-    wavefront kernel.  Gated to the fused-kernel shapes so the carry only
-    changes form when the Pallas scalar path will actually run."""
-    from ..ops.pallas.scalar_poisson import scalar_wavefront_hint_ok
-
-    if not _scalar_physics_ok(params):
-        return False
-    B = h_shape[0]
-    s2_shape = (B, 2, *h_shape[2:])
-    return B == 1 and scalar_wavefront_hint_ok(
-        s2_shape, jnp.float32, params.poisson_iters
+    pair instead of the Q-channel h.  NOT gated on the Pallas wavefront
+    shape (round-4 verdict #1): solve_H_int_scalar dispatches the fused
+    kernel when shapes allow and exact-order jnp sweeps otherwise, so
+    the collapse engages on lane-unaligned native-resolution grids
+    (130x66x130 Rosensweig, 98x384 two-droplets) and in 2D."""
+    return _scalar_physics_ok(params, state.magnetic_flags) and (
+        state.h.shape[0] == 1
     )
 
 
@@ -631,21 +674,30 @@ def _scalar_convert(params: SimulationParams, state, mesh=None,
     capillogue fusion runs (the collapse replaces h storage entirely,
     so f32 and bf16-h modes gain the same ~19x Poisson-traffic win).
     With ``mesh`` the gate is the slab/DP form (scalar_sharded_ok):
-    ghost bands then carry 2 f32 channels instead of 19xh."""
+    ghost bands then carry 2 f32 channels instead of 19xh; when neither
+    the scalar slab plan nor the channel slab kernels can take the shape
+    (lane-unaligned grids) the conversion still engages — the exact-order
+    jnp sweeps GSPMD-partition and beat the Q-channel jnp solve."""
     if state.h.shape[1] == 2:
         return None
-    if mesh is None:
-        ok = _scalar_carry_ok(params, state.h.shape)
+    B = state.h.shape[0]
+    if mesh is None or params.lattice.dim != 3:
+        ok = _scalar_carry_ok(params, state)
     else:
-        from ..parallel.step3d import scalar_sharded_ok
+        from ..parallel.step3d import scalar_sharded_ok, sharded3d_ok
 
-        B = state.h.shape[0]
         ok = (
-            _scalar_physics_ok(params)
+            _scalar_physics_ok(params, state.magnetic_flags)
             and B == 1
-            and scalar_sharded_ok(
-                mesh, (B, 2, *state.h.shape[2:]), params.poisson_iters,
-                interp,
+            and (
+                scalar_sharded_ok(
+                    mesh, (B, 2, *state.h.shape[2:]),
+                    params.poisson_iters, interp,
+                )
+                # channel slab kernels can't take the shape either:
+                # both solves fall back to jnp+GSPMD, where the scalar
+                # form wins — convert
+                or not sharded3d_ok(mesh, state.h.shape, interp)
             )
         )
     if not ok:
@@ -729,11 +781,19 @@ def prime_premac(
     # init_ferrofluid_state (checkpoint resume, replaced flags)
     validate_mag_shell(params, state.magnetic_flags)
 
-    if os.environ.get("LBM_DISABLE_PALLAS") or not (
-        params.use_pallas and lat.dim == 3
-    ):
+    if os.environ.get("LBM_DISABLE_PALLAS") or not params.use_pallas:
         return state
     if state.premac is not None:
+        return state
+
+    if lat.dim != 3:
+        # 2D: no fused kernels exist — the tau==1 scalar Poisson carry
+        # is the only priming (D2Q9 collapse, ops/scalar_poisson.py;
+        # e.g. the 98x384 two-droplets demo's 30-iteration solve drops
+        # from 9 streamed channels to 2 scalar fields)
+        conv = _scalar_convert(params, state)
+        if conv is not None:
+            return dataclasses.replace(state, h=conv[0], cmask=conv[1])
         return state
 
     if mesh is not None:
@@ -748,6 +808,14 @@ def prime_premac(
             fused_step_sharded_ok(mesh, state.f.shape, params.kbc_type, interp)
             and emit_mac_fits(state.f.shape, state.f.dtype)
         ):
+            # no sharded fused kernels for this shape — the scalar
+            # tau==1 carry still applies (slab kernel when the plan
+            # exists, GSPMD jnp sweeps otherwise)
+            conv = _scalar_convert(params, state, mesh=mesh, interp=interp)
+            if conv is not None:
+                return dataclasses.replace(
+                    state, h=conv[0], cmask=conv[1]
+                )
             return state
         rho, vel, density, m0g, m1g = fused_prologue_sharded(
             state.f, state.g, state.flags, state.rho, state.vel, mesh,
@@ -786,6 +854,13 @@ def prime_premac(
               and len(jax.devices()) == 1) or force_fast)
     )
     if not fastpath:
+        # lane-unaligned grids (every reference demo's native
+        # resolution) or a non-fused backend: no mac-carry, but the
+        # tau==1 scalar Poisson carry still engages — solve_H_int_scalar
+        # runs exact-order jnp sweeps there (round-4 verdict #1)
+        conv = _scalar_convert(params, state)
+        if conv is not None:
+            return dataclasses.replace(state, h=conv[0], cmask=conv[1])
         return state
     # The scalar tau==1 Poisson carry is independent of the mac-carry /
     # capillogue fusions (it replaces h storage entirely): convert it on

@@ -185,22 +185,32 @@ def solve_H_int_scalar(
     ops/scalar_poisson.py:make_cmask).  Returns (H2, s2') when ``h2_ext``
     is a 3-tuple and the fused kernel can emit it, else
     (_maybe_h2(H_int), s2') — the same contract as solve_H_int with the
-    scalar carry in place of h.  The sweep order is reassociated vs the
-    channel form (grouped tap weights): ulp-level shift per sweep, NOT
-    bit-exact — the same class of shift as the fast-order jnp sweeps
+    scalar carry in place of h.  The Pallas sweep order is reassociated
+    vs the channel form (grouped tap weights): ulp-level shift per sweep,
+    NOT bit-exact — the same class of shift as the fast-order jnp sweeps
     (tests/test_scalar_poisson.py::test_fast_order_close_to_exact).
+
+    Shapes the Pallas wavefront cannot take (lane-unaligned grids — every
+    reference demo's native resolution, e.g. 130x66x130 — and 2D D2Q9
+    fields [B, 2, H, W]) run :func:`scalar_poisson.scalar_sweeps_jnp`
+    with order="exact" instead: the SAME per-tap arithmetic as the
+    sequential channel sweep (FMA-contraction-level shift only), so
+    engaging the collapse on those grids does not perturb trajectories
+    vs the channel form beyond compiler contraction — still a ~Q-fold
+    traffic/compute cut over streaming Q channels.
     """
     import os
 
     from .pallas.scalar_poisson import (
-        scalar_sweeps_cmask,
         scalar_wavefront,
         scalar_wavefront_hint_ok,
         scalar_wavefront_supported,
     )
 
+    dim = s2.ndim - 2
     pallas_on = (
         use_pallas
+        and dim == 3
         and not os.environ.get("LBM_DISABLE_PALLAS")
         and scalar_wavefront_supported(s2.shape, s2.dtype, n_iters)
         and (jax.default_backend() == "tpu" or interpret)
@@ -231,8 +241,20 @@ def solve_H_int_scalar(
         )
         H_int = -grad_fields(psi_sub, dx=dx)
         return _maybe_h2(H_int, h2_ext), s2
-    s2, psi = scalar_sweeps_cmask(s2, cmask, rhs_scaled, n_iters)
-    H_int = -isotropic_grad(psi, dx, magnetic_flags, 3)
+    # jnp fallback for ANY grid (lane-unaligned 3D, 2D): exact-order
+    # sweeps — per-tap channel-form arithmetic, ascending q — so the
+    # collapse engages at the reference demos' native resolutions
+    # without perturbing trajectories beyond FMA contraction (the
+    # fast-order reassociation would shift the chaotic spike
+    # trajectories behind the f32 spike-parity evidence)
+    from .scalar_poisson import scalar_sweeps_jnp
+
+    psi, s, sp = scalar_sweeps_jnp(
+        s2[:, :1], s2[:, 1:2], rhs_scaled, None, magnetic_flags, n_iters,
+        order="exact",
+    )
+    s2 = jnp.concatenate([s, sp], axis=1)
+    H_int = -isotropic_grad(psi, dx, magnetic_flags, dim)
     return _maybe_h2(H_int, h2_ext), s2
 
 

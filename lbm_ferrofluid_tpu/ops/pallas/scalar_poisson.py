@@ -233,7 +233,18 @@ def _scalar_wavefront_kernel(k, Z, emit, inv12dx, h_ext, FR, slab, ghost,
         routes extended plane e < G to the lo band, e >= G+Zl to the hi
         band, else the real s2 ref (wrap re-reads land in the read-only
         lo band since k <= G).  All variants move identical byte counts,
-        so the shared wait descriptor in ``in_copies`` stays valid."""
+        so the shared wait descriptor in ``in_copies`` stays valid.
+
+        NOTE (ghost mode): the wait path deliberately reuses that shared
+        descriptor, which slices ``s2_ref`` at the EXTENDED plane index
+        (up to Zl+2G-1 against a Zl-plane ref) even for planes whose
+        start was routed to a band ref.  This is safe only because (a)
+        ``pl.ds`` clamps an out-of-range dynamic start instead of
+        faulting, and (b) a DMA semaphore wait consumes a BYTE COUNT,
+        not an address — the wait never touches the (clamped,
+        meaningless) source slice, it only needs the byte count to match
+        the started copy, which it does since every routing variant
+        moves one [2, 1, Y, X] plane."""
         if ghost is None:
             for cp in in_copies(plane):
                 cp.start()
@@ -618,15 +629,22 @@ def _scalar_wavefront_impl(
         Z = Zl + 2 * G
         if cmask.shape[2] != Z or rhs_scaled.shape[2] != Z:
             raise ValueError("ghost mode needs EXTENDED cmask/rhs")
-        if not (k == n_iters and G >= k and Zl >= 3):
+        g_min = k + 1 if emit == "h2" else k
+        if not (k == n_iters and G >= g_min and Zl >= 3):
             # Zl >= 3: the exit drain waits out_copy for the last THREE
             # real planes (3-slot ring); at Zl == 2 the third wait would
             # target a never-started DMA — an unmatched semaphore wait
             # hangs real hardware while interpret mode passes (the
-            # CLAUDE.md fused_step class)
+            # CLAUDE.md fused_step class).
+            # emit='h2' needs G >= k+1, not just k: the trailing grad at a
+            # slab-interior edge real plane reads extended psi plane G-1,
+            # which is exact after k sweeps only when G-1 >= k — G == k
+            # would silently corrupt H2 at slab-boundary planes (the same
+            # silent-ghost-corruption class as the round-3 G>Zl bug).
             raise ValueError(
-                f"ghost mode requires a single pass and Zl >= 3: k={k} "
-                f"vs n_iters={n_iters}, G={G}, Zl={Zl}"
+                f"ghost mode requires a single pass, G >= "
+                f"{'k+1 (emit=h2 grad validity)' if emit == 'h2' else 'k'} "
+                f"and Zl >= 3: k={k} vs n_iters={n_iters}, G={G}, Zl={Zl}"
             )
     else:
         _, C, Z, Y, X = s2.shape

@@ -64,7 +64,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..lattice import D3Q19
+from ..lattice import D3Q19, get_lattice
 from ..utils.types import CellType
 
 __all__ = [
@@ -86,8 +86,28 @@ _OBS = int(CellType.OBSTACLE)
 INV_1MW0 = 1.5
 
 
+def _lat_of(field):
+    """Lattice from array rank: [B, C, Z, Y, X] -> D3Q19, [B, C, Y, X] ->
+    D2Q9.  The same rank-one collapse algebra holds for D2Q9 (tau == 1
+    collision is w_q * (psi + rhs) for q >= 1 and full-way bounce-back is
+    the identical lag-2 self-reflection; reference
+    src/LBM/LBM_magnetic/LBM_magnetic_2d.py:88-164)."""
+    return get_lattice(field.ndim - 2)
+
+
+def _psi_of(acc, lat):
+    """psi = acc / (1 - w0).  D3Q19: multiply by the exact 1.5 (bitwise
+    contract with the Pallas kernels' inv_1mw0, ops/pallas/poisson.py).
+    D2Q9: 1/(1 - 4/9) = 1.8 is not exactly representable, so divide by
+    f32(1 - w0) exactly as the channel-form solve does
+    (ops/magnetic.py:solve_H_int jnp body)."""
+    if lat.dim == 3:
+        return acc * np.float32(INV_1MW0)
+    return acc / np.float32(1.0 - float(lat.weights[0]))
+
+
 def _roll(x, shift):
-    return jnp.roll(x, shift, axis=(-3, -2, -1))
+    return jnp.roll(x, shift, axis=tuple(range(-len(shift), 0)))
 
 
 def fluid_mask(magnetic_flags, dtype=jnp.float32):
@@ -96,20 +116,21 @@ def fluid_mask(magnetic_flags, dtype=jnp.float32):
 
 
 def wall_weight_field(magnetic_flags, dtype=jnp.float32):
-    """The static lag-tap coefficient  c(x) = 1.5 * sum_{q: x-e_q obs} w_q.
+    """The static lag-tap coefficient  c(x) = 1/(1-w0) sum_{q: x-e_q obs} w_q.
 
     Nonzero only at fluid cells adjacent to an obstacle; multiplied by
     s_prev(x) it contributes exactly the wall-crossing taps of the sweep.
     Returned masked to fluid cells (psi at obstacles is discarded anyway).
+    Lattice (D3Q19 / D2Q9) inferred from the flag array's rank.
     """
-    lat = D3Q19
+    lat = _lat_of(magnetic_flags)
     shifts = lat.shifts()
     obs = (magnetic_flags == _OBS).astype(jnp.float32)
     c = None
-    for q in range(1, 19):
+    for q in range(1, lat.q):
         t = np.float32(float(lat.weights[q])) * _roll(obs, shifts[q])
         c = t if c is None else c + t
-    c = c * np.float32(INV_1MW0) * fluid_mask(magnetic_flags)
+    c = _psi_of(c, lat) * fluid_mask(magnetic_flags)
     return c.astype(dtype)
 
 
@@ -131,11 +152,9 @@ def scalar_from_h(h, magnetic_flags):
     prime-time gate in models/ferrofluid.py).
     """
     hf = h.astype(jnp.float32)
-    return (
-        jnp.sum(hf[:, 1:], axis=1, keepdims=True)
-        * np.float32(INV_1MW0)
-        * fluid_mask(magnetic_flags)
-    )
+    return _psi_of(
+        jnp.sum(hf[:, 1:], axis=1, keepdims=True), _lat_of(h)
+    ) * fluid_mask(magnetic_flags)
 
 
 def s_prev_from_h(h, magnetic_flags):
@@ -148,13 +167,13 @@ def s_prev_from_h(h, magnetic_flags):
     save the pair directly); the first post-resume sweep is then exact to
     ulp, and every later sweep regenerates the lag values exactly.
     """
-    lat = D3Q19
+    lat = _lat_of(h)
     shifts = lat.shifts()
     hf = h.astype(jnp.float32)
     obs = magnetic_flags == _OBS
     num = jnp.zeros_like(hf[:, :1])
     den = jnp.zeros_like(hf[:, :1])
-    for q in range(1, 19):
+    for q in range(1, lat.q):
         src_obs = _roll(obs.astype(jnp.float32), shifts[q])
         tap = _roll(hf[:, q : q + 1], shifts[q])
         num = num + src_obs * tap
@@ -175,7 +194,7 @@ def h_from_scalar(s, s_prev, rhs_scaled, magnetic_flags, h_dtype):
       reader (module docstring), so the reconstruction is exact at every
       channel any future dynamics consult.
     """
-    lat = D3Q19
+    lat = _lat_of(magnetic_flags)
     shifts = lat.shifts()
     mask = fluid_mask(magnetic_flags)
     obs = 1.0 - mask
@@ -186,7 +205,7 @@ def h_from_scalar(s, s_prev, rhs_scaled, magnetic_flags, h_dtype):
     h0 = ((w0 - 1.0) * psi + w0 * rhs_scaled) * mask
     chans = [h0]
     spf = s_prev.astype(jnp.float32) * mask
-    for q in range(1, 19):
+    for q in range(1, lat.q):
         wq = np.float32(float(lat.weights[q]))
         fluid_val = wq * sf
         # obstacle cell x holds w_q * s_prev(x + e_q): push s_prev back
@@ -233,30 +252,48 @@ def scalar_sweeps_jnp(
     in f32 (modulo XLA FMA-contraction, barriered in the tests): per-tap
     products f32(w_q * tap) summed in ascending q order, with the wall
     sources substituted per tap.  order="fast" groups taps by weight value
-    (axis 1/18, diagonal 1/36) and applies the wall taps through the
-    pre-summed c(x) — ~2x fewer VPU ops, reassociated (ulp-level shift per
-    sweep, contracted by the Jacobi iteration).
-    """
-    lat = D3Q19
+    (D3Q19: axis 1/18, diagonal 1/36; D2Q9: axis 1/9, diagonal 1/36) and
+    applies the wall taps through the pre-summed c(x) — ~2x fewer VPU
+    ops, reassociated (ulp-level shift per sweep, contracted by the
+    Jacobi iteration).  Lattice inferred from the array rank (D2Q9 for
+    [B, 1, Y, X] fields — the identical collapse algebra, module
+    docstring)."""
+    lat = _lat_of(s)
+    Q = lat.q
     shifts = lat.shifts()
     w = [float(v) for v in lat.weights]
-    axis_q = [q for q in range(1, 19) if abs(w[q] - 1.0 / 18.0) < 1e-12]
-    diag_q = [q for q in range(1, 19) if abs(w[q] - 1.0 / 36.0) < 1e-12]
+    # group the non-rest taps by weight value (two classes on both
+    # lattices: axis-aligned and diagonal)
+    w_ax = max(w[1:])
+    axis_q = [q for q in range(1, Q) if abs(w[q] - w_ax) < 1e-12]
+    diag_q = [q for q in range(1, Q) if abs(w[q] - w_ax) >= 1e-12]
+    w_dg = w[diag_q[0]]
     mask = fluid_mask(magnetic_flags)
     obs_f = 1.0 - mask
 
     if order == "exact":
         # static per-tap wall masks (the roll of the obstacle indicator)
-        wall_m = [None] + [_roll(obs_f, shifts[q]) for q in range(1, 19)]
+        wall_m = [None] + [_roll(obs_f, shifts[q]) for q in range(1, Q)]
+
+    if lat.dim == 3:
+        inv_ax = np.float32(INV_1MW0 * w_ax)
+        inv_dg = np.float32(INV_1MW0 * w_dg)
+    else:
+        # D2Q9: fold the division into the group weights the same way
+        # the f64->f32 rounding of the channel form would (ulp-level;
+        # fast order is reassociated regardless)
+        one_m_w0 = 1.0 - w[0]
+        inv_ax = np.float32(w_ax / one_m_w0)
+        inv_dg = np.float32(w_dg / one_m_w0)
 
     def sweep(s, s_prev):
         if order == "exact":
             acc = None
-            for q in range(1, 19):
+            for q in range(1, Q):
                 tap = _roll(s, shifts[q]) + wall_m[q] * s_prev
                 t = np.float32(w[q]) * tap
                 acc = t if acc is None else acc + t
-            psi = acc * np.float32(INV_1MW0)
+            psi = _psi_of(acc, lat)
         else:
             A = None
             for q in axis_q:
@@ -266,11 +303,7 @@ def scalar_sweeps_jnp(
             for q in diag_q:
                 t = _roll(s, shifts[q])
                 D = t if D is None else D + t
-            psi = (
-                A * np.float32(INV_1MW0 / 18.0)
-                + D * np.float32(INV_1MW0 / 36.0)
-                + c_wall * s_prev
-            )
+            psi = A * inv_ax + D * inv_dg + c_wall * s_prev
         return psi, (psi + rhs_scaled) * mask, s
 
     def body(_, carry):
