@@ -154,6 +154,112 @@ def init_ferrofluid_state(
     )
 
 
+def _box_idx(params: SimulationParams):
+    pz, py, px = params.phys_extent
+    return (Ellipsis, slice(0, pz), slice(0, py), slice(0, px))
+
+
+def _contact_angle_box(params: SimulationParams, rho, flags):
+    """Contact-angle surgery tied to the PHYSICAL box faces.
+
+    phys_extent layouts (scenes.rosensweig_3d_tpu) OBSTACLE-pad the
+    lane/sublane axes, so the reference's surgery — which operates on
+    ARRAY faces (LBM_collision_HCZ_3d.py wetting boundary) — must run on
+    the physical box, in its ORIGINAL orientation (the face-processing
+    order is part of the reproduced semantics: the corner-average quirk
+    is face-order-dependent).  Slice box -> swap (z_a, y_a) back to
+    physical -> reference surgery -> swap -> write back; pad values stay
+    at their wall constants (read by nothing: interior stencils reach at
+    most the seam layer, which lies inside the box)."""
+    from ..ops.collide import contact_angle_boundary
+
+    box = _box_idx(params)
+    sub = rho[box].swapaxes(-3, -2)
+    fsub = flags[box].swapaxes(-3, -2)
+    ca = contact_angle_boundary(
+        sub, fsub, params.contact_angle, 3, spmd=len(jax.devices()) > 1
+    )
+    return rho.at[box].set(ca.swapaxes(-3, -2))
+
+
+def _h2_box(params: SimulationParams, psi, magnetic_flags, hext_static, dx):
+    """H2 = |H_ext + H_int|^2 composed on the PHYSICAL box.
+
+    The in-kernel h2 emission substitutes obstacle psi and replicates the
+    gradient at ARRAY faces; on a phys_extent layout those fixes belong
+    at the physical box faces, so the composition runs in jnp on the box
+    in physical orientation — isotropic_grad applies the identical
+    substitution/replicate the reference does at its own array faces
+    (LBM_magnetic_3d.py get_H_int).  Outside the box H2 is zero (dead:
+    fluid stencils reach at most the seam layer, inside the box)."""
+    from ..ops.magnetic import _maybe_h2
+    from ..ops.stencils import isotropic_grad
+
+    box = _box_idx(params)
+    psi_p = psi[box].swapaxes(-3, -2)
+    mf_p = magnetic_flags[box].swapaxes(-3, -2)
+    H_int_p = -isotropic_grad(psi_p, dx, mf_p, 3)
+    # physical channel order: array (x_a, y_a, z_a) = phys (x, z, y)
+    hext_p = (hext_static[0], hext_static[2], hext_static[1])
+    H2_p = _maybe_h2(H_int_p, hext_p)
+    H2 = jnp.zeros_like(psi)
+    return H2.at[box].set(H2_p.swapaxes(-3, -2))
+
+
+def _hcz_capillary_box(params: SimulationParams, lat, rho, vel, flags,
+                       density, pressure, H2, phi, m0g, m1g):
+    """hcz_capillary on the PHYSICAL box of a phys_extent layout.
+
+    The jnp capillary stage ties its boundary-ring fixes (fai/prho
+    replicate, laplacian zero ring, obstacle substitutions, contact-angle
+    surgery) to ARRAY faces; slicing the box and running in physical
+    orientation reproduces the reference bitwise there.  Vector fields
+    permute channels (0, 2, 1) — its own inverse.  Pad cells keep their
+    previous values (rho/vel/density/pressure) or zeros (force and the
+    gradients, masked/dead outside the box)."""
+    from ..ops import hcz_capillary
+
+    box = _box_idx(params)
+
+    def t(x):
+        return x[box].swapaxes(-3, -2)
+
+    def tv(x):
+        return t(x)[:, (0, 2, 1)]
+
+    grav_p = np.zeros((1, 3, 1, 1, 1), np.float32)
+    grav_p[0, 1] = -params.gravity  # physical vertical
+    rho_p, vel_p, den_p, pres_p, force_p, dfai_p, dprho_p = hcz_capillary(
+        lat, t(rho), tv(vel), t(flags), None, t(density), t(pressure),
+        kappa=params.kappa,
+        gravity=jnp.asarray(grav_p, dtype=vel.dtype),
+        contact_angle=params.contact_angle,
+        rho_gas=params.rho_gas, rho_fluid=params.rho_fluid,
+        density_gas=params.density_gas, density_fluid=params.density_fluid,
+        dx=params.dx, dt=params.dt, H2=t(H2), phi=t(phi),
+        g_sum=t(m0g), g_mom=tv(m1g),
+        use_pallas=False,
+        gravity_static=tuple(float(v) for v in grav_p.reshape(-1)),
+    )
+
+    def back(base, x_p, vec=False):
+        xb = x_p.swapaxes(-3, -2)
+        if vec:
+            xb = xb[:, (0, 2, 1)]
+        return base.at[box].set(xb)
+
+    zeros_v = jnp.zeros_like(vel)
+    return (
+        back(rho, rho_p),
+        back(vel, vel_p, vec=True),
+        back(density, den_p),
+        back(pressure, pres_p),
+        back(zeros_v, force_p, vec=True),
+        back(zeros_v, dfai_p, vec=True),
+        back(zeros_v, dprho_p, vec=True),
+    )
+
+
 def _capillogue_rhs_cfg(params: SimulationParams):
     """emit_rhs tuple for the capillogue kernel, or None.
 
@@ -313,7 +419,25 @@ def ferrofluid_step_impl(
             phi = _phi()
         if lat.dim == 3:
             from ..parallel.step3d import scalar_sharded_ok
-        if (
+        if params.phys_extent is not None:
+            # padded transposed layout (scenes.rosensweig_3d_tpu): run
+            # the sweeps on the padded arrays — exact for any geometry
+            # (lag-2 self-reflection + periodic z-wrap on the open axis)
+            # — but compose H2 on the PHYSICAL box: the gradient's
+            # obstacle substitution and output replicate belong at the
+            # box faces, not the padded array faces
+            from ..ops.magnetic import solve_psi_scalar
+
+            psi, h = solve_psi_scalar(
+                state.h, state.cmask, state.magnetic_flags, rhs_sc,
+                n_iters=params.poisson_iters,
+                use_pallas=params.use_pallas and mesh is None,
+                interpret=interp_fast,
+            )
+            H2 = _h2_box(
+                params, psi, state.magnetic_flags, hext_static, dx
+            )
+        elif (
             lat.dim == 3 and mesh is not None and pallas_on
             and scalar_sharded_ok(
                 mesh, state.h.shape, params.poisson_iters, interp
@@ -352,6 +476,15 @@ def ferrofluid_step_impl(
                 interpret=interp_fast,
             )
     else:
+        if params.phys_extent is not None:
+            # the channel-form solve composes its gradient at array
+            # faces; on a padded layout that silently mis-places the
+            # substitution — phys_extent runs require the scalar carry
+            raise NotImplementedError(
+                "phys_extent layouts require the tau==1 scalar Poisson "
+                "carry (run prime_premac on the state; incompatible "
+                "with LBM_DISABLE_PALLAS only if priming was skipped)"
+            )
         H2, h = solve_H_int(
             lat,
             state.h,
@@ -388,7 +521,12 @@ def ferrofluid_step_impl(
                 contact_angle_3d_supported,
             )
 
-            if contact_angle_3d_supported(rho.shape):
+            if params.phys_extent is not None:
+                # surgery tied to the PHYSICAL box faces, in the
+                # reference's orientation (face-order-dependent corner
+                # semantics) — the array-face kernel twin must not run
+                rho_ca = _contact_angle_box(params, rho, state.flags)
+            elif contact_angle_3d_supported(rho.shape):
                 # kernel twin of the jnp scatter chain: rho and flags
                 # read once, rho_ca written once (the x-face
                 # dynamic-update-slices are whole-tile RMW on TPU layout
@@ -419,6 +557,12 @@ def ferrofluid_step_impl(
                 # emit_rhs=None (e.g. h_ext_axis=2) force stays an array
                 emit_rhs=emit_rhs, emit_force=emit_rhs is None,
                 interpret=interp_fast,
+                # phys_extent: in-plane boundary-ring fixes (fai/prho/chi
+                # replicate, laplacian zero ring) land at the PHYSICAL
+                # box faces instead of the padded array faces
+                bounds=(
+                    params.phys_extent[1:] if params.phys_extent else None
+                ),
             )
             return FerrofluidState(
                 f=f, g=g, h=h, rho=rho_ca, vel=vel, density=density,
@@ -488,33 +632,44 @@ def ferrofluid_step_impl(
         # prime_premac's (same shape/dtype inputs, so they cannot in
         # practice) — hcz_capillary and the carried state need a real phi
         phi = _phi()
-    rho, vel, density, pressure, force, dfai, dprho = hcz_capillary(
-        lat,
-        rho,
-        vel,
-        state.flags,
-        state.g if fused else g,  # unused when g_sum/g_mom are given
-        density,
-        state.pressure,
-        kappa=params.kappa,
-        gravity=jnp.asarray(params.gravity_vec(), dtype=vel.dtype),
-        contact_angle=params.contact_angle,
-        rho_gas=params.rho_gas,
-        rho_fluid=params.rho_fluid,
-        density_gas=params.density_gas,
-        density_fluid=params.density_fluid,
-        dx=dx,
-        dt=dt,
-        H2=H2,
-        phi=phi,
-        g_sum=m0g,
-        g_mom=m1g,
-        use_pallas=params.use_pallas,
-        mesh=mesh,
-        gravity_static=tuple(
-            float(gv) for gv in params.gravity_vec().reshape(-1)
-        ),
-    )
+    if params.phys_extent is not None:
+        # box-sliced jnp capillary stage (boundary-ring fixes at the
+        # physical faces); the Pallas stencil kernels tie theirs to the
+        # padded array faces and must not run here
+        rho, vel, density, pressure, force, dfai, dprho = (
+            _hcz_capillary_box(
+                params, lat, rho, vel, state.flags, density,
+                state.pressure, H2, phi, m0g, m1g,
+            )
+        )
+    else:
+        rho, vel, density, pressure, force, dfai, dprho = hcz_capillary(
+            lat,
+            rho,
+            vel,
+            state.flags,
+            state.g if fused else g,  # unused when g_sum/g_mom are given
+            density,
+            state.pressure,
+            kappa=params.kappa,
+            gravity=jnp.asarray(params.gravity_vec(), dtype=vel.dtype),
+            contact_angle=params.contact_angle,
+            rho_gas=params.rho_gas,
+            rho_fluid=params.rho_fluid,
+            density_gas=params.density_gas,
+            density_fluid=params.density_fluid,
+            dx=dx,
+            dt=dt,
+            H2=H2,
+            phi=phi,
+            g_sum=m0g,
+            g_mom=m1g,
+            use_pallas=params.use_pallas,
+            mesh=mesh,
+            gravity_static=tuple(
+                float(gv) for gv in params.gravity_vec().reshape(-1)
+            ),
+        )
     premac = None
     if fastpath:
         if state.premac is not None:
@@ -605,7 +760,7 @@ def ferrofluid_step_impl(
     )
 
 
-def _mag_boundary_only(magnetic_flags) -> bool:
+def _mag_boundary_only(magnetic_flags, phys_extent=None) -> bool:
     """Concrete check: every OBSTACLE magnetic cell lies on the domain's
     outermost ring.  That is the GENERAL physics precondition of the
     tau==1 scalar collapse — psi at obstacle cells is discarded by the
@@ -622,8 +777,26 @@ def _mag_boundary_only(magnetic_flags) -> bool:
         mf = np.asarray(magnetic_flags)
     except Exception:
         return False  # traced flags: cannot inspect values
+    obs = int(CellType.OBSTACLE)
+    if phys_extent is not None:
+        # padded layout: everything OUTSIDE the physical box must be
+        # OBSTACLE (dead pad) and the BOX interior obstacle-free — the
+        # box plays the role the whole array plays in the plain layout
+        # (the step's _h2_box composition substitutes at its faces)
+        pz, py, px = phys_extent
+        if (
+            (mf[..., pz:, :, :] != obs).any()
+            or (mf[..., :, py:, :] != obs).any()
+            or (mf[..., :, :, px:] != obs).any()
+        ):
+            return False
+        interior = (
+            Ellipsis,
+            slice(1, pz - 1), slice(1, py - 1), slice(1, px - 1),
+        )
+        return not (mf[interior] == obs).any()
     interior = (Ellipsis,) + tuple(slice(1, -1) for _ in mf.shape[2:])
-    return not (mf[interior] == int(CellType.OBSTACLE)).any()
+    return not (mf[interior] == obs).any()
 
 
 def _scalar_physics_ok(params: SimulationParams, magnetic_flags=None) -> bool:
@@ -640,10 +813,10 @@ def _scalar_physics_ok(params: SimulationParams, magnetic_flags=None) -> bool:
         and jnp.dtype(params.h_dtype) != jnp.float64
         and params.h_ext_axis in tuple(range(params.dim))
         and (
-            params.mag_flags_shell
+            (params.mag_flags_shell and params.phys_extent is None)
             or (
                 magnetic_flags is not None
-                and _mag_boundary_only(magnetic_flags)
+                and _mag_boundary_only(magnetic_flags, params.phys_extent)
             )
         )
     )

@@ -44,6 +44,13 @@ class SimulationParams:
     k: float = 0.33  # magnetic susceptibility scale
 
     kbc_type: int | None = None  # None/LBGK or a KBCType value
+    # Axis gravity acts along (negative direction; channel order x=0, y=1,
+    # z=2).  The reference hard-codes -y (LBM_collision_3d.py:124-131);
+    # the transposed TPU-native scene layouts (scenes.rosensweig_3d_tpu)
+    # map the physical vertical onto the array z axis so the lane/sublane
+    # axes can be OBSTACLE-padded to fused-kernel alignment without
+    # touching the open (periodic) field axis.
+    gravity_axis: int = 1
     mag_strength: float = 0.0
     # axis of the constant external field H_ext = mag_strength * e_axis
     # (channel order x=0, y=1, z=2; the Rosensweig demos drive along y).
@@ -82,6 +89,20 @@ class SimulationParams:
     # rolls/stencils GSPMD lowers to ICI collective-permutes automatically.
     use_pallas: bool = True
 
+    # Physical domain extent (z, y, x array order) when the state arrays
+    # are OBSTACLE-padded past it to reach fused-kernel lane/sublane
+    # alignment (scenes.rosensweig_3d_tpu: 130x66x130 native ->
+    # 66x136x256 transposed+padded).  Full-way bounce-back walls are
+    # absorbing (the lag-2 self-reflection, ops/scalar_poisson.py), so
+    # thickening a wall leaves interior physics exactly invariant — but
+    # two reference behaviors are tied to ARRAY faces, not walls, and the
+    # step reproduces them at the physical seams when this is set:
+    # contact-angle surgery (applied on the physical box in its original
+    # orientation) and the magnetic-gradient obstacle-psi substitution +
+    # output replicate (applied on the box before H2 composition).
+    # None = arrays are the physical domain (every other scene).
+    phys_extent: tuple[int, ...] | None = None
+
     # Storage dtype for the magnetic Poisson distribution h.  "bfloat16"
     # halves the dominant HBM traffic of the 30-sweep inner loop (compute
     # stays f32 in-register); NOT bit-parity with the reference — opt-in for
@@ -113,10 +134,11 @@ class SimulationParams:
         return self.c * self.c / 3.0
 
     def gravity_vec(self, dtype=np.float32) -> np.ndarray:
-        """Gravity vector [1, dim, 1...] acting along -y (reference
-        LBM_collision_2d.py:104-111 / _3d.py:124-131)."""
+        """Gravity vector [1, dim, 1...] acting along -gravity_axis
+        (reference: -y, LBM_collision_2d.py:104-111 / _3d.py:124-131;
+        transposed TPU layouts use -z)."""
         g = np.zeros((1, self.dim, *([1] * self.dim)), dtype=dtype)
-        g[0, 1] = -self.gravity
+        g[0, self.gravity_axis] = -self.gravity
         return g
 
     @staticmethod
@@ -136,7 +158,10 @@ class SimulationParams:
 
     @classmethod
     def from_json(cls, s: str) -> "SimulationParams":
-        return cls(**json.loads(s))
+        d = json.loads(s)
+        if d.get("phys_extent") is not None:
+            d["phys_extent"] = tuple(d["phys_extent"])  # hashability
+        return cls(**d)
 
     def replace(self, **kw) -> "SimulationParams":
         return dataclasses.replace(self, **kw)

@@ -33,6 +33,8 @@ __all__ = [
     "droplet_spread_3d",
     "two_droplets_3d",
     "rosensweig_3d",
+    "rosensweig_3d_tpu",
+    "phys_view",
 ]
 
 # the multiphase demos share one fluid (reference: demo_*_HCZ.py headers)
@@ -298,6 +300,81 @@ def two_droplets_3d(res=(50, 50, 193), mag_strength=100.0, gravity=0.0, batch=1)
     _apply_wall(rho, den, flags)
     vel = np.zeros((batch, 3, D, H, W), np.float32)
     return params, init_ferrofluid_state(params, rho, den, vel, flags, mflags)
+
+
+def _ceil(n, m):
+    return ((n + m - 1) // m) * m
+
+
+def rosensweig_3d_tpu(res=(130, 66, 130), mag_strength=100.0, gravity=1e-4,
+                      batch=1):
+    """The native-resolution Rosensweig scene in the TRANSPOSED + PADDED
+    TPU layout: same physics as :func:`rosensweig_3d` at the reference's
+    own demo default (demo_3d_LBM_Rosensweig_instability.py:253), but the
+    state arrays reach the fused Pallas fast path.
+
+    Two obstructions keep the plain layout off the fast path at native
+    resolution: the lane/sublane alignment (X % 128, Y % 8) and the
+    magnetic domain being OPEN (periodic, via the streaming rolls) along
+    the field axis y — an axis can only be OBSTACLE-padded if it is
+    walled (full-way bounce-back is absorbing: the lag-2 self-reflection
+    makes interior physics exactly invariant under wall thickening,
+    ops/scalar_poisson.py), so y itself must not be padded.  The fix is a
+    layout rotation: map the open physical axis onto the array's z
+    (outer) axis, which has NO alignment constraint and which every fused
+    kernel already treats periodically (the z-wrap ring reads), and pad
+    the two walled axes to alignment:
+
+        physical (z_p, y_p, x_p) = (130, 66, 130), open y_p
+        array    (z_a, y_a, x_a) = (y_p, z_p -> 136, x_p -> 256)
+
+    Gravity and H_ext act along array z (gravity_axis=2, h_ext_axis=2);
+    ``params.phys_extent = (66, 130, 130)`` marks the physical box so the
+    step reproduces the reference's ARRAY-FACE-tied behaviors (contact-
+    angle surgery, stencil boundary-ring fixes, magnetic-gradient
+    substitution) at the physical seams instead of the padded faces.
+    Slice results back with :func:`phys_view`.
+    """
+    D, H, W = res  # physical (z_p, y_p, x_p), reference argparse order
+    Za, Ya, Xa = H, _ceil(D, 8), _ceil(W, 128)
+    params = SimulationParams(
+        dim=3, kappa=0.01, tau_f=0.68, tau_g=0.68, gravity=gravity,
+        gravity_axis=2, contact_angle=0.5 * math.pi,
+        mag_strength=mag_strength, h_ext_axis=2, poisson_iters=30,
+        phys_extent=(Za, D, W), **_MP,
+    )
+    # all-OBSTACLE padded arrays; the physical box lives at
+    # [..., :Za, :D, :W] with array (z_a, y_a, x_a) = phys (y_p, z_p, x_p)
+    flags = np.full((batch, 1, Za, Ya, Xa), int(CellType.OBSTACLE), np.uint8)
+    flags[..., 1:Za - 1, 1:D - 1, 1:W - 1] = int(CellType.FLUID)
+    mflags = np.full((batch, 1, Za, Ya, Xa), int(CellType.OBSTACLE), np.uint8)
+    mflags[..., :, 1:D - 1, 1:W - 1] = int(CellType.FLUID)  # open along z_a
+    rho = np.full((batch, 1, Za, Ya, Xa), _MP["rho_gas"], np.float32)
+    den = np.full((batch, 1, Za, Ya, Xa), _MP["density_gas"], np.float32)
+    # pool fills the lower half of the physical vertical (y_p = z_a)
+    rho[..., : int(0.5 * H), :, :] = _MP["rho_fluid"]
+    den[..., : int(0.5 * H), :, :] = _MP["density_fluid"]
+    _apply_wall(rho, den, flags)
+    vel = np.zeros((batch, 3, Za, Ya, Xa), np.float32)
+    return params, init_ferrofluid_state(params, rho, den, vel, flags, mflags)
+
+
+def phys_view(params, field, vector=False):
+    """Physical-orientation view of a padded transposed-state field.
+
+    Slices the physical box out of a ``phys_extent`` array and swaps the
+    (z_a, y_a) axes back to the reference's (z_p, y_p, x_p) order; with
+    ``vector=True`` the channel components are permuted to physical
+    (x, y, z) order (array channel 2 = physical y, channel 1 = physical
+    z).  Identity for states without phys_extent."""
+    if params.phys_extent is None:
+        return field
+    pz, py, px = params.phys_extent
+    box = field[..., :pz, :py, :px]
+    out = box.swapaxes(-3, -2)
+    if vector and out.shape[1] == 3:
+        out = out[:, (0, 2, 1)]
+    return out
 
 
 def rosensweig_3d(res=(130, 66, 130), mag_strength=100.0, gravity=1e-4, batch=1):

@@ -29,7 +29,7 @@ from .stream import bounce_back, stream
 
 __all__ = [
     "magnetic_sweep", "solve_H_int", "solve_H_int_scalar",
-    "poisson_rhs_scaled",
+    "solve_psi_scalar", "poisson_rhs_scaled",
 ]
 
 
@@ -256,6 +256,58 @@ def solve_H_int_scalar(
     s2 = jnp.concatenate([s, sp], axis=1)
     H_int = -isotropic_grad(psi, dx, magnetic_flags, dim)
     return _maybe_h2(H_int, h2_ext), s2
+
+
+def solve_psi_scalar(
+    s2: jnp.ndarray,
+    cmask: jnp.ndarray,
+    magnetic_flags: jnp.ndarray,
+    rhs_scaled: jnp.ndarray,
+    *,
+    n_iters: int = 30,
+    use_pallas: bool = True,
+    interpret: bool = False,
+):
+    """Scalar tau==1 sweeps WITHOUT the gradient composition.
+
+    Returns ``(psi_last, s2')`` — the last pre-collision psi and the
+    advanced carry.  For callers that compose H_int/H2 themselves with
+    non-array-face boundary semantics: the padded transposed layouts
+    (params.phys_extent) substitute obstacle psi and replicate the
+    gradient at the PHYSICAL box faces (models/ferrofluid.py:_h2_box),
+    so the in-kernel h2/hint emission (array-face fixes) must not run.
+    Dispatch mirrors :func:`solve_H_int_scalar`: the Pallas wavefront
+    (emit="psi") on supported 3D shapes, exact-order jnp sweeps
+    otherwise.
+    """
+    import os
+
+    from .pallas.scalar_poisson import (
+        scalar_wavefront,
+        scalar_wavefront_supported,
+    )
+
+    dim = s2.ndim - 2
+    pallas_on = (
+        use_pallas
+        and dim == 3
+        and not os.environ.get("LBM_DISABLE_PALLAS")
+        and scalar_wavefront_supported(s2.shape, s2.dtype, n_iters)
+        and (jax.default_backend() == "tpu" or interpret)
+    )
+    if pallas_on:
+        s2, psi = scalar_wavefront(
+            s2, cmask, rhs_scaled, n_iters=n_iters, emit="psi",
+            interpret=interpret,
+        )
+        return psi, s2
+    from .scalar_poisson import scalar_sweeps_jnp
+
+    psi, s, sp = scalar_sweeps_jnp(
+        s2[:, :1], s2[:, 1:2], rhs_scaled, None, magnetic_flags, n_iters,
+        order="exact",
+    )
+    return psi, jnp.concatenate([s, sp], axis=1)
 
 
 def solve_H_int(

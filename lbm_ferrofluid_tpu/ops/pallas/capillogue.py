@@ -98,7 +98,8 @@ def capillogue_fits(shape, fg_dtype) -> bool:
 
 def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
                        density_gas, density_fluid, tau_f, tau_g, dx, dt,
-                       Z, fg_dtype, emit_rhs, emit_force, slab, *refs):
+                       Z, fg_dtype, emit_rhs, emit_force, slab, bounds,
+                       *refs):
     lat = D3Q19
     n_cap = (9 if emit_rhs else 8) + (1 if slab else 0)
     (f_ref, g_ref, flags_ref,
@@ -167,6 +168,11 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
         (sem_fo, sem_go, sem_co, sem_mo, sem_s, sem_post) = scr[o + 3 + n_cap:]
 
     Y, X = f_ref.shape[2], f_ref.shape[3]
+    # effective in-plane hi edges of the boundary-ring fixes: the
+    # PHYSICAL box faces on OBSTACLE-padded layouts (params.phys_extent),
+    # where the reference's array faces live; the padded region beyond is
+    # dead (all cells OBSTACLE, outputs masked)
+    by, bx = bounds if bounds is not None else (Y, X)
     c = dx / dt
     cs2 = c * c / 3.0
     RT = cs2
@@ -236,7 +242,7 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
             compute_derived(q)
             slot = slot5(q)
             drv[2][0, slot] = _ring_replicate_plane(
-                lap_ring[0, slot], Y, X
+                lap_ring[0, slot], Y, X, by, bx
             )
 
     def cplane(name, q, ch=0):
@@ -252,10 +258,10 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
         slot = slot5(q)
         rho = cplane("rho", q)
         drv[0][0, slot] = _ring_replicate_plane(
-            eos_pressure(rho, dx=dx, dt=dt) - rho * RT, Y, X
+            eos_pressure(rho, dx=dx, dt=dt) - rho * RT, Y, X, by, bx
         )
         drv[1][0, slot] = _ring_replicate_plane(
-            cplane("pres", q) - RT * cplane("den", q), Y, X
+            cplane("pres", q) - RT * cplane("den", q), Y, X, by, bx
         )
         # phi in-register from the SAME density the step's jnp glue used
         # (bit-identical expression order: models/ferrofluid.py phi=...),
@@ -267,7 +273,7 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
         )
         cr = CHI_K * (1.0 - smooth_phi(phi_q, 0.1 * dx))
         drv[3][0, slot] = cr
-        drv[4][0, slot] = _ring_replicate_plane(cr, Y, X)
+        drv[4][0, slot] = _ring_replicate_plane(cr, Y, X, by, bx)
 
     def fill_lap(q, zero_if=None):
         win = {oz: density_of(cplane("rhoca", q + oz)) for oz in (-1, 0, 1)}
@@ -278,7 +284,7 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
         res = acc * inv6dx2
         col = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0)
-        edge = (col == 0) | (col == X - 1) | (row == 0) | (row == Y - 1)
+        edge = (col == 0) | (col == bx - 1) | (row == 0) | (row == by - 1)
         res = jnp.where(edge, jnp.zeros((), res.dtype), res)
         if zero_if is not None:
             # slab boundary plane: the whole-plane zero applies only on a
@@ -286,7 +292,7 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
             res = jnp.where(zero_if, jnp.zeros((), res.dtype), res)
         slot = slot5(q)
         lap_ring[0, slot] = res
-        drv[2][0, slot] = _ring_replicate_plane(res, Y, X)
+        drv[2][0, slot] = _ring_replicate_plane(res, Y, X, by, bx)
 
     def fill_lap_zero(q):
         lap_ring[0, slot5(q)] = jnp.zeros((Y, X), jnp.float32)
@@ -798,7 +804,7 @@ def _capillogue_kernel(kappa, gravity, mu0_half, rho_gas, rho_fluid,
 @functools.partial(jax.jit, static_argnames=(
     "kappa", "gravity", "mu0_half", "rho_gas", "rho_fluid", "density_gas",
     "density_fluid", "tau_f", "tau_g", "dx", "dt", "emit_rhs", "emit_force",
-    "rebatch", "interpret",
+    "rebatch", "interpret", "bounds",
 ))
 def lbm_capillogue(
     f, g, flags, rho_pre, density_pre, pressure_old, rho_ca, H2,
@@ -806,7 +812,7 @@ def lbm_capillogue(
     ghosts=None, cap_ghosts=None, clamp=None, *,
     kappa, gravity, mu0_half, rho_gas, rho_fluid, density_gas,
     density_fluid, tau_f, tau_g, dx=1.0, dt=1.0, emit_rhs=None,
-    emit_force=True, rebatch=True, interpret=False,
+    emit_force=True, rebatch=True, interpret=False, bounds=None,
 ):
     """One fused pass: capillary stage + HCZ collide + mac emission.
 
@@ -978,6 +984,7 @@ def lbm_capillogue(
             float(tau_g), float(dx), float(dt), Z, f.dtype,
             tuple(emit_rhs) if emit_rhs is not None else None,
             bool(emit_force), slab,
+            tuple(int(v) for v in bounds) if bounds is not None else None,
         ),
         grid=(1,),
         in_specs=in_specs,

@@ -67,15 +67,23 @@ _LAP_TAPS = (
 )
 
 
-def _ring_replicate_plane(v, Y, X):
+def _ring_replicate_plane(v, Y, X, by=None, bx=None):
     """Replace the y/x boundary ring with nearest-interior values (x edges
-    first, then y on the x-fixed result — the fix_ring_replicate order)."""
+    first, then y on the x-fixed result — the fix_ring_replicate order).
+
+    ``by``/``bx`` (static) override the ring's hi edge for OBSTACLE-padded
+    arrays whose PHYSICAL domain ends at row by-1 / col bx-1 < Y-1 / X-1
+    (params.phys_extent): the reference ties this fix to its array faces,
+    which in a padded layout are the physical-box faces, not the padded
+    ones.  Values beyond the box are dead (all-OBSTACLE pad)."""
+    by = Y if by is None else by
+    bx = X if bx is None else bx
     col = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1)
     v = jnp.where(col == 0, _shift_replicate(v, 0, -1, Y, X), v)
-    v = jnp.where(col == X - 1, _shift_replicate(v, 0, 1, Y, X), v)
+    v = jnp.where(col == bx - 1, _shift_replicate(v, 0, 1, Y, X), v)
     row = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0)
     v = jnp.where(row == 0, _shift_replicate(v, -1, 0, Y, X), v)
-    v = jnp.where(row == Y - 1, _shift_replicate(v, 1, 0, Y, X), v)
+    v = jnp.where(row == by - 1, _shift_replicate(v, 1, 0, Y, X), v)
     return v
 
 

@@ -26,6 +26,15 @@ from functools import partial
 
 import numpy as np
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon TPU plugin overrides the env var alone (CLAUDE.md)
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
+
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax  # noqa: E402
@@ -41,10 +50,14 @@ SCENES = {
     "rosensweig_3d": dict(res=(130, 66, 130)),
     "two_droplets_3d": dict(res=(50, 50, 193)),
     "two_droplets_2d": dict(res=(98, 384)),
+    # padded transposed layout: same PHYSICS at the same physical
+    # resolution, but the fused fast path engages; mlups counts PHYSICAL
+    # cells so the number is comparable to the rosensweig_3d rows
+    "rosensweig_3d_tpu": dict(res=(130, 66, 130)),
 }
 
 
-def bench_leg(params, state, steps, warmup=2):
+def bench_leg(params, state, steps, warmup=2, sites=None):
     @partial(jax.jit, donate_argnums=0)
     def chunk(st):
         def body(carry, _):
@@ -60,7 +73,8 @@ def bench_leg(params, state, steps, warmup=2):
     state = chunk(state)
     sync(state)
     dt = time.perf_counter() - t0
-    sites = int(np.prod(state.rho.shape)) * 1
+    if sites is None:
+        sites = int(np.prod(state.rho.shape))
     return sites * steps / dt / 1e6, dt, state
 
 
@@ -74,6 +88,29 @@ def main():
     for name in args.scenes.split(","):
         cfg = SCENES[name]
         params, raw = getattr(scenes, name)(**cfg)
+        sites = int(np.prod(cfg["res"]))  # physical cells
+
+        if params.phys_extent is not None:
+            # the un-primed channel leg is NotImplemented on padded
+            # layouts (requires the scalar carry) — only leg B runs
+            params2, raw2 = getattr(scenes, name)(**cfg)
+            primed = prime_premac(params2, raw2)
+            mlups_b, dt_b, _ = bench_leg(
+                params2, primed, args.steps, sites=sites
+            )
+            rec_b = {
+                "scene": name, "res": list(cfg["res"]),
+                "array_res": list(raw2.rho.shape[2:]),
+                "leg": "padded_fast_path",
+                "engaged": primed.h.shape[1] == 2,
+                "mac_carry": primed.premac is not None,
+                "mlups_phys": round(mlups_b, 2),
+                "seconds": round(dt_b, 3), "steps": args.steps,
+                "backend": jax.default_backend(),
+            }
+            print(json.dumps(rec_b), flush=True)
+            out.append(rec_b)
+            continue
 
         mlups_a, dt_a, _ = bench_leg(params, raw, args.steps)
         rec_a = {

@@ -29,6 +29,15 @@ import time
 
 import numpy as np
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon TPU plugin overrides the env var alone (CLAUDE.md)
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
+
 RES = (64, 33, 64)  # (z, y, x) — the spike-parity / golden config
 STEPS = 10
 MAG = 100.0
