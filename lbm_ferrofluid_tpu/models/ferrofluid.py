@@ -463,6 +463,12 @@ def ferrofluid_step_impl(
                 state.h, state.cmask, rhs_sc, mesh,
                 n_iters=params.poisson_iters, dx=dx, h_ext=hext_static,
                 interpret=interp,
+                # sliver ch1 exchange: valid only under the validated
+                # shell geometry; poisson_psi_halo is the ICI-shortcut
+                # escape hatch knob (params.py)
+                shell_sliver=(
+                    params.mag_flags_shell and params.poisson_psi_halo
+                ),
             )
         else:
             H2, h = solve_H_int_scalar(

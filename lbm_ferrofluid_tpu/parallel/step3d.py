@@ -1411,7 +1411,7 @@ def scalar_sharded_ok(mesh, s2_shape, n_iters, interpret) -> bool:
 
 def scalar_poisson_sharded(
     s2, cmask, rhs_scaled, mesh, *, n_iters, dx=1.0, h_ext=None,
-    interpret=False,
+    interpret=False, shell_sliver=False,
 ):
     """Multi-chip tau==1 scalar Poisson solve; returns (H2, s2').
 
@@ -1424,6 +1424,19 @@ def scalar_poisson_sharded(
     non-final rounds emit their boundary bands in-kernel (emit_bands),
     the final round emits the 1-channel H2 from the trailing grad stage
     with per-device z-clamp (only true domain edges clamp).
+
+    ``shell_sliver`` (round-4 verdict #3; gate on params.mag_flags_shell
+    — geometry validated at init): the s_prev channel of a ghost band is
+    READ only where the extended cmask is positive — wall-adjacent
+    cells, which under the shell declaration are exactly the x-columns
+    {1, X-2} plus the global z-planes {1, Z-2} — so the exchange sends
+    ch1 as a 2-column sliver plus (at most two per band, selected by
+    global plane index) full planes, and the receiver zero-fills the
+    rest.  Zeros multiply c_pos == 0 in the sweep, so results are
+    bit-identical (numpy ==; a ±0 sign may differ at exact-zero cells).
+    Halves the dominant multi-chip exchange term: a [2, G, Y, X] band
+    becomes [1, G, Y, X] + [G, Y, 2] + [2, Y, X] — at the flagship
+    G=16, 256^2 planes: 8.4 -> 4.5 MB/side/round.
 
     Caller must gate on :func:`scalar_sharded_ok`; ``h_ext`` is the
     static 3-tuple external-field vector (h2 emission is always on —
@@ -1465,12 +1478,59 @@ def scalar_poisson_sharded(
         sr = s2[0]
 
         iz = jax.lax.axis_index(_Z)
+        nz_d = jax.lax.psum(1, _Z)
         first_d = iz == 0
-        last_d = iz == jax.lax.psum(1, _Z) - 1
+        last_d = iz == nz_d - 1
         clamp_g = jnp.stack([
             jnp.where(first_d, G + 1, 1),
             jnp.where(last_d, G + Zl - 2, Zext - 2),
         ]).astype(jnp.int32)
+
+        # global Z (traced; equals s2's global extent)
+        Zg = jnp.asarray(Zl, jnp.int32) * jnp.asarray(nz_d, jnp.int32)
+
+        def band_xchg(band, shift):
+            """ring_halo of an (s, s_prev) [2, G, Y, X] edge band; with
+            shell_sliver ch1 travels as sliver + selected full planes
+            (docstring above).  The sender's plane globals equal the
+            receiver's ghost-plane globals by construction, so both
+            sides compute their own masks from their own axis index."""
+            if not shell_sliver:
+                return ring_halo(band, _Z, shift)
+            ch0 = ring_halo(band[:1], _Z, shift)
+            cols = jnp.stack([band[1, :, :, 1], band[1, :, :, X - 2]],
+                             axis=-1)                       # [G, Y, 2]
+            cols = ring_halo(cols, _Z, shift)
+            g_ar = jnp.arange(G, dtype=jnp.int32)
+            # globals of the SENT planes: shift=+1 sends the top G real
+            # planes (the receiver's lo ghost), shift=-1 the bottom G
+            iz32 = jnp.asarray(iz, jnp.int32)
+            if shift == +1:
+                gz_send = iz32 * Zl + (Zl - G) + g_ar
+            else:
+                gz_send = iz32 * Zl + g_ar
+            gz_send = jax.lax.rem(gz_send + Zg, Zg)
+            m1 = (gz_send == 1).astype(jnp.float32)
+            m2 = (gz_send == Zg - 2).astype(jnp.float32)
+            planes = jnp.stack([
+                jnp.einsum("g,gyx->yx", m1, band[1]),
+                jnp.einsum("g,gyx->yx", m2, band[1]),
+            ])                                              # [2, Y, X]
+            planes = ring_halo(planes, _Z, shift)
+            # receiver: globals of ITS ghost planes (same values)
+            if shift == +1:
+                gz_recv = jax.lax.rem(iz32 * Zl - G + g_ar + Zg, Zg)
+            else:
+                gz_recv = jax.lax.rem((iz32 + 1) * Zl + g_ar, Zg)
+            r1 = (gz_recv == 1).astype(jnp.float32)
+            r2 = (gz_recv == Zg - 2).astype(jnp.float32)
+            ch1 = (
+                r1[:, None, None] * planes[0]
+                + r2[:, None, None] * planes[1]
+            )
+            ch1 = ch1.at[:, :, 1].set(cols[..., 0])
+            ch1 = ch1.at[:, :, X - 2].set(cols[..., 1])
+            return jnp.concatenate([ch0, ch1[None]], axis=0)
 
         def run_round(sr, gb, emit_final):
             if emit_final:
@@ -1490,14 +1550,14 @@ def scalar_poisson_sharded(
         def scan_body(carry, _):
             sr, gb = carry
             sr, (blo, bhi) = run_round(sr, gb, emit_final=False)
-            gb = (ring_halo(bhi, _Z, +1), ring_halo(blo, _Z, -1))
+            gb = (band_xchg(bhi, +1), band_xchg(blo, -1))
             return (sr, gb), None
 
         # first round's bands slice the incoming s2 directly (one-time;
         # s2 is still pristine — no in-place pass has run yet)
         gb = (
-            ring_halo(sr[:, -G:], _Z, +1),
-            ring_halo(sr[:, :G], _Z, -1),
+            band_xchg(sr[:, -G:], +1),
+            band_xchg(sr[:, :G], -1),
         )
         if rounds > 1:
             (sr, gb), _ = jax.lax.scan(

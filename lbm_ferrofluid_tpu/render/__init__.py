@@ -10,6 +10,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .camera import (
@@ -51,6 +52,7 @@ __all__ = [
     "voxelize",
     "phi_to_mesh",
     "render_phi_frame",
+    "make_render_pipeline",
     "default_renderer",
 ]
 
@@ -103,11 +105,57 @@ def _bucket_mesh(verts, faces, far_z: float = 1e6):
     return verts_p, np.concatenate([faces, pad_f])
 
 
+def make_render_pipeline(res, dx: float = 1.0, renderer=None,
+                         gray: float = 0.68, budget: int = 1 << 16):
+    """ONE jitted computation: phi -> marching tetrahedra -> soft-rasterize.
+
+    Closes the step->render loop fully on device (round-4 verdict #4 /
+    BASELINE north star "full step->render loops stay on TPU"): field
+    data never crosses to the host — the returned function maps the
+    [B, 1, *res] phi (or the raw [D, H, W] volume) to an
+    ([image, image, 3] f32 image, triangle count) pair, and only the
+    final image is read back for the PNG.  The triangle budget is static
+    (fixed topology: unused face slots are far-away degenerates the z
+    clip rejects, render/mesh_jax.py); a count above budget means the
+    surface overflowed and the caller should rebuild with a larger one.
+
+    Hold on to the returned callable — it owns the jit cache.
+    """
+    if renderer is None:
+        renderer = default_renderer()
+
+    from .mesh_jax import phi_to_mesh_jax
+
+    @jax.jit
+    def run(phi):
+        verts, faces, count = phi_to_mesh_jax(phi, res, dx, budget)
+        textures = jnp.full((1, faces.shape[0], 2, 3), gray, jnp.float32)
+        out = renderer.forward(verts[None], faces[None], textures)
+        img = jnp.clip(out[0, :3], 0.0, 1.0).transpose(1, 2, 0)
+        return img, count
+
+    return run
+
+
 def render_phi_frame(phi, filename, res, dx: float = 1.0, renderer=None,
-                     gray: float = 0.68):
+                     gray: float = 0.68, pipeline=None):
     """save_rendered_image equivalent (utils/io.py:50-84): extract the
     interface mesh from phi, render with constant-gray textures, write PNG.
-    Returns (verts, faces)."""
+    Returns (verts, faces).
+
+    With ``pipeline`` (from :func:`make_render_pipeline`) the extraction
+    and rasterization run fully ON DEVICE in one jitted computation and
+    only the final image is read back; verts/faces are then returned as
+    (None, None) — use the host path (default) when the mesh itself is
+    needed (OBJ export)."""
+    if pipeline is not None:
+        img_dev, count = pipeline(phi if hasattr(phi, "ndim") else
+                                  jnp.asarray(phi))
+        img = (np.asarray(img_dev) * 255).astype(np.uint8)
+        from PIL import Image
+
+        Image.fromarray(img).save(filename)
+        return None, None
     if renderer is None:
         renderer = default_renderer()
     verts, faces = phi_to_mesh(phi, res, dx)

@@ -452,6 +452,15 @@ def test_scalar_poisson_sharded_matches(rng, nz):
     h2_s, s2_s = step3d.scalar_poisson_sharded(
         s2, cmask, rhs, mesh, n_iters=n_iters, h_ext=HEXT, interpret=True,
     )
+    # the sliver ch1 exchange (round-5, gate mag_flags_shell) must be
+    # bit-identical to the full-band exchange for this shell geometry —
+    # ch1 zeros land only where c_pos == 0 multiplies them away
+    h2_v, s2_v = step3d.scalar_poisson_sharded(
+        s2, cmask, rhs, mesh, n_iters=n_iters, h_ext=HEXT, interpret=True,
+        shell_sliver=True,
+    )
+    np.testing.assert_array_equal(np.asarray(s2_v), np.asarray(s2_s))
+    np.testing.assert_array_equal(np.asarray(h2_v), np.asarray(h2_s))
     if nz <= 2:
         # same pipeline depth both sides (k = n_iters, one pass/round):
         # identical compiled sweep arithmetic -> bitwise

@@ -17,11 +17,15 @@ sub-cell interface height field per 500-step snapshot:
   * roughness amplitude ratio,
   * height-field correlation.
 
-Measured (ours: jnp f32 path; ref: torch CPU f32): amp_ratio within
-7e-5 of 1, correlation >= 0.99999996, identical k at every snapshot.
-Tolerances sit ~100x above the measured deviation and still far below
-any physically meaningful pattern difference (a one-bin k shift or a 1%
-amplitude error would fail).
+Measured (ours: f32 with the tau==1 scalar carry's exact-order jnp
+sweeps — the round-5 production path at this unaligned resolution; ref:
+torch CPU f32): amp_ratio within 4.4e-4 of 1, correlation >=
+0.99999987, identical k at every snapshot (regenerated 2026-08-20; the
+pre-scalar-carry channel path measured 7e-5 / 0.99999996 — the shift is
+the FMA-contraction-class difference of the collapse, amplified over
+4000 chaotic steps).  Tolerances sit ~20x above the measured deviation
+and still far below any physically meaningful pattern difference (a
+one-bin k shift or a 1% amplitude error would fail).
 
 The compared .npz files are committed; regenerate with
 tools/run_rosensweig_spikes_{ref,ours}.py if scene semantics change.
