@@ -72,17 +72,20 @@ def default_renderer(image_size: int = 256) -> SoftRenderer:
     )
 
 
-def phi_to_mesh(phi, res, dx: float = 1.0):
+def phi_to_mesh(phi, res, dx: float = 1.0, method: str = "mt"):
     """Order parameter -> normalized triangle mesh, as the reference's
     save_rendered_image preamble (utils/io.py:50-64): pad interior with
     phi.max to close the surface, extract the -phi isosurface at 0, map
-    vertices to [-1, 1]."""
+    vertices to [-1, 1].  ``method``: "mt" marching tetrahedra (default;
+    native/C++ + on-device twins exist) or "mc" classic 256-case
+    marching cubes (the reference's PyMCubes role, render/mcubes.py)."""
     phi = np.asarray(phi)
     interior = phi[..., 1:-1, 1:-1, 1:-1]
     pad = [(0, 0)] * (phi.ndim - 3) + [(1, 1)] * 3
     closed = np.pad(interior, pad, constant_values=float(phi.max()))
     volume = -closed[0, 0] * (2.0 / max(res) / dx)
-    verts, faces = marching_tetrahedra(volume, 0.0)
+    extract = marching_cubes if method == "mc" else marching_tetrahedra
+    verts, faces = extract(volume, 0.0)
     verts = (verts - np.asarray(res, np.float32) / 2.0) * (2.0 / max(res))
     return verts, faces
 
@@ -138,7 +141,7 @@ def make_render_pipeline(res, dx: float = 1.0, renderer=None,
 
 
 def render_phi_frame(phi, filename, res, dx: float = 1.0, renderer=None,
-                     gray: float = 0.68, pipeline=None):
+                     gray: float = 0.68, pipeline=None, method: str = "mt"):
     """save_rendered_image equivalent (utils/io.py:50-84): extract the
     interface mesh from phi, render with constant-gray textures, write PNG.
     Returns (verts, faces).
@@ -158,7 +161,7 @@ def render_phi_frame(phi, filename, res, dx: float = 1.0, renderer=None,
         return None, None
     if renderer is None:
         renderer = default_renderer()
-    verts, faces = phi_to_mesh(phi, res, dx)
+    verts, faces = phi_to_mesh(phi, res, dx, method=method)
     if len(faces) == 0:
         img = np.full((renderer.image_size, renderer.image_size, 3), 255, np.uint8)
     else:

@@ -173,5 +173,15 @@ def marching_tetrahedra(volume: np.ndarray, level: float = 0.0):
     return verts.astype(np.float32), faces[good].astype(np.int64)
 
 
-# API-compatible alias: the reference calls mcubes.marching_cubes
-marching_cubes = marching_tetrahedra
+def marching_cubes(volume, level: float = 0.0):
+    """API twin of the reference's ``mcubes.marching_cubes``
+    (src/LBM/utils/io.py:59-61): TRUE 256-case cell-edge marching cubes
+    (render/mcubes.py — table generated at import, watertight by
+    construction).  Was an alias for marching_tetrahedra through round 4;
+    round 5 closed that last behavioral deviation.  MT remains the
+    default render-path extractor (native C++ twin + on-device JAX
+    variant); pass method="mc" to phi_to_mesh/render_phi_frame to use
+    this one there."""
+    from .mcubes import marching_cubes_classic
+
+    return marching_cubes_classic(volume, level)
