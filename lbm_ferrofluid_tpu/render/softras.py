@@ -169,6 +169,7 @@ def soft_rasterize(
     face_chunk: int = 64,
     tiled: bool | None = None,
     remat: bool = True,
+    tile_bucket: int | None = None,
 ):
     """Rasterize triangles to an RGBA image ``[B, 4, S, S]``.
 
@@ -478,7 +479,15 @@ def soft_rasterize(
     n_tiles = nt_side * nt_side
     SW = 4  # max tile span (per axis) of a bucketed face
     SMAX = SW * SW
-    K = int(min(max(64, 8 * Fp // n_tiles), Fp))  # bucket capacity
+    # bucket capacity: the per-tile scan cost is CAPACITY-bound (every
+    # slot is scanned whether occupied or not), so a tighter cap buys
+    # time linearly; overflow is exact either way (residual pass /
+    # lax.cond dense fallback).  tile_bucket overrides the default 8x
+    # mean-load heuristic — the Rosensweig interface meshes peak at a
+    # few-thousand faces per 32px tile.
+    K = int(min(max(64, 8 * Fp // n_tiles), Fp))
+    if tile_bucket is not None:
+        K = int(min(max(64, tile_bucket), Fp))
     # residual-face capacity, rounded to whole face chunks
     D = face_chunk * max(1, min(Fp, 4096) // face_chunk)
     margin = math.sqrt(max(thr, 0.0))
