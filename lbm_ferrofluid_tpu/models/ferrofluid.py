@@ -464,10 +464,10 @@ def ferrofluid_step_impl(
                 n_iters=params.poisson_iters, dx=dx, h_ext=hext_static,
                 interpret=interp,
                 # sliver ch1 exchange: valid only under the validated
-                # shell geometry; poisson_psi_halo is the ICI-shortcut
-                # escape hatch knob (params.py)
+                # shell geometry; OPT-IN (measured net negative on-chip
+                # — params.scalar_sliver docstring)
                 shell_sliver=(
-                    params.mag_flags_shell and params.poisson_psi_halo
+                    params.scalar_sliver and params.mag_flags_shell
                 ),
             )
         else:

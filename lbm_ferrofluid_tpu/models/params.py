@@ -81,6 +81,17 @@ class SimulationParams:
     # Escape hatch / A-B knob for the psi ghost refresh above; only
     # effective when mag_flags_shell is set and tau == 1.
     poisson_psi_halo: bool = True
+    # Round-5 s_prev sliver exchange for the sharded SCALAR solve: ship
+    # the ghost bands' s_prev channel as a 2-column sliver + <=2 full
+    # planes (bit-identical under the shell geometry; halves the band
+    # bytes 8.4 -> 4.5 MB/side/round at the flagship).  DEFAULT OFF —
+    # measured NET NEGATIVE on-chip: the reconstruct glue + 2 extra
+    # collective launches per band cost ~2 ms/step slab-forced (647.7
+    # vs 706.3 MLUPS at 256^3) against a ~0.16 ms/step projected ICI
+    # saving at N=8 (docs/PERFORMANCE.md).  Kept opt-in for
+    # re-evaluation on a real slice (where ICI byte cost is real and
+    # per-launch cost may differ).
+    scalar_sliver: bool = False
 
     # Fused Pallas TPU kernels.  XLA's SPMD partitioner cannot split a
     # custom call, so multi-chip runs either pass a ('batch','z') Mesh to the

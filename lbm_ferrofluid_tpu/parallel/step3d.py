@@ -1497,10 +1497,9 @@ def scalar_poisson_sharded(
             sides compute their own masks from their own axis index."""
             if not shell_sliver:
                 return ring_halo(band, _Z, shift)
-            ch0 = ring_halo(band[:1], _Z, shift)
+            ch0 = band[0]                                   # [G, Y, X]
             cols = jnp.stack([band[1, :, :, 1], band[1, :, :, X - 2]],
                              axis=-1)                       # [G, Y, 2]
-            cols = ring_halo(cols, _Z, shift)
             g_ar = jnp.arange(G, dtype=jnp.int32)
             # globals of the SENT planes: shift=+1 sends the top G real
             # planes (the receiver's lo ghost), shift=-1 the bottom G
@@ -1516,7 +1515,13 @@ def scalar_poisson_sharded(
                 jnp.einsum("g,gyx->yx", m1, band[1]),
                 jnp.einsum("g,gyx->yx", m2, band[1]),
             ])                                              # [2, Y, X]
+            ch0 = ring_halo(ch0[None], _Z, shift)
+            cols = ring_halo(cols, _Z, shift)
             planes = ring_halo(planes, _Z, shift)
+            # (packing all three into ONE flat collective was tried to
+            # dodge the extra launches and measured WORSE: 607.6 vs
+            # 647.7 MLUPS slab-forced — the concat/reshape copies cost
+            # more than the launches saved)
             # receiver: globals of ITS ghost planes (same values)
             if shift == +1:
                 gz_recv = jax.lax.rem(iz32 * Zl - G + g_ar + Zg, Zg)

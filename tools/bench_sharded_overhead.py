@@ -61,6 +61,12 @@ def main():
         tau_f=0.68, tau_g=0.68, gravity=1e-4, mag_strength=85.0,
         poisson_iters=30, h_dtype="bfloat16", fg_dtype="bfloat16",
         mag_flags_shell=True,
+        # LBM_SLIVER=1 A/Bs the round-5 s_prev sliver exchange (on a
+        # 1-chip slab-forced run its ICI saving is invisible — the
+        # collectives are self-permutes — but its glue/launch cost is
+        # measurable: 647.7 vs 706.3 MLUPS, the measured-negative
+        # result behind its off-by-default gate)
+        scalar_sliver=os.environ.get("LBM_SLIVER", "0") == "1",
     )
     sites = int(np.prod(res))
 
