@@ -83,11 +83,23 @@ def test_forced_fastpath_capillogue_steady_state(monkeypatch):
     for _ in range(3):
         sj = step_j(sj)
 
-    for name in ("f", "g", "h", "density", "vel", "pressure"):
+    for name in ("f", "g", "density", "vel", "pressure"):
         a = np.asarray(getattr(state, name), np.float64)
         b = np.asarray(getattr(sj, name), np.float64)
         rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
         assert rel <= 2e-5, f"{name}: max rel dev {rel:.2e}"
+    # round 5: the fastpath rides the scalar carry even where the jnp
+    # reference (use_pallas=False, never primed) keeps channel h —
+    # compare through the collapse contract, as hw_validate does
+    from lbm_ferrofluid_tpu.ops.scalar_poisson import compare_views
+
+    assert state.h.shape[1] == 2 and sj.h.shape[1] == 19
+    av, bv = compare_views(state.h, sj.h, state.magnetic_flags)
+    rel = (
+        np.abs(np.asarray(av) - np.asarray(bv)).max()
+        / max(np.abs(np.asarray(bv)).max(), 1e-30)
+    )
+    assert rel <= 2e-5, f"h (collapse contract): max rel dev {rel:.2e}"
 
     # phi_field derives phi from the carried density; matches the jnp
     # definition applied to the SAME density exactly

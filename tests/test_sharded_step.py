@@ -639,7 +639,19 @@ def test_ferrofluid_step_sharded_z_field_matches():
         b = ferrofluid_step(params_b, b, mesh=mesh)
     assert b.premac is not None and len(b.premac) == 5
 
-    for name in ("f", "g", "h", "vel", "density", "pressure"):
+    # round 5: the sharded side rides the tau==1 scalar carry (the
+    # concrete boundary-only gate admits this geometry even with the
+    # wavefront shape unavailable) while the use_pallas=False reference
+    # keeps channel h — compare h through the collapse moment
+    from lbm_ferrofluid_tpu.ops.scalar_poisson import scalar_from_h
+
+    assert b.h.shape[1] == 2
+    np.testing.assert_allclose(
+        np.asarray(b.h[:, :1]),
+        np.asarray(scalar_from_h(a.h, a.magnetic_flags)),
+        rtol=2e-5, atol=1e-6, err_msg="h (collapse moment)",
+    )
+    for name in ("f", "g", "vel", "density", "pressure"):
         np.testing.assert_allclose(
             np.asarray(getattr(b, name)), np.asarray(getattr(a, name)),
             rtol=2e-5, atol=1e-6, err_msg=name,
