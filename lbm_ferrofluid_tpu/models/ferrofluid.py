@@ -815,7 +815,8 @@ def _scalar_physics_ok(params: SimulationParams, magnetic_flags=None) -> bool:
     scalar carry is f32 — converting an f64 solve would silently drop
     precision, e.g. the f64 golden-parity configurations)."""
     return (
-        float(params.tau) == 1.0
+        params.scalar_carry
+        and float(params.tau) == 1.0
         and jnp.dtype(params.h_dtype) != jnp.float64
         and params.h_ext_axis in tuple(range(params.dim))
         and (

@@ -81,6 +81,12 @@ class SimulationParams:
     # Escape hatch / A-B knob for the psi ghost refresh above; only
     # effective when mag_flags_shell is set and tau == 1.
     poisson_psi_halo: bool = True
+    # A/B knob: False keeps the magnetic solve in channel form even
+    # where the tau==1 scalar collapse could engage (round 5 made the
+    # collapse reach every grid via the concrete boundary-only gate, so
+    # geometry/declaration tricks no longer force the channel form —
+    # evidence tools need an explicit switch).
+    scalar_carry: bool = True
     # Round-5 s_prev sliver exchange for the sharded SCALAR solve: ship
     # the ghost bands' s_prev channel as a 2-column sliver + <=2 full
     # planes (bit-identical under the shell geometry; halves the band

@@ -108,8 +108,11 @@ def main():
     # (measured identical, docs/PERFORMANCE.md), but on a real slice the
     # psi refresh would narrow the channel leg's ICI gap.
     for variant in ("scalar", "channel"):
+        # round 5: mag_flags_shell=False no longer forces the channel
+        # form (the concrete boundary-only gate admits the geometry
+        # anyway) — scalar_carry=False is the explicit A/B switch
         params_s = params if variant == "scalar" else params.replace(
-            mag_flags_shell=False
+            mag_flags_shell=False, scalar_carry=False
         )
         state_s = bench.build_state(params_s, res)
         state_s = shard_state(state_s, mesh)
